@@ -1,0 +1,137 @@
+"""End-to-end file-verb tests against tmpdir trees (no Azure dependency).
+
+Exercises the per-verb semantic matrix from SURVEY.md §2.1: byte
+identity, collision renaming, the overwrite matrix (upload never /
+download+move always), empty-result policies (noop vs error 200), and
+move's single-match no-suffix rule.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from azurestorage_blueprints_spark.errors import AlreadyExistsError, NoMatchesFoundError
+from azurestorage_blueprints_spark.operators import verbs
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "src"
+    (src / "nested" / "a").mkdir(parents=True)
+    (src / "report.csv").write_bytes(b"csv-data-1")
+    (src / "report_old.csv").write_bytes(b"csv-data-2")
+    (src / "archive.tar.gz").write_bytes(b"tarball")
+    (src / "noext").write_bytes(b"raw")
+    (src / "nested" / "a" / "deep.txt").write_bytes(b"deep")
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    return src, dst
+
+
+def test_upload_regex_enumerates_and_preserves_bytes(spark, tree):
+    src, dst = tree
+    rows = verbs.upload(
+        spark, str(src), r"report.*\.csv", "regex_match", str(dst),
+        destination_folder="up", destination_file_name="out.csv",
+    )
+    assert len(rows) == 2
+    # lexicographic path order: report.csv → _1, report_old.csv → _2
+    assert (dst / "up" / "out_1.csv").read_bytes() == b"csv-data-1"
+    assert (dst / "up" / "out_2.csv").read_bytes() == b"csv-data-2"
+
+
+def test_upload_single_regex_match_still_enumerates(spark, tree):
+    # upload/download always enumerate on the regex path (upload_file.py:220)
+    src, dst = tree
+    verbs.upload(
+        spark, str(src), r"archive\.tar\.gz", "regex_match", str(dst),
+        destination_file_name="archive.tar.gz",
+    )
+    # first-dot rule: _1 goes before .tar.gz
+    assert (dst / "archive_1.tar.gz").read_bytes() == b"tarball"
+
+
+def test_upload_never_overwrites(spark, tree):
+    src, dst = tree
+    (dst / "report.csv").write_bytes(b"already-here")
+    with pytest.raises(AlreadyExistsError):
+        verbs.upload(
+            spark, str(src), str(src / "report.csv"), "exact_match", str(dst)
+        )
+    assert (dst / "report.csv").read_bytes() == b"already-here"
+
+
+def test_upload_empty_match_is_noop(spark, tree):
+    src, dst = tree
+    rows = verbs.upload(spark, str(src), r"nomatch\.xyz", "regex_match", str(dst))
+    assert rows == []
+
+
+def test_download_overwrites(spark, tree):
+    src, dst = tree
+    (dst / "report.csv").write_bytes(b"stale")
+    verbs.download(
+        spark, str(src), str(src / "report.csv"), "exact_match", str(dst)
+    )
+    assert (dst / "report.csv").read_bytes() == b"csv-data-1"
+
+
+def test_move_single_match_no_suffix(spark, tree):
+    # move suppresses enumeration when exactly one match (move_file.py:135)
+    src, dst = tree
+    verbs.move(
+        spark, str(src), r"archive.*", "regex_match", str(dst),
+        destination_file_name="moved.tar.gz",
+    )
+    assert (dst / "moved.tar.gz").read_bytes() == b"tarball"
+    assert not (src / "archive.tar.gz").exists()
+
+
+def test_move_multi_match_enumerates_and_deletes_sources(spark, tree):
+    src, dst = tree
+    verbs.move(
+        spark, str(src), r"report.*\.csv", "regex_match", str(dst),
+        destination_file_name="m.csv",
+    )
+    assert (dst / "m_1.csv").read_bytes() == b"csv-data-1"
+    assert (dst / "m_2.csv").read_bytes() == b"csv-data-2"
+    assert not (src / "report.csv").exists()
+    assert not (src / "report_old.csv").exists()
+
+
+def test_move_empty_match_errors(spark, tree):
+    src, dst = tree
+    with pytest.raises(NoMatchesFoundError):
+        verbs.move(spark, str(src), r"nope", "regex_match", str(dst))
+
+
+def test_delete_regex(spark, tree):
+    src, _ = tree
+    verbs.delete(spark, str(src), r"report.*\.csv", "regex_match")
+    assert not (src / "report.csv").exists()
+    assert not (src / "report_old.csv").exists()
+    assert (src / "archive.tar.gz").exists()
+
+
+def test_delete_empty_match_errors(spark, tree):
+    src, _ = tree
+    with pytest.raises(NoMatchesFoundError):
+        verbs.delete(spark, str(src), r"zzz", "regex_match")
+
+
+def test_recursive_scan_reaches_nested(spark, tree):
+    src, dst = tree
+    verbs.download(spark, str(src), r"deep\.txt", "regex_match", str(dst))
+    # no destination name → basename fallback, which is NEVER enumerated
+    # (determine_destination_file_name, upload_file.py:84-104)
+    assert (dst / "deep.txt").read_bytes() == b"deep"
+
+
+def test_exact_match_no_enumeration(spark, tree):
+    src, dst = tree
+    verbs.download(
+        spark, str(src), str(src / "noext"), "exact_match", str(dst)
+    )
+    assert (dst / "noext").read_bytes() == b"raw"
