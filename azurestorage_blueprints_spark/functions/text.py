@@ -1,0 +1,110 @@
+"""Text-analysis column expressions for LLM-data-pipeline operators.
+
+All JVM-side (no Python UDFs in the hot path): tokenization, token
+counting, quality metrics, language-ID scoring, and a deterministic
+rolling-hash document fingerprint — each designed so the same value is
+computable in ANSI SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny marker-word tables for the n-gram/stopword language-ID heuristic.
+#: Real corpora would use char-trigram profiles; the mechanism (count
+#: marker occurrences, argmax with deterministic tie-break) is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("de", "le", "shi"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on single spaces — the documents
+    corpus is single-space separated; a BPE-ish regex split is provided
+    by ``bpe_ish_tokens``)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-word segmentation: split on word boundaries keeping
+    punctuation as separate tokens (regex common to Java and RE2)."""
+    return F.filter(
+        F.split(F.regexp_replace(text, r"([^a-zA-Z0-9 ])", r" $1 "), " "),
+        lambda t: t != "",
+    )
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal substring via the
+    length-difference trick — identical semantics in Spark and SQL."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Whole-word occurrences: pad with spaces and count ' word '."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return occurrence_count(padded, f" {word} ")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (deterministic
+    per-row double division)."""
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?'\"()-]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are stopwords."""
+    n_stop = sum(word_occurrences(text, w) for w in STOPWORDS)
+    return n_stop.cast("double") / F.greatest(token_count(text), F.lit(1)).cast("double")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-occurrence score per language."""
+    return {
+        lang: sum(word_occurrences(text, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax language with deterministic lexicographic tie-break."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # lexicographic: ties go to the first name
+    best = None
+    best_score = None
+    for lang in langs:
+        if best is None:
+            best, best_score = F.lit(lang), scores[lang]
+        else:
+            cond = scores[lang] > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Deterministic polynomial rolling hash over the document's bytes:
+    ``h = (h * 31 + code) mod 2^31-1`` left-fold — an order-sensitive
+    content fingerprint (Rabin-Karp style) expressible in both engines
+    as an explicit fold, exact in 64-bit integers."""
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * 31 + c) % F.lit(2147483647).cast("bigint"),
+    )

@@ -57,7 +57,6 @@ def load_all() -> dict[str, Query]:
         relational,
         similarity,
         timeseries,
-        windows,
     )
 
     return REGISTRY

@@ -1,1 +1,194 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the ``documents`` table (north-star ops).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting — the per-document scoring passes an LLM training-data
+pipeline runs before filtering/dedup. Everything is built from
+``azurestorage_blueprints_spark.functions.text`` column expressions
+(JVM-side, codegen); nothing collects to the driver, so each query is
+a single scan + narrow projection (or one hash-agg) at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.functions import text as X
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+
+def _sql_word_count(word: str) -> str:
+    """DuckDB expression: whole-word occurrence count via length diff."""
+    return (
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {word} ', '')))"
+        f" / {len(word) + 2} AS INT)"
+    )
+
+
+@register(
+    "q_text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens,
+           CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+             / count(*) AS avg_tokens,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Token counting (whitespace tokenizer) aggregated per language.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tc = X.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        (F.sum(tc).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST({" + ".join(_sql_word_count(w) for w in X.STOPWORDS)} AS DOUBLE)
+             / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS stopword_ratio,
+           CAST(length(text) AS DOUBLE)
+             / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS chars_per_token
+    FROM documents
+    """,
+    doc="Per-document quality scoring: length, punctuation ratio, stopword ratio, "
+    "chars-per-token — the standard cheap heuristics for corpus filtering.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tc = X.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        tc.alias("n_tokens"),
+        X.punct_ratio(F.col("text")).alias("punct_ratio"),
+        X.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        (F.length("text").cast("double") / F.greatest(tc, F.lit(1)).cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = X.LANG_MARKERS[lang]
+    return " + ".join(_sql_word_count(m) for m in markers)
+
+
+def _sql_lang_guess() -> str:
+    """Mirror lang_guess's fold: iterate languages lexicographically,
+    strict > replaces the running best."""
+    langs = sorted(X.LANG_MARKERS)
+    expr = f"'{langs[0]}'"
+    best = f"({_sql_lang_score(langs[0])})"
+    for lang in langs[1:]:
+        s = f"({_sql_lang_score(lang)})"
+        expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return expr
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_sql_lang_guess()} AS guessed_lang,
+           ({_sql_lang_score('en')}) AS score_en,
+           ({_sql_lang_score('de')}) AS score_de
+    FROM documents
+    """,
+    doc="Language-ID heuristic: marker-word occurrence scores per language, "
+    "deterministic argmax. (The corpus is synthetic so accuracy is not the "
+    "point — the operator shape is.)",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scores = X.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_guess(F.col("text")).alias("guessed_lang"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+    doc="Rolling polynomial document fingerprint (h*31+code mod 2^31-1): "
+    "order-sensitive content hash for exact-dup detection and shingling; the "
+    "explicit left-fold is bit-identical in both engines.",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "q_text_type_token_ratio",
+    oracle="""
+    SELECT doc_id,
+           len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_unique_tokens,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+             / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS type_token_ratio
+    FROM documents
+    """,
+    doc="Type-token ratio (vocabulary diversity) via array_distinct — a repetition "
+    "signal used for low-quality/spammy document filtering.",
+)
+def q_text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    uniq = F.size(F.array_distinct(toks))
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        uniq.alias("n_unique_tokens"),
+        n.alias("n_tokens"),
+        (uniq.cast("double") / F.greatest(n, F.lit(1)).cast("double")).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "q_multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           substr(text, 1, 8) AS head
+    FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: payloads as opaque bytes with typed "
+    "metadata (checksum, size, magic-bytes head). The decode path for real "
+    "image/audio lives in operators/multimodal.py (mapInPandas).",
+)
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.md5(payload).alias("content_md5"),
+        F.length(payload).alias("n_bytes"),
+        F.substring("text", 1, 8).alias("head"),
+    )

@@ -1,1 +1,212 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the ``embeddings`` table (north-star extension).
+
+- brute-force cosine top-k: the exactness baseline — block-local
+  pairwise scores + per-query ranking window. Exact and oracle-checked.
+- random-hyperplane LSH ANN: the scale path — sign-pattern bucket as
+  the blocking key, candidates scored only within buckets. Recall vs
+  the brute-force baseline is asserted in tests/test_similarity.py
+  (hash-dependent, so rows-only for the driver gate).
+- IVF (inverted-file) ANN: coarse quantization by nearest centroid,
+  probe the closest list(s). Centroids here are per-label means
+  (k-means' assignment step — the structure, not the training loop).
+
+Scale posture: brute-force is O(Q x N) and exists as the correctness
+oracle; both ANN variants turn the cross join into an equi-join on a
+bucket key, which is the only join shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.functions.vectors import cosine, dot, norm
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+_N_QUERIES = 10  # deterministic query set: vec_id < 10
+_TOP_K = 5
+_LSH_BITS = 8
+
+
+@register(
+    "q_knn_brute_force",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_cosine_similarity(q.qv, e.v) AS sim
+      FROM q JOIN e ON e.vec_id <> q.q_id),
+    ranked AS (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+    doc="Brute-force cosine top-k (exact ANN baseline): broadcast the query set, "
+    "score every corpus vector, rank per query with a deterministic tie-break. "
+    "Sequential-fold cosine matches DuckDB's list_cosine_similarity bit-for-bit.",
+)
+def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    corpus = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("v"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id", "sim", "rnk")
+    )
+
+
+@register(
+    "q_knn_lsh",
+    oracle=None,  # bucket assignment depends on engine hash seeds — rows-only
+    doc="Random-hyperplane LSH ANN: 8 deterministic pseudo-hyperplanes (derived "
+    "from murmur3 of (dim_index, plane_index)), bucket = sign bit-pattern of "
+    "the 8 projections; candidates are scored only within the query's bucket. "
+    "Turns the O(QxN) cross join into an equi-join on bucket — the shape that "
+    "scales. Recall vs brute force asserted in tests/test_similarity.py.",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def _proj(plane: int):
+        # pseudo-random hyperplane component for (dim i, plane p): a
+        # deterministic hash mapped to [-0.5, 0.5) — same for every row,
+        # computed JVM-side, no driver-side materialization
+        return lambda x, i: x.cast("double") * (
+            (F.pmod(F.hash(i, F.lit(plane)), F.lit(1000)) - 500).cast("double") / 1000.0
+        )
+
+    def bucket(col):
+        bits = None
+        for p in range(_LSH_BITS):
+            proj = F.aggregate(
+                F.zip_with(col, F.sequence(F.lit(0), F.size(col) - 1), _proj(p)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits
+
+    tagged = e.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    q = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    cand = tagged.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("n_id"), cosine(F.col("qv"), F.col("embedding")).alias("sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id", "sim", "rnk")
+    )
+
+
+@register(
+    "q_knn_ivf",
+    oracle=None,  # centroid means are order-sensitive double sums — rows-only
+    doc="IVF-style ANN: coarse centroids (per-label means — the inverted-file "
+    "assignment structure), queries probe only their nearest centroid's list. "
+    "Demonstrates the two-stage coarse-quantize → fine-score plan; at 100 TB "
+    "the lists are pre-partitioned so a probe touches one partition.",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dim = F.size("embedding")
+    # centroid per label: element-wise mean via posexplode + groupBy
+    comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    centroids = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    # assign each query to its nearest centroid (probe = 1 list)
+    qc = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "qv", "label", cosine(F.col("qv"), F.col("centroid")).alias("csim"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("csim"), "label"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("q_id", "qv", "label")
+    )
+    cand = e.join(F.broadcast(qc), "label").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("n_id"), "label",
+        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id", "label", "sim", "rnk")
+    )
+
+
+@register(
+    "q_vector_norms",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT label,
+           count(*) AS n_vectors,
+           min(sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))) AS min_norm,
+           max(sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))) AS max_norm
+    FROM e GROUP BY label
+    """,
+    doc="Vector-norm statistics per label: min/max are order-insensitive so the "
+    "aggregate is oracle-exact without decimal tricks.",
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    n = norm(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(n).alias("min_norm"),
+        F.max(n).alias("max_norm"),
+    )
+
+
+@register(
+    "q_vector_dot_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_dot_product(a.v, b.v) AS dot
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id % 50 = 0
+    """,
+    doc="Pairwise dot products on a deterministic stride of vector pairs — the "
+    "primitive under every similarity operator, oracle-checked bit-exact.",
+)
+def q_vector_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+    )
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select("a_id", "b_id", dot(F.col("av"), F.col("bv")).alias("dot"))
+    )

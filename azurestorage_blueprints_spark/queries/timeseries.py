@@ -1,1 +1,265 @@
-"""Placeholder — filled in as operators land."""
+"""Time-series / event-stream operators over the ``events`` table.
+
+Batch forms of the streaming operator inventory: tumbling / sliding /
+session windows (the same ``F.window`` / ``F.session_window``
+expressions run under Structured Streaming — see
+``azurestorage_blueprints_spark/streaming``), plus the custom
+operators Spark lacks natively: as-of join, banded range join, and
+gap-based sessionization — each built as a composition of DataFrame
+ops (no UDFs), with a DuckDB oracle.
+
+Scale posture: every operator shuffles once on ``user_id`` (or the
+window key) and computes per-partition; the as-of join is the
+union-merge formulation (sort within user partitions, no per-row
+lookups) which scales to billions of events as long as a single
+user's history fits a partition — the same assumption Structured
+Streaming state stores make.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+DEC = "decimal(12,2)"
+
+
+@register(
+    "q_ts_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 15-minute window aggregation (F.window — identical expression "
+    "works in Structured Streaming with a watermark).",
+)
+def q_ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "q_ts_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes' AS ws, value FROM events)
+    SELECT ws AS window_start, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM buckets GROUP BY ws
+    """,
+    doc="Sliding window (30-minute length, 15-minute slide): each event lands in 2 "
+    "overlapping windows (Catalyst expands F.window into a generator).",
+)
+def q_ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "q_ts_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session window (30-minute gap) via F.session_window in batch; the oracle "
+    "derives identical sessions with the lag/gap/cumulative-sum formulation. "
+    "session_window end = last event + gap.",
+)
+def q_ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_ts_sessionize_ids",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+    """,
+    doc="Per-event session-ID assignment: lag-gap marker + running sum — the "
+    "composition pattern for custom stateful operators in batch.",
+)
+def q_ts_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ep", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ep") - F.lag("ep").over(w)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("is_start", is_start)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_start").over(wcum).alias("session_id"),
+        )
+    )
+
+
+@register(
+    "q_ts_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS last_click_ts, c.value AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (Spark has no native one): union-merge formulation — tag both "
+    "sides, sort within user partitions, carry the click state forward with "
+    "last(..., ignorenulls). One shuffle on user_id; no per-row lookups. "
+    "Equivalent to DuckDB's ASOF JOIN (inclusive match on ts).",
+)
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("kind"),
+    )
+    # at equal ts the click sorts first (kind 0 < 1) → inclusive as-of match
+    merged = clicks.unionByName(purchases)
+    w = W.partitionBy("user_id").orderBy("ts", "kind").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        merged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts", "last_click_value")
+    )
+
+
+@register(
+    "q_ts_range_join",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '10 minutes'
+    GROUP BY a.user_id
+    """,
+    doc="Banded range join (event pairs within 10 minutes): user_id equality is the "
+    "blocking key so the physical plan stays a hash join with a range residual, "
+    "not a cartesian NLJ.",
+)
+def q_ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@register(
+    "q_ts_first_last_event",
+    oracle="""
+    SELECT user_id,
+           min(ts) AS first_seen, max(ts) AS last_seen,
+           -- elapsed whole seconds (Spark timestampdiff semantics), not
+           -- duckdb's boundary-crossing datediff('second', ...)
+           datediff('microsecond', min(ts), max(ts)) // 1000000 AS lifetime_seconds,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    doc="Per-user activity span: min/max timestamps and lifetime — a single hash-agg.",
+)
+def q_ts_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .withColumn(
+            "lifetime_seconds",
+            F.expr("timestampdiff(SECOND, first_seen, last_seen)"),
+        )
+        .select("user_id", "first_seen", "last_seen", "lifetime_seconds", "n_events", "n_types")
+    )
