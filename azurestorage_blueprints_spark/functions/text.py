@@ -45,6 +45,23 @@ def bpe_ish_tokens(text: Column) -> Column:
     )
 
 
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (the MinHash unit): documents shorter than
+    k tokens shingle to their whole text. Shingle space grows with
+    vocab^k, so near-identical shingle sets imply near-identical texts
+    even over small vocabularies."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(text))
+
+
 def occurrence_count(text: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of a literal substring via the
     length-difference trick — identical semantics in Spark and SQL."""

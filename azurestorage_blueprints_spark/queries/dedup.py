@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from azurestorage_blueprints_spark.functions.text import tokens
+from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
 from azurestorage_blueprints_spark.functions.vectors import cosine
 from azurestorage_blueprints_spark.queries import register
 from azurestorage_blueprints_spark.tables import table
@@ -141,7 +141,10 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    # word 3-gram shingles: with unigram tokens over a small vocabulary
+    # every document collides into the same buckets and the candidate
+    # join goes quadratic; shingles keep buckets sparse
+    docs = d.select("doc_id", F.array_distinct(word_shingles(F.col("text"))).alias("toks"))
     hashes = docs.select(
         "doc_id", F.transform("toks", lambda t: F.hash(t).cast("bigint")).alias("hs")
     )
@@ -173,14 +176,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "sig", "bs.band", "bs.bh")
-    a = bands.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bh")
-    b = bands.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bh")
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bh")
+    # dedup candidate PAIRS first (cheap: two longs), then join the
+    # signatures back — shuffling 64-element arrays through the
+    # distinct would dominate the runtime
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .distinct()
     )
+    sig_a = sig.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"))
+    sig_b = sig.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"))
     est = (
         F.size(
             F.filter(
@@ -190,7 +198,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / _MH_PERMS
     )
-    return cand.select("a_id", "b_id", est.alias("est_jaccard")).orderBy("a_id", "b_id")
+    return (
+        cand.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .select("a_id", "b_id", est.alias("est_jaccard"))
+        .orderBy("a_id", "b_id")
+    )
 
 
 @register(

@@ -27,7 +27,8 @@ from azurestorage_blueprints_spark.tables import table
 
 _N_QUERIES = 10  # deterministic query set: vec_id < 10
 _TOP_K = 5
-_LSH_BITS = 8
+_LSH_BITS = 4  # per table; coarse buckets keep candidate lists non-empty
+_LSH_TABLES = 2  # OR-amplification: union of candidates across tables
 
 
 @register(
@@ -89,23 +90,36 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(F.hash(i, F.lit(plane)), F.lit(1000)) - 500).cast("double") / 1000.0
         )
 
-    def bucket(col):
+    def bucket(col, tbl: int):
         bits = None
         for p in range(_LSH_BITS):
             proj = F.aggregate(
-                F.zip_with(col, F.sequence(F.lit(0), F.size(col) - 1), _proj(p)),
+                F.zip_with(col, F.sequence(F.lit(0), F.size(col) - 1), _proj(tbl * _LSH_BITS + p)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             bit = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
             bits = bit if bits is None else bits + bit
-        return bits
+        # tag with the table index so buckets from different tables never merge
+        return bits + F.lit(tbl * (2**_LSH_BITS))
 
-    tagged = e.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    # one bucket id per table per vector → explode: (vec, table, bucket)
+    tagged = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[bucket(F.col("embedding"), t) for t in range(_LSH_TABLES)])
+        ).alias("bucket"),
+    )
     q = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "bucket"
     )
-    cand = tagged.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    cand = (
+        tagged.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qv", "vec_id", "embedding")
+        .distinct()  # OR across tables: score each candidate once
+    )
     scored = cand.select(
         "q_id", F.col("vec_id").alias("n_id"), cosine(F.col("qv"), F.col("embedding")).alias("sim")
     )

@@ -1,0 +1,110 @@
+"""Structured Streaming pipelines over the ``events`` schema.
+
+The batch time-series queries (queries/timeseries.py) use the very same
+window expressions; these builders attach them to a streaming source
+with watermarks so late data is handled the way a production pipeline
+needs. Tests drive them with a file source (parquet drops into a
+directory) + ``processAllAvailable`` for deterministic completion;
+production would swap the source for Kafka/EventHubs without touching
+the transformation.
+
+Late-data contract:
+- aggregations carry ``withWatermark(ts, ...)`` so state is bounded —
+  the condition for running forever on an unbounded stream;
+- ``dropDuplicates`` with watermark gives at-most-once per event_id
+  within the watermark horizon (streaming exact dedup);
+- append output mode emits a window only after the watermark passes
+  its end — results are final, never retracted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-based streaming source (one file = one micro-batch of events)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "15 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window counts per event_type with bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding 30-minute windows every 15 minutes."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (state merges as events arrive)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon (streaming exact dedup with bounded state)."""
+    return events.withWatermark("ts", "30 minutes").dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion against its current
+    source contents; results land in an in-memory table ``name``.
+    Returns the materialized batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_foreach_batch(stream_df: DataFrame, sink):
+    """Exactly-once custom sink via foreachBatch: ``sink(df, epoch_id)``
+    is invoked per micro-batch (the production pattern for writing to
+    stores without a native streaming sink)."""
+    q = stream_df.writeStream.foreachBatch(sink).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query executes end-to-end into the no-op sink (full computation,
+no result materialization on the driver) after a warm-up of the JVM
+and the parquet footer caches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from azurestorage_blueprints_spark.queries import load_all  # noqa: E402
+from azurestorage_blueprints_spark.session import get_spark  # noqa: E402
+
+#: representative cross-section: scan+agg, joins, windows, custom
+#: time-series ops, dedup ladder, similarity, text analysis, JSON
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_window_topk_per_group",
+    "q_ts_asof_join",
+    "q_ts_session_window",
+    "q_json_extract",
+    "q_explode_tokens",
+    "q_text_quality",
+    "q_dedup_minhash_lsh",
+    "q_dedup_embedding",
+    "q_knn_brute_force",
+]
+
+
+def run_query(df) -> None:
+    """Force full execution without driver-side materialization."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+    registry = load_all()
+
+    # warm-up: JVM JIT, parquet footers, broadcast machinery
+    run_query(registry["q01_pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(registry[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

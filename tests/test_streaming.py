@@ -1,0 +1,91 @@
+"""Structured Streaming tests: deterministic replay of the events table
+through file-source micro-batches, compared against the equivalent
+batch computation (the no-late-data case must agree exactly)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.streaming import windows as SW
+from azurestorage_blueprints_spark.tables import table
+
+
+@pytest.fixture()
+def stream_dir(spark, sf_dir, tmp_path):
+    """Events re-written as time-ordered parquet files → micro-batches
+    that respect the watermark's bounded-lateness assumption (a file
+    arriving entirely out of order would be *correctly* dropped as late
+    data, which is not what this equality test wants to measure)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ev = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    quartiles = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *quartiles, float("inf")]
+    ev = ev.orderBy("ts").cache()
+    lo = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (lo[1] - lo[0]) / 4
+    for i in range(4):
+        part = ev.filter(
+            (F.col("ts") >= lo[0] + i * span)
+            & (F.col("ts") < (lo[0] + (i + 1) * span if i < 3 else lo[1]))
+        )
+        part.coalesce(1).write.parquet(str(tmp_path / f"chunk{i}"))
+        pq = sorted(glob.glob(str(tmp_path / f"chunk{i}" / "part-*.parquet")))[0]
+        shutil.copy(pq, src / f"{i:04d}.parquet")
+    return str(src)
+
+
+def test_tumbling_counts_stream_equals_batch(spark, sf_dir, stream_dir):
+    stream = SW.read_events_stream(spark, stream_dir)
+    result = SW.run_to_memory(SW.tumbling_counts(stream), "t_tumbling")
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.bucket, r.event_type): r.n for r in result.collect()}
+    want = {(r.w.start, r.event_type): r.n for r in batch.collect()}
+    # append mode: windows past the watermark are emitted; every emitted
+    # window must agree exactly with the batch computation
+    assert got, "stream produced no finalized windows"
+    for k, n in got.items():
+        assert want.get(k) == n, f"window {k}: stream {n} != batch {want.get(k)}"
+
+
+def test_session_counts_stream(spark, stream_dir):
+    stream = SW.read_events_stream(spark, stream_dir)
+    result = SW.run_to_memory(SW.session_counts(stream), "t_sessions")
+    rows = result.collect()
+    assert rows, "no finalized sessions emitted"
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_streaming_dedup_drops_replayed_files(spark, stream_dir, tmp_path):
+    # duplicate every source file → every event arrives twice
+    dup_dir = tmp_path / "dup_src"
+    dup_dir.mkdir()
+    for i, f in enumerate(sorted(glob.glob(f"{stream_dir}/*.parquet"))):
+        shutil.copy(f, dup_dir / f"a{i}.parquet")
+        shutil.copy(f, dup_dir / f"b{i}.parquet")
+    stream = SW.read_events_stream(spark, str(dup_dir))
+    result = SW.run_to_memory(SW.streaming_dedup(stream), "t_dedup")
+    ids = [r.event_id for r in result.collect()]
+    assert len(ids) == len(set(ids)), "duplicate event_ids survived streaming dedup"
+    assert len(ids) > 0
+
+
+def test_foreach_batch_sink_sees_all_rows(spark, stream_dir):
+    stream = SW.read_events_stream(spark, stream_dir)
+    seen = []
+    SW.run_foreach_batch(
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        lambda df, epoch: seen.append((epoch, {r.event_type: r.n for r in df.collect()})),
+    )
+    assert seen, "foreachBatch sink never invoked"
+    # final epoch's counts must cover all five event types
+    final = seen[-1][1]
+    assert sum(final.values()) > 0
