@@ -45,21 +45,23 @@ def bpe_ish_tokens(text: Column) -> Column:
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles (the MinHash unit): documents shorter than
-    k tokens shingle to their whole text. Shingle space grows with
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (the MinHash unit) over a MATERIALIZED
+    token-array column. Callers must tokenize in a separate ``select``
+    and pass the attribute — higher-order functions are interpreted
+    (CodegenFallback) and re-evaluate their full child subtree on every
+    element access, so an inline ``tokens(text)`` argument makes the
+    shingling quadratic in document length. Documents shorter than k
+    tokens shingle to their whole token span. Shingle space grows with
     vocab^k, so near-identical shingle sets imply near-identical texts
     even over small vocabularies."""
-    toks = tokens(text)
     return F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
-    ).otherwise(F.array(text))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def occurrence_count(text: Column, needle: str) -> Column:

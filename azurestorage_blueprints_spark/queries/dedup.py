@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
-from azurestorage_blueprints_spark.functions.vectors import cosine
+from azurestorage_blueprints_spark.functions.vectors import dot, norm
 from azurestorage_blueprints_spark.queries import register
 from azurestorage_blueprints_spark.tables import table
 
@@ -144,20 +144,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word 3-gram shingles: with unigram tokens over a small vocabulary
     # every document collides into the same buckets and the candidate
     # join goes quadratic; shingles keep buckets sparse
-    docs = d.select("doc_id", F.array_distinct(word_shingles(F.col("text"))).alias("toks"))
-    hashes = docs.select(
-        "doc_id", F.transform("toks", lambda t: F.hash(t).cast("bigint")).alias("hs")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    docs = toked.select("doc_id", F.array_distinct(word_shingles(F.col("tk"))).alias("toks"))
+    # explode to a (doc_id, shingle-hash) posting table and take the 64
+    # permutation minima as plain MIN aggregates: lambda higher-order
+    # functions are CodegenFallback (interpreted, per-row allocation),
+    # whereas min() stays inside whole-stage codegen with map-side
+    # partial aggregation — ~10x faster at sf0.1
+    posting = docs.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.hash("tok").cast("bigint").alias("h")
     )
-    def _perm(a: int, b: int):
-        # factory closure: PySpark derives HOF arity from the lambda
-        # signature, so captured constants must not be extra params
-        return lambda h: F.pmod(a * h + b, F.lit(_MH_PRIME))
-
-    sig_cols = [
-        F.array_min(F.transform("hs", _perm(a, b))).alias(f"s{i}")
+    sig_aggs = [
+        F.min(F.pmod(a * F.col("h") + b, F.lit(_MH_PRIME))).alias(f"s{i}")
         for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
-    sig = hashes.select("doc_id", F.array(*sig_cols).alias("sig"))
+    sig = (
+        posting.groupBy("doc_id")
+        .agg(*sig_aggs)
+        .select("doc_id", F.array(*[f"s{i}" for i in range(_MH_PERMS)]).alias("sig"))
+    )
     rows_per_band = _MH_PERMS // _MH_BANDS
     bands = sig.select(
         "doc_id",
@@ -254,14 +259,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("a_id"), F.col("label"), F.col("embedding").alias("a_v")
+    # norms are precomputed ONCE per vector (N interpreted folds), not
+    # inside every pair's cosine (N² folds); dot/(na*nb) is bit-identical
+    # to dot/(norm(a)*norm(b)) since each norm is the same fold over the
+    # same array
+    en = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = en.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label"),
+        F.col("embedding").alias("a_v"),
+        F.col("nrm").alias("a_n"),
     )
-    b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("label").alias("l2"), F.col("embedding").alias("b_v")
+    b = en.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("l2"),
+        F.col("embedding").alias("b_v"),
+        F.col("nrm").alias("b_n"),
     )
     pairs = a.join(b, (F.col("label") == F.col("l2")) & (F.col("a_id") < F.col("b_id")))
-    sim = cosine(F.col("a_v"), F.col("b_v"))
+    sim = dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
     return (
         pairs.select("a_id", "b_id", "label", sim.alias("sim"))
         .filter(F.col("sim") >= 0.4)

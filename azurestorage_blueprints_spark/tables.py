@@ -29,6 +29,19 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+#: text/vector tables get a post-scan round-robin repartition: the test
+#: parquet files are single-row-group, so the scan stage is ONE task no
+#: matter how many cores exist — and the per-row work on these tables
+#: (tokenize, shingle, vector folds) is interpreted higher-order
+#: functions, the most expensive map work in the engine. Catalyst still
+#: pushes filters and column pruning through the exchange into the
+#: scan. Relational tables are NOT spread: their map-side work is cheap
+#: codegen'd scans and their joins/aggs shuffle on keys anyway, so an
+#: extra exchange is pure overhead (measured: +0.3-0.5s per TPC-H query
+#: at sf0.1). On a real multi-file dataset the scan parallelizes
+#: natively and AQE coalesces the then-tiny exchange.
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (parquet scan — columnar, with
@@ -50,11 +63,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestampadd on an NTZ base is pure integer arithmetic — independent
         # of the session timezone (timestamp_micros().cast(ntz) is NOT: it
         # renders through the session zone and shifts under TZ!=UTC drivers)
-        return spark.read.parquet(path).withColumn(
+        return _spread(spark, spark.read.parquet(path), name).withColumn(
             "ts",
             F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
         )
-    return spark.read.parquet(path)
+    return _spread(spark, spark.read.parquet(path), name)
+
+
+def _spread(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    if name in _SPREAD_TABLES:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:

@@ -50,13 +50,14 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     estimate must correlate with the exact shingle-set Jaccard."""
     from pyspark.sql import functions as F
 
-    from azurestorage_blueprints_spark.functions.text import word_shingles
+    from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
     from azurestorage_blueprints_spark.tables import table
 
     cand = REGISTRY["q_dedup_minhash_lsh"].fn(spark, sf_dir).limit(50)
     docs = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", F.array_distinct(word_shingles(F.col("text"))).alias("toks"))
+        .select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select("doc_id", F.array_distinct(word_shingles(F.col("tk"))).alias("toks"))
     )
     a = docs.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
     b = docs.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
