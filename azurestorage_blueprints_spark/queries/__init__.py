@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         relational,
         similarity,
         timeseries,
+        tpch_extra,
     )
 
     return REGISTRY

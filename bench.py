@@ -30,6 +30,9 @@ HEADLINE = [
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
     "q10_returned_items",
+    "q09_product_profit",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
     "q_window_topk_per_group",
     "q_ts_asof_join",
     "q_ts_session_window",
