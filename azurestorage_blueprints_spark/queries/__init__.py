@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         llm_text,
         relational,
         similarity,
+        streaming_q,
         timeseries,
         tpch_extra,
     )

@@ -1,0 +1,170 @@
+"""Structured Streaming queries as first-class registry entries.
+
+Each entry replays the ``events`` table through a REAL streaming
+pipeline — ``readStream`` file source → watermark + windowed/stateful
+transformation → memory sink — then returns the materialized result as
+a static DataFrame, so the driver's correctness gate sees streaming
+execution, not a batch stand-in.
+
+Oracle strategy: a finite replay in ``complete`` output mode must
+equal the batch computation over the same rows, so the windowed
+aggregations reuse the SAME DuckDB oracles as their batch twins in
+queries/timeseries.py — a much stronger check than rows-only. The
+append-mode watermark pipeline (late-data finalization) is inherently
+about emission timing, not final values, so it stays rows-only.
+
+Scale posture: watermarks bound state; ``maxFilesPerTrigger`` paces
+replay; swapping the file source for Kafka/EventHubs touches only
+``read_events_stream``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.queries.relational import _dec
+from azurestorage_blueprints_spark.streaming.windows import run_to_memory
+from azurestorage_blueprints_spark.tables import table
+
+#: staging dirs keyed by sf_dir — events are written once per process
+_STAGED: dict[str, str] = {}
+
+# Watermarks demand TIMESTAMP (LTZ); the engine's event time is NTZ.
+# Convert through epoch-integer arithmetic in BOTH directions — a plain
+# cast renders through the session timezone and shifts under non-UTC
+# drivers (and is lossy across DST fall-back).
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _ntz_to_ltz(col: str) -> F.Column:
+    return F.timestamp_micros(
+        F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col})")
+    )
+
+
+def _ltz_to_ntz(name: str) -> F.Column:
+    return F.expr(f"timestampadd(MICROSECOND, unix_micros({name}), {_NTZ_EPOCH})")
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Write events as ``n_chunks`` time-ordered parquet files so the
+    file source replays them as watermark-respecting micro-batches."""
+    if sf_dir in _STAGED:
+        return _STAGED[sf_dir]
+    out = tempfile.mkdtemp(prefix="spark_stream_events_")
+    ev = table(spark, sf_dir, "events").withColumn("ts", _ntz_to_ltz("ts"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / n_chunks
+    for i in range(n_chunks):
+        upper = lo + (i + 1) * span
+        chunk = ev.filter(
+            (F.col("ts") >= lo + i * span)
+            & ((F.col("ts") < upper) if i < n_chunks - 1 else F.lit(True))
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, f"c{i}"))
+    _STAGED[sf_dir] = out
+    return out
+
+
+def _events_stream(spark: SparkSession, staged: str) -> DataFrame:
+    """File-source stream over the staged chunks (one file per
+    micro-batch), schema taken from the staged files themselves so the
+    NTZ timestamp type is preserved end-to-end."""
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+
+
+@register(
+    "q_stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window aggregation: readStream file "
+    "source → watermark(30m) → window(15m) groupBy → memory sink in complete "
+    "mode. A finite replay in complete mode must equal the batch answer, so "
+    "this shares q_ts_tumbling_window's oracle.",
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+    out = run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+    return out.select(
+        _ltz_to_ntz("bucket").alias("bucket"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "q_stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Structured Streaming session windows (30-minute gap): stateful "
+    "session merging across micro-batches, complete-mode replay equals the "
+    "batch gaps-and-islands answer.",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    out = run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+    return out.select(
+        "user_id", _ltz_to_ntz("session_start").alias("session_start"), "n_events"
+    )
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle=None,  # append-mode emission timing is not SQL-expressible
+    doc="Streaming exact dedup: dropDuplicates(event_id) under a 30-minute "
+    "watermark (bounded state — the 100 TB requirement), append mode. "
+    "Returns per-type counts of the deduplicated stream; uniqueness is "
+    "asserted in tests/test_streaming.py.",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicates(["event_id"])
+    out = run_to_memory(deduped, f"t_{uuid.uuid4().hex[:12]}", output_mode="append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
