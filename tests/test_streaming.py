@@ -23,15 +23,15 @@ def stream_dir(spark, sf_dir, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
     ev = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    quartiles = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
-    bounds = [float("-inf"), *quartiles, float("inf")]
     ev = ev.orderBy("ts").cache()
     lo = ev.agg(F.min("ts"), F.max("ts")).first()
     span = (lo[1] - lo[0]) / 4
     for i in range(4):
         part = ev.filter(
             (F.col("ts") >= lo[0] + i * span)
-            & (F.col("ts") < (lo[0] + (i + 1) * span if i < 3 else lo[1]))
+            # last chunk is unbounded above: a strict < max(ts) bound
+            # would drop the max-timestamp event(s) from the replay
+            & ((F.col("ts") < lo[0] + (i + 1) * span) if i < 3 else F.lit(True))
         )
         part.coalesce(1).write.parquet(str(tmp_path / f"chunk{i}"))
         pq = sorted(glob.glob(str(tmp_path / f"chunk{i}" / "part-*.parquet")))[0]
@@ -89,3 +89,32 @@ def test_foreach_batch_sink_sees_all_rows(spark, stream_dir):
     # final epoch's counts must cover all five event types
     final = seen[-1][1]
     assert sum(final.values()) > 0
+
+
+def test_stateful_running_totals(spark, sf_dir, stream_dir):
+    """applyInPandasWithState: per-user totals accumulated across
+    micro-batches must converge to the batch groupBy answer."""
+    from azurestorage_blueprints_spark.streaming.stateful import running_user_totals
+
+    stream = SW.read_events_stream(spark, stream_dir)
+    result = SW.run_to_memory(
+        running_user_totals(stream), "t_stateful", output_mode="update"
+    )
+    # update mode emits one row per (user, batch); the LAST emission per
+    # user carries the lifetime totals
+    rows = result.collect()
+    assert rows, "stateful operator emitted nothing"
+    final = {}
+    for r in rows:  # memory sink appends in emission order
+        final[r.user_id] = (r.n_events, r.total_value)
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, total) in final.items():
+        assert n == batch[uid][0], f"user {uid}: stream count {n} != batch {batch[uid][0]}"
+        assert abs(total - batch[uid][1]) < 1e-6 * max(1.0, abs(batch[uid][1]))
