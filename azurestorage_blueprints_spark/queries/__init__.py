@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         fileops,
         llm_text,
+        misc_ops,
         relational,
         similarity,
         streaming_q,

@@ -73,7 +73,7 @@ def q_fileops_catalog_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                (CASE WHEN doc_id % 2 = 1 THEN '.txt.gz' ELSE '.txt' END) AS path
       FROM documents)
     SELECT doc_id, path FROM ns
-    WHERE regexp_matches(path, 'src1/doc_[0-9]*[02468]\\.')
+    WHERE regexp_matches(path, 'src1[0-9]/doc_[0-9]*[37]\\.')
     """,
     doc="F1 regex predicate filter: unanchored search semantics (re.search ≡ rlike ≡ "
     "regexp_matches), matching the reference's find_all_file_matches "
@@ -85,7 +85,10 @@ def q_fileops_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         P.combine_folder_and_file_name(F.col("folder"), F.col("file")).alias("path"),
     )
-    return paths.filter(F.col("path").rlike(r"src1/doc_[0-9]*[02468]\."))
+    # sources hold doc_id ≡ k (mod 20), so a single-source pattern can
+    # only ever see one last-digit class; match the src1X family against
+    # two digit classes so the predicate genuinely partitions the data
+    return paths.filter(F.col("path").rlike(r"src1[0-9]/doc_[0-9]*[37]\."))
 
 
 @register(

@@ -1,0 +1,129 @@
+"""Coverage closers for SURVEY.md §2.2: unpivot/melt, map functions,
+Arrow-batched pandas UDAF, and bag-semantics set operations."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    doc="Unpivot/melt: wide measures → (measure, value) long form via "
+    "df.unpivot — the inverse of q_pivot; oracle spelled as UNION ALL for "
+    "dialect neutrality.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           list_sort(json_keys(props)) AS prop_keys,
+           len(json_keys(props)) AS n_props,
+           CAST(props->>'k' AS INTEGER) AS k_value,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k
+    FROM events WHERE event_id < 2000
+    """,
+    doc="Map functions over JSON-derived map<string,int>: map_keys (sorted "
+    "for order stability), size, element access, membership.",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_props"),
+        m.getItem("k").alias("k_value"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
+@register(
+    "q_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_quantity AS BIGINT)) AS total_qty,
+           max(CAST(l_quantity AS BIGINT)) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Grouped-aggregate pandas UDF (Arrow-batched UDAF): integer "
+    "reductions inside Python workers — exact, order-insensitive, so it "
+    "oracle-checks even though the computation leaves the JVM. The pattern "
+    "stands in for custom numeric aggregations Catalyst lacks.",
+)
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("bigint")
+    def int_sum(s: pd.Series) -> int:
+        return int(s.sum())
+
+    @pandas_udf("bigint")
+    def int_max(s: pd.Series) -> int:
+        return int(s.max())
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.col("l_quantity").cast("bigint")
+    )
+    return li.groupBy("l_returnflag").agg(
+        int_sum("qty").alias("total_qty"),
+        int_max("qty").alias("max_qty"),
+    )
+
+
+@register(
+    "q_setop_except_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 45
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 20
+    """,
+    doc="Bag difference (EXCEPT ALL): multiplicities subtract instead of "
+    "set-collapse — exceptAll, not subtract().distinct().",
+)
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") <= 45).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") > 20).select("l_returnflag", "l_linestatus")
+    return a.exceptAll(b)
+
+
+@register(
+    "q_setop_intersect_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 30
+    INTERSECT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 15
+    """,
+    doc="Bag intersection (INTERSECT ALL): per-row multiplicity is "
+    "min(count_left, count_right).",
+)
+def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") <= 30).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") > 15).select("l_returnflag", "l_linestatus")
+    return a.intersectAll(b)
