@@ -192,3 +192,77 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).alias("n_bytes"),
         F.substring("text", 1, 8).alias("head"),
     )
+
+
+@register(
+    "q_text_doc_frequency",
+    oracle="""
+    WITH posting AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents),
+    totals AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term,
+           count(*) AS doc_freq,
+           CAST(count(*) AS DOUBLE) / max(t.n_docs) AS doc_frac
+    FROM posting, totals t
+    GROUP BY term
+    HAVING count(*) >= 50
+    """,
+    doc="Vocabulary document-frequency table (the integer half of TF-IDF — "
+    "idf's log stays out of oracle-checked paths per the determinism "
+    "contract): explode distinct terms per doc → count docs per term. At "
+    "100 TB this is the standard map-side-combined posting count; the "
+    "HAVING keeps only corpus-level terms.",
+)
+def q_text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    posting = (
+        d.select("doc_id", X.tokens(F.col("text")).alias("tk"))
+        .select("doc_id", F.explode(F.array_distinct("tk")).alias("term"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        posting.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 50)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            (F.col("doc_freq").cast("double") / F.col("n_docs")).alias("doc_frac"),
+        )
+    )
+
+
+@register(
+    "q_text_bigrams",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM toked WHERE len(toks) >= 2)
+    SELECT bigram, count(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    HAVING count(*) >= 20
+    """,
+    doc="Bigram frequency table (n-gram language-model counts): word_shingles "
+    "with k=2 over materialized token arrays → explode → hash-agg; the same "
+    "shingle machinery the MinHash dedup path uses.",
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", X.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bigrams = toked.select(
+        F.explode(X.word_shingles(F.col("tk"), k=2)).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )

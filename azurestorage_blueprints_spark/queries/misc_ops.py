@@ -127,3 +127,43 @@ def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_quantity") <= 30).select("l_returnflag", "l_linestatus")
     b = li.filter(F.col("l_quantity") > 15).select("l_returnflag", "l_linestatus")
     return a.intersectAll(b)
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT l_returnflag AS flag, count(*) AS flag_rows FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           max(d.flag_rows) AS flag_rows
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY l.l_returnflag
+    """,
+    doc="Skew-mitigated join: lineitem joined to a 3-row dimension on a "
+    "hot low-cardinality key through operators/skew.salted_join — each hot "
+    "key spreads over 8 shuffle partitions via a deterministic salt; the "
+    "oracle is the PLAIN join, proving salting changes partitioning only, "
+    "never results.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.operators.skew import salted_join
+    from azurestorage_blueprints_spark.queries.relational import _dec
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.count(F.lit(1)).alias("flag_rows"))
+        .withColumnRenamed("flag", "l_returnflag")
+    )
+    joined = salted_join(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        dim,
+        "l_returnflag",
+        salt_by=F.concat_ws("_", "l_orderkey", "l_linenumber"),
+        n_salt=8,
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.max("flag_rows").alias("flag_rows"),
+    )
