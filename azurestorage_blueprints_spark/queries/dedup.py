@@ -154,32 +154,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = docs.select("doc_id", F.explode("toks").alias("tok")).select(
         "doc_id", F.hash("tok").cast("bigint").alias("h")
     )
+    # expressions as single parsed SQL strings: building 64 aggregates
+    # via Column operators costs hundreds of Py4J round-trips (~1.4s of
+    # driver time); one expr() each is one round-trip
     sig_aggs = [
-        F.min(F.pmod(a * F.col("h") + b, F.lit(_MH_PRIME))).alias(f"s{i}")
+        F.expr(f"min(pmod({a}L * h + {b}L, {_MH_PRIME}L)) AS s{i}")
         for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
     sig = (
         posting.groupBy("doc_id")
         .agg(*sig_aggs)
-        .select("doc_id", F.array(*[f"s{i}" for i in range(_MH_PERMS)]).alias("sig"))
+        .select("doc_id", F.expr(f"array({','.join(f's{i}' for i in range(_MH_PERMS))}) AS sig"))
     )
     rows_per_band = _MH_PERMS // _MH_BANDS
+    band_structs = ",".join(
+        f"struct({bi} AS band, hash(slice(sig, {bi * rows_per_band + 1}, {rows_per_band})) AS bh)"
+        for bi in range(_MH_BANDS)
+    )
     bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias(
-                            "bh"
-                        ),
-                    )
-                    for bi in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bs"),
+        "doc_id", "sig", F.expr(f"explode(array({band_structs})) AS bs")
     ).select("doc_id", "sig", "bs.band", "bs.bh")
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "bh")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "bh")
