@@ -224,3 +224,58 @@ def q_vector_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("b_id") == F.col("a_id") + 1)
         .select("a_id", "b_id", dot(F.col("av"), F.col("bv")).alias("dot"))
     )
+
+
+@register(
+    "q_knn_pandas_vectorized",
+    oracle=None,  # BLAS reduction order differs from the sequential fold — rows-only
+    doc="Vectorized brute-force cosine top-k via mapInPandas: each Arrow "
+    "batch of corpus vectors is scored against the (tiny, closure-captured) "
+    "query matrix with one numpy matmul — the real 100 TB fast path, "
+    "~10-100x the per-row fold since BLAS touches each batch once. "
+    "Equivalence to q_knn_brute_force is asserted in tests/test_ann_recall.py.",
+)
+def q_knn_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    # the query set is user input in production; 10 vectors ride the
+    # task closure (NOT a driver-side collect of the corpus)
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = [int(r.vec_id) for r in qrows]
+    q_vecs = [list(map(float, r.embedding)) for r in qrows]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(q_vecs, dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qid = np.asarray(q_ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Qn.T  # (batch, n_queries) in one BLAS call
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(qid, n),
+                    "n_id": np.tile(pdf["vec_id"].to_numpy(), len(qid)),
+                    "sim": sims.T.reshape(-1),
+                }
+            )
+
+    scored = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(score, schema="q_id long, n_id long, sim double")
+        .filter(F.col("n_id") != F.col("q_id"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id", "sim", "rnk")
+    )

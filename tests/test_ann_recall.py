@@ -81,3 +81,15 @@ def test_simhash_is_deterministic(spark, sf_dir):
     assert s1 == s2
     # signatures must vary across documents (not a constant function)
     assert len({h for _, h in s1}) > 1
+
+
+def test_pandas_vectorized_matches_brute_force(spark, sf_dir):
+    """The BLAS-batched scorer must produce the same top-k sets as the
+    sequential-fold baseline (sim values agree to float tolerance)."""
+    brute = REGISTRY["q_knn_brute_force"].fn(spark, sf_dir).collect()
+    fast = REGISTRY["q_knn_pandas_vectorized"].fn(spark, sf_dir).collect()
+    b = {(r.q_id, r.n_id): r.sim for r in brute}
+    f = {(r.q_id, r.n_id): r.sim for r in fast}
+    assert set(b) == set(f), "top-k membership diverged"
+    for k, sim in b.items():
+        assert abs(sim - f[k]) < 1e-9
