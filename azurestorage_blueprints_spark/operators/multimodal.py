@@ -142,3 +142,92 @@ def extract_features(
             yield pd.DataFrame({"content_id": ids, "features": feats})
 
     return df.select(id_col, content_col).mapInPandas(worker, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "content_id bigint, content binary, width int, height int"
+FRAME_SCHEMA = "content_id bigint, frame_idx int, frame binary"
+
+#: fake video container: magic 'FVID' + uint32 frame count, then
+#: fixed-size frames (each a fake image payload)
+FAKE_VIDEO_MAGIC = b"FVID"
+_FRAME_BYTES = 16
+
+
+def pack_fake_video(frames: list[bytes]) -> bytes:
+    """Deterministic fake video: frames padded/truncated to 16 bytes."""
+    body = b"".join((f + b"\x00" * _FRAME_BYTES)[:_FRAME_BYTES] for f in frames)
+    return FAKE_VIDEO_MAGIC + struct.pack(">I", len(frames)) + body
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    id_col: str = "content_id",
+    content_col: str = "content",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize payloads via mapInPandas. The default resizer understands
+    only the deterministic fake format (rewrites the header, scales the
+    payload length proportionally — same batch shape as a real codec);
+    production injects Pillow/libvips as ``resizer``."""
+
+    def _fake_resize(b: bytes, w: int, h: int) -> bytes:
+        magic, ow, oh = _fake_decoder(b)
+        payload = b[12:]
+        scale = (w * h) / max(ow * oh, 1)
+        n_out = int(len(payload) * min(scale, 1.0))
+        return pack_fake_image(w, h, payload[:n_out])
+
+    rz = resizer or _fake_resize
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for cid, payload in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    out.append((cid, rz(bytes(payload), width, height), width, height))
+                except Exception:
+                    out.append((cid, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["content_id", "content", "width", "height"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(worker, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    *,
+    id_col: str = "content_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Sample every k-th frame from fake-video payloads — the exploding
+    mapInPandas shape (one input row → many output rows) a real
+    video-frame extractor uses; frame decode itself would be the
+    injected codec."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for cid, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload or b"")
+                if len(b) < 8 or b[:4] != FAKE_VIDEO_MAGIC:
+                    continue
+                (n,) = struct.unpack(">I", b[4:8])
+                body = b[8:]
+                for i in range(0, n, every_k):
+                    ids.append(cid)
+                    idxs.append(i)
+                    frames.append(body[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES])
+            yield pd.DataFrame(
+                {"content_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(worker, schema=FRAME_SCHEMA)

@@ -168,3 +168,36 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "30 minutes").dropDuplicates(["event_id"])
     out = run_to_memory(deduped, f"t_{uuid.uuid4().hex[:12]}", output_mode="append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_stream_sliding_counts",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes' AS ws, value FROM events)
+    SELECT ws AS window_start, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM buckets GROUP BY ws
+    """,
+    doc="Structured Streaming sliding windows (30m length, 15m slide): each "
+    "event lands in two overlapping windows via the streaming generator; "
+    "complete-mode finite replay shares q_ts_sliding_window's oracle.",
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+    out = run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+    return out.select(
+        _ltz_to_ntz("window_start").alias("window_start"), "n", "sum_value"
+    )

@@ -52,3 +52,34 @@ def test_extract_features_shape_and_determinism(payloads):
     # deterministic: second run identical
     again = {r.content_id: r.features for r in MM.extract_features(payloads, n_features=8).collect()}
     assert again == by_id
+
+
+def test_resize_rewrites_header_and_scales_payload(payloads, spark):
+    out = {r.content_id: r for r in MM.resize_image(payloads, 320, 240).collect()}
+    r1 = out[1]
+    assert (r1.width, r1.height) == (320, 240)
+    magic, w, h = MM._fake_decoder(bytes(r1.content))
+    assert (magic, w, h) == ("FIMG", 320, 240)
+    # downscale (640x480 -> 320x240 = 1/4 area) shrinks the payload
+    assert len(r1.content) < 12 + 300
+    # non-images fail soft: null content, null dims
+    assert out[3].content is None and out[3].width is None
+
+
+def test_sample_frames_explodes_every_kth(spark):
+    vids = spark.createDataFrame(
+        [
+            (1, MM.pack_fake_video([b"frame-%d" % i for i in range(6)])),
+            (2, MM.pack_fake_video([b"only-one"])),
+            (3, b"not-a-video"),
+        ],
+        "content_id bigint, content binary",
+    )
+    rows = MM.sample_frames(vids, every_k=2).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.content_id, []).append((r.frame_idx, bytes(r.frame)))
+    assert sorted(i for i, _ in by_vid[1]) == [0, 2, 4]
+    assert by_vid[1][0][1].startswith(b"frame-0")
+    assert [i for i, _ in by_vid[2]] == [0]
+    assert 3 not in by_vid  # invalid container contributes no frames
