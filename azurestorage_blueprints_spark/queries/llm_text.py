@@ -266,3 +266,52 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 20)
     )
+
+
+@register(
+    "q_pipeline_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents),
+    quality AS (
+      SELECT * FROM scored WHERE n_tokens >= 10 AND punct_ratio <= 0.10),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, text, min(source) AS source,
+             min(n_tokens) AS n_tokens
+      FROM quality GROUP BY text)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+    FROM deduped GROUP BY source
+    """,
+    doc="End-to-end corpus curation — the composed pipeline an LLM "
+    "training-data run executes as ONE Catalyst plan: quality gate "
+    "(token count + punctuation ratio) → exact dedup on content "
+    "(min-doc_id representative) → per-source corpus statistics. "
+    "Single scan, two shuffles (dedup key, final group), no "
+    "materialization between stages.",
+)
+def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tc = X.token_count(F.col("text"))
+    scored = d.select(
+        "doc_id", "source", "text",
+        tc.alias("n_tokens"),
+        X.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+    quality = scored.filter((F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.10))
+    deduped = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
