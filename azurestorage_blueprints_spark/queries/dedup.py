@@ -275,3 +275,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("a_id", "b_id", "label", sim.alias("sim"))
         .filter(F.col("sim") >= 0.4)
     )
+
+
+@register(
+    "q_dedup_levenshtein",
+    oracle="""
+    WITH a AS (SELECT doc_id, substr(text, 1, 120) AS t FROM documents),
+         b AS (SELECT doc_id, substr(text, 1, 120) AS t FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(a.t, b.t) AS edit_dist,
+           (levenshtein(a.t, b.t) <= 40) AS near_dup
+    FROM a JOIN b ON b.doc_id = a.doc_id + 20
+    WHERE a.doc_id < 200
+    """,
+    doc="Edit-distance near-dup scoring on deterministic candidate pairs "
+    "(same-source stride by construction): levenshtein is exact-integer in "
+    "both engines. At scale this is the REFINE stage after LSH blocking — "
+    "O(len^2) per pair, so it only ever runs on candidates, never all pairs; "
+    "prefixes bound the cost.",
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("a_id"), F.substring("text", 1, 120).alias("a_t")
+    )
+    b = d.select(F.col("doc_id").alias("b_id"), F.substring("text", 1, 120).alias("b_t"))
+    lev = F.levenshtein("a_t", "b_t")
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 20)
+        .select("a_id", "b_id", lev.alias("edit_dist"), (lev <= 40).alias("near_dup"))
+    )

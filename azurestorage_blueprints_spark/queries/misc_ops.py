@@ -167,3 +167,28 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
         F.max("flag_rows").alias("flag_rows"),
     )
+
+
+@register(
+    "q_array_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           list_sort(list(o_orderkey ORDER BY o_orderkey))[1:5] AS first_orderkeys,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Collection aggregates: collect_set/collect_list produce "
+    "nondeterministic element order under distribution, so every array "
+    "aggregate is array_sort-ed (or top-k sliced) before leaving the "
+    "operator — the only way collection results can be reproducible at "
+    "1000 executors.",
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first_orderkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
