@@ -42,6 +42,8 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_embedding",
     "q_knn_brute_force",
+    "q_knn_pandas_vectorized",
+    "q_pipeline_corpus_curation",
 ]
 
 
