@@ -305,3 +305,50 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("b_id") == F.col("a_id") + 20)
         .select("a_id", "b_id", lev.alias("edit_dist"), (lev <= 40).alias("near_dup"))
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+      FROM documents WHERE doc_id < 200),
+    sizes AS (SELECT doc_id, len(toks) AS n FROM docs),
+    posting AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM posting a JOIN posting b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.a_id, i.b_id
+      FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+                   JOIN sizes sb ON i.b_id = sb.doc_id
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.6),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    walk AS (
+      -- transitive closure: every node reachable from u
+      SELECT u, v FROM edges
+      UNION
+      SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM walk GROUP BY u
+    """,
+    doc="Near-dup CLUSTERING: the pipeline step after pairwise detection — "
+    "connected components (operators/graph.py, iterative min-label "
+    "propagation, one join+agg per round, lineage truncated per iteration) "
+    "over the deterministic Jaccard>=0.6 pair graph. Oracle: DuckDB "
+    "recursive-CTE transitive closure. Keep-one-per-component = the final "
+    "dedup decision.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.operators.graph import connected_components
+
+    pairs = q_dedup_jaccard(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
