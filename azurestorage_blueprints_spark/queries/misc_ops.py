@@ -192,3 +192,27 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first_orderkeys"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram via floor-bucket arithmetic (portable across "
+    "engines, unlike width_bucket dialects): one hash-agg, map-side "
+    "combined — the distributed histogram primitive.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )

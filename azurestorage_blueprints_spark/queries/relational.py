@@ -447,14 +447,17 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_mktsegment
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    doc="Left-anti join (NOT EXISTS): customers with no urgent orders (in this "
+    "dense synthetic data every customer has SOME order, so the unqualified "
+    "predicate would be vacuously empty and test nothing).",
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -752,13 +755,19 @@ def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nk FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
     """,
-    doc="EXCEPT (distinct): nations with customers but no suppliers.",
+    doc="EXCEPT (distinct): nations with customers but no high-balance "
+    "supplier (the unqualified variant is vacuously empty — every nation "
+    "has some supplier in this synthetic data).",
 )
 def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
     return c.subtract(s)  # subtract == EXCEPT DISTINCT (exceptAll is bag difference)
 
 
