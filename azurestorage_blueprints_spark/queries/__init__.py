@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         llm_text,
         misc_ops,
         relational,
+        sampling,
         similarity,
         streaming_q,
         timeseries,

@@ -1,0 +1,258 @@
+"""Deterministic sampling / split / mixture / gap-fill queries.
+
+A training-data pipeline needs reproducible corpus surgery: hash
+sampling (the same rows survive on every run and on every cluster
+size), stratified rates per stratum, train/valid/test splits, exact-k
+draws, quantile-threshold quality filtering, and time-series
+regularization (gap fill + forward fill, OHLC downsampling).
+
+All sampling here is **multiplicative-hash** based
+(``(key * 2654435761) % m`` — Knuth's 2^32/phi constant) rather than
+``rand()``/``TABLESAMPLE``: pure int64 arithmetic is deterministic
+across engines, partitionings, and retries, so every query has an
+exact DuckDB oracle and a 1000-executor run produces byte-identical
+samples to a laptop run. The predicates are narrow codegen'd scans —
+no shuffle is added beyond the aggregation the query itself asks for.
+
+Reference anchor: the reference's only "sampling" is regex-filtering a
+blob listing (upload_file.py:158-167); these are its scale-out
+generalization on row tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+#: Knuth multiplicative constant (floor(2^32 / golden ratio)).
+_KNUTH = 2654435761
+
+
+def _hash_mod(col: F.Column, mod: int) -> F.Column:
+    return (col * F.lit(_KNUTH)) % F.lit(mod)
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 1000 < 100
+    GROUP BY o_orderpriority
+    """,
+    doc="Deterministic ~10% hash sample of orders (Knuth multiplicative hash on "
+    "the key), aggregated per priority. Scale: the predicate is a pushed-down "
+    "codegen filter — no shuffle, no rand() nondeterminism across retries.",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(_hash_mod(F.col("o_orderkey"), 1000) < 100)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 1000
+          < CASE WHEN lang = 'en' THEN 100 ELSE 400 END
+    GROUP BY lang
+    """,
+    doc="Stratified sampling: downsample the dominant language (en: 10%) while "
+    "keeping 40% of the rest — the standard corpus-rebalancing move. Per-stratum "
+    "rate is a CASE over the same hash; still a single scan, zero extra shuffle.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(400))
+    return (
+        d.filter(_hash_mod(F.col("doc_id"), 1000) < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "q_split_train_test",
+    oracle="""
+    SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Reproducible 80/10/10 train/valid/test split by document-id hash: a row "
+    "lands in the same split on every run, cluster, and scale factor subset — "
+    "the property rand()-based splits lose on retry. One scan + one small agg.",
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = _hash_mod(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "q_sample_exact_k",
+    oracle="""
+    SELECT count(*) AS n,
+           sum(n_chars) AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM (
+        SELECT * FROM documents
+        ORDER BY (doc_id * 2654435761) % 1048576, doc_id
+        LIMIT 200
+    )
+    """,
+    doc="Exact-k deterministic pseudo-random draw: order by a hash of the key and "
+    "take k. Spark executes this as TakeOrderedAndProject (per-partition top-k + "
+    "single merge of k*partitions rows) — never a global sort, so it holds at "
+    "any row count. Tie-broken by the unique key for cross-engine determinism.",
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sampled = d.orderBy(_hash_mod(F.col("doc_id"), 1 << 20), F.col("doc_id")).limit(200)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "q_quantile_filter",
+    oracle="""
+    WITH t AS (SELECT quantile_cont(n_chars, 0.75) AS p75 FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents, t
+    WHERE n_chars > p75
+    GROUP BY source
+    """,
+    doc="Quality-threshold filtering at a global quantile (keep docs above the "
+    "p75 length). The quantile is ONE scalar computed by a parallel aggregate "
+    "and broadcast back — the fact table never moves; Spark `percentile` and "
+    "DuckDB `quantile_cont` share linear-interpolation semantics.",
+)
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    p75 = d.agg(F.expr("percentile(n_chars, 0.75)").alias("p75"))
+    return (
+        d.crossJoin(F.broadcast(p75))
+        .filter(F.col("n_chars") > F.col("p75"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "q_ts_gap_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT generate_series AS h
+        FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(25,6))) AS sv
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT s.h,
+           coalesce(n_events, 0) AS n_events,
+           CAST(last_value(sv IGNORE NULLS) OVER (
+                ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS ffill_sum_value
+    FROM spine s LEFT JOIN hourly USING (h)
+    """,
+    doc="Time-series regularization: an hourly spine (sequence+explode), left "
+    "join of the real aggregate, zero-fill counts, forward-fill values. The "
+    "spine is |buckets| rows (tiny at any data scale) so the single-partition "
+    "ordered window over it is safe; the event table only passes one hash-agg. "
+    "Sums go through decimal so the fill hash is partition-order-independent.",
+)
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sv"),
+        )
+    )
+    spine = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-01 00:00:00', "
+        "timestamp'2024-01-30 23:00:00', interval 1 hour)) AS h"
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return spine.join(hourly, "h", "left").select(
+        "h",
+        F.coalesce(F.col("n_raw"), F.lit(0).cast("long")).alias("n_events"),
+        F.last(F.col("sv"), ignorenulls=True).over(w).cast("double").alias("ffill_sum_value"),
+    )
+
+
+@register(
+    "q_ts_ohlc",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           arg_min(value, ts) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           arg_max(value, ts) AS close_v,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="OHLC downsampling (hypertable rollup shape): per day and event type, "
+    "first/last value by timestamp via min_by/max_by plus min/max — one "
+    "hash-agg, no window, no self-join; min_by/max_by are deterministic here "
+    "because event timestamps are unique within every group.",
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("ts").cast("date").alias("day"), F.col("event_type")
+    ).agg(
+        F.min_by("value", "ts").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", "ts").alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
