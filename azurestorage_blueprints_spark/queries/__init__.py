@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
     from azurestorage_blueprints_spark.queries import (  # noqa: F401
+        behavior,
         dedup,
         fileops,
         llm_text,

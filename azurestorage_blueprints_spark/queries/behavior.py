@@ -1,0 +1,118 @@
+"""User-behavior analytics over the ``events`` table.
+
+Funnel analysis and cohort retention — the classic event-stream
+analytics shapes a warehouse engine is expected to answer. Both are
+pure conditional-aggregation compositions: the events table passes
+exactly one hash-shuffle on ``user_id`` and every later stage operates
+on per-user (or per-cohort) reductions that are orders of magnitude
+smaller than the input, so the shapes hold unchanged at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+
+@register(
+    "q_funnel_sequence",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_view,
+           count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_then_click,
+           count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+               AS n_full_funnel
+    FROM per_user
+    """,
+    doc="Ordered funnel (view -> click -> purchase): first-touch timestamps per "
+    "user via conditional MIN aggregation, then ordering predicates — no "
+    "self-joins, no window; one shuffle on user_id, then a scalar reduce.",
+)
+def q_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+
+    def first_touch(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts"))).alias(f"t_{kind}")
+
+    per_user = e.groupBy("user_id").agg(
+        first_touch("view"), first_touch("click"), first_touch("purchase")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias("n_view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+           count(*) AS n_active
+    FROM activity JOIN first_day USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention triangle: users grouped by first-seen day, activity "
+    "counted at each day offset. The per-user first-day aggregate is tiny and "
+    "broadcastable; the distinct-activity set and the final agg reuse the same "
+    "user_id/day hash partitioning, so the fact table shuffles once.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    first_day = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = e.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(F.broadcast(first_day), "user_id")
+        .groupBy("cohort_day", F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.50) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75
+    FROM documents GROUP BY lang
+    """,
+    doc="Exact multi-percentile profile per group (Spark `percentile` == DuckDB "
+    "`quantile_cont`: linear interpolation, exact on integer inputs). Exact "
+    "percentiles sort within groups; at 100 TB swap in approx_percentile "
+    "(t-digest sketch, mergeable map-side) and accept the epsilon.",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.50)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+    )

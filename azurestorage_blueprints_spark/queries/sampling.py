@@ -147,6 +147,42 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_interleave_weighted",
+    oracle="""
+    SELECT corpus, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+        SELECT 'curated' AS corpus, lang, n_chars FROM documents
+        WHERE source < 'src5' AND (doc_id * 2654435761) % 1000 < 900
+        UNION ALL
+        SELECT 'web' AS corpus, lang, n_chars FROM documents
+        WHERE source >= 'src5' AND (doc_id * 2654435761) % 1000 < 300
+    )
+    GROUP BY 1, 2
+    """,
+    doc="Weighted corpus mixture: interleave a curated slice at 90% with a web "
+    "slice at 30% via per-branch hash sampling and UNION ALL — how a training "
+    "mix is declared so every epoch (and every retry) draws the same rows. "
+    "Two pushed-down scans, no shuffle until the final small agg.",
+)
+def q_interleave_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = _hash_mod(F.col("doc_id"), 1000)
+    curated = (
+        d.filter((F.col("source") < "src5") & (h < 900))
+        .select(F.lit("curated").alias("corpus"), "lang", "n_chars")
+    )
+    web = (
+        d.filter((F.col("source") >= "src5") & (h < 300))
+        .select(F.lit("web").alias("corpus"), "lang", "n_chars")
+    )
+    return (
+        curated.unionByName(web)
+        .groupBy("corpus", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
     "q_quantile_filter",
     oracle="""
     WITH t AS (SELECT quantile_cont(n_chars, 0.75) AS p75 FROM documents)

@@ -201,3 +201,43 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         _ltz_to_ntz("window_start").alias("window_start"), "n", "sum_value"
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT n_name AS nation,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+    doc="Stream-static enrichment join: the event stream joins a broadcast "
+    "customer->nation dimension inside each micro-batch (no state, no "
+    "watermark needed for the join itself), then feeds a running aggregate. "
+    "This is the standard streaming enrichment topology: the static side is "
+    "re-broadcast per batch, the stream side never shuffles before the join; "
+    "complete-mode finite replay equals the batch three-way-join answer.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    dim = (
+        table(spark, sf_dir, "customer")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey"), F.col("n_name").alias("nation"))
+    )
+    agg = (
+        stream.join(F.broadcast(dim), stream["user_id"] == dim["c_custkey"])
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")

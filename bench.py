@@ -34,6 +34,9 @@ HEADLINE = [
     "q18_large_orders",
     "q21_waiting_suppliers",
     "q_window_topk_per_group",
+    "q_funnel_sequence",
+    "q_cohort_retention",
+    "q_sample_stratified",
     "q_ts_asof_join",
     "q_ts_session_window",
     "q_json_extract",
