@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         fileops,
         llm_text,
+        maintenance,
         misc_ops,
         relational,
         sampling,

@@ -116,3 +116,35 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.50)").alias("p50"),
         F.expr("percentile(n_chars, 0.75)").alias("p75"),
     )
+
+
+@register(
+    "q_window_distribution_rank",
+    oracle="""
+    SELECT doc_id, lang,
+           percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr,
+           cume_dist() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cd,
+           nth_value(n_chars, 3) OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_smallest
+    FROM documents
+    """,
+    doc="Distribution-position window functions (percent_rank, cume_dist, "
+    "nth_value): where each document sits in its language's length "
+    "distribution — the windowed form of quantile filtering. One shuffle on "
+    "the partition key; ties broken by the unique doc_id so ranks are "
+    "cross-engine deterministic.",
+)
+def q_window_distribution_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("n_chars", 3).over(wf).alias("third_smallest"),
+    )

@@ -136,8 +136,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "((a*h+b) mod p over murmur3 token hashes) → 16 bands of 4 rows → "
     "band-hash blocking join → candidate pairs with estimated Jaccard "
     "(signature agreement fraction). Sub-quadratic: only docs sharing a "
-    "band bucket are compared. Candidate recall vs exact Jaccard is "
-    "asserted in tests/test_dedup.py.",
+    "band bucket are compared. Estimate accuracy vs exact Jaccard is "
+    "asserted in tests/test_ann_recall.py.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")

@@ -1,0 +1,119 @@
+"""Warehouse-maintenance operators: MERGE-style upsert and SCD2 history.
+
+An analytics engine that ingests continuously needs the two classic
+table-maintenance shapes: applying a CDC/update batch to a dimension
+(MERGE INTO semantics — update matched, insert new, keep the rest) and
+building slowly-changing-dimension type-2 validity intervals from an
+event history. Both are expressed as pure DataFrame compositions — a
+full outer join for the merge, one `lead()` window for SCD2 — so
+Catalyst plans them like any relational query; on a real lakehouse the
+same plans feed `MERGE INTO` on a Delta/Iceberg sink.
+
+Scale posture: the merge joins on the dimension key (one shuffle, or
+zero when the update batch broadcasts — CDC batches are small by
+nature); SCD2 shuffles once on the entity key and sorts only within
+each entity's partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_custkey + CASE WHEN o_custkey % 10 = 0 THEN 100000 ELSE 0 END AS key,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        GROUP BY 1
+    )
+    SELECT CASE WHEN u.key IS NULL THEN 'unchanged'
+                WHEN c.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action,
+           count(*) AS n_rows,
+           CAST(sum(CAST(coalesce(u.spend, 0) AS DECIMAL(20,2))) AS DOUBLE) AS total_spend
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.key
+    GROUP BY 1
+    """,
+    doc="MERGE INTO semantics as a relational plan: a simulated CDC batch "
+    "(recent orders rolled up per customer, a tenth of the keys shifted out of "
+    "range to exercise the insert path) full-outer-joins the dimension and "
+    "each row is classified update/insert/unchanged — exactly the row-level "
+    "action split a Delta/Iceberg MERGE computes before writing.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .groupBy(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 10 == 0, F.lit(100000)).otherwise(F.lit(0))
+            ).alias("key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("spend"),
+        )
+    )
+    merged = cust.join(updates, cust["c_custkey"] == updates["key"], "full_outer")
+    action = (
+        F.when(F.col("key").isNull(), F.lit("unchanged"))
+        .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    return merged.groupBy(action.alias("action")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(F.col("spend"), F.lit(0.0)).cast("decimal(20,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH hist AS (
+        SELECT o_custkey,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to,
+               o_orderkey
+        FROM orders
+    )
+    SELECT o_custkey,
+           count(*) AS n_versions,
+           count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_current,
+           max(CAST(datediff('day', valid_from, valid_to) AS INT)) AS max_days_valid
+    FROM hist
+    GROUP BY o_custkey
+    """,
+    doc="SCD type-2 validity intervals: each order becomes a dimension version "
+    "valid [o_orderdate, next o_orderdate); the open interval is the current "
+    "version. One lead() window partitioned by the entity key (ties broken on "
+    "the unique order key), then a per-entity profile — a single shuffle that "
+    "reuses the window's partitioning for the final aggregate.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    return hist.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_current"),
+        F.max(F.datediff(F.col("valid_to"), F.col("valid_from"))).alias("max_days_valid"),
+    )

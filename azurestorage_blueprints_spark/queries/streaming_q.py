@@ -241,3 +241,44 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+@register(
+    "q_stream_incremental_agg",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Incremental materialized-view maintenance: a streaming per-user "
+    "aggregate in update mode emits, per micro-batch, the new cumulative "
+    "totals for only the keys that changed; foreachBatch appends each "
+    "emission with its epoch, and the view is reconstructed as latest-per-key "
+    "— the exactly-once upsert topology used to keep a serving store in sync. "
+    "Final state must equal the one-shot batch aggregate, which is the oracle.",
+)
+def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from azurestorage_blueprints_spark.streaming.windows import run_foreach_batch
+
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="spark_stream_incr_")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(agg, sink)
+    hist = spark.read.parquet(out_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("epoch"))
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
