@@ -315,3 +315,35 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )
+
+
+@register(
+    "q_text_bpe_tokens",
+    oracle=r"""
+    SELECT lang,
+           sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws_tokens,
+           sum(len(list_filter(
+                   string_split(regexp_replace(text, '([^a-zA-Z0-9 ])', ' \1 ', 'g'), ' '),
+                   t -> t <> ''))) AS bpe_ish_tokens,
+           CAST(sum(len(list_filter(
+                   string_split(regexp_replace(text, '([^a-zA-Z0-9 ])', ' \1 ', 'g'), ' '),
+                   t -> t <> ''))) AS DOUBLE)
+             / sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS fertility
+    FROM documents GROUP BY lang
+    """,
+    doc="Sub-word token accounting: whitespace tokens vs BPE-ish segmentation "
+    "(punctuation split into separate tokens) and the fertility ratio between "
+    "them — the number a data pipeline needs to convert corpus size into "
+    "training-token budget. Pure codegen regexp/split projections, one "
+    "hash-agg; the regex lives in the Java-RE2 common subset so the DuckDB "
+    "oracle runs the identical segmentation.",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws = X.token_count(F.col("text"))
+    bpe = F.size(X.bpe_ish_tokens(F.col("text")))
+    return d.groupBy("lang").agg(
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_ish_tokens"),
+        (F.sum(bpe).cast("double") / F.sum(ws)).alias("fertility"),
+    )
