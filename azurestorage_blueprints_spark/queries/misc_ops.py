@@ -216,3 +216,46 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+@register(
+    "q_sketch_hll_merge",
+    oracle=None,  # HLL estimates are sketch-implementation-specific — rows-only
+    doc="Mergeable distinct-count sketches: per-language HLL sketches built "
+    "map-side, merged with hll_union_agg into a global estimate — THE way to "
+    "count distincts at 100 TB, where exact countDistinct re-shuffles raw "
+    "keys but sketches reduce to a few KB per partition. Exact counts ride "
+    "along so tests/test_sketches.py can gate the estimate error (<5%).",
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.expr("hll_sketch_agg(doc_id)").alias("sk"),
+        F.countDistinct("doc_id").alias("exact_distinct"),
+    )
+    per_lang_out = per_lang.select(
+        "lang",
+        F.expr("hll_sketch_estimate(sk)").alias("est_distinct"),
+        "exact_distinct",
+    )
+    total = per_lang.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_distinct"),
+        F.sum("exact_distinct").alias("exact_distinct"),
+    ).select(F.lit("__all__").alias("lang"), "est_distinct", "exact_distinct")
+    return per_lang_out.unionByName(total)
+
+
+@register(
+    "q_approx_percentile_sketch",
+    oracle=None,  # sketch-specific interpolation — rows-only
+    doc="Approximate percentiles per group (approx_percentile, mergeable "
+    "KLL-style sketch) next to the exact answers: the scale path for the "
+    "quantile-threshold operators — exact percentile sorts every group, the "
+    "sketch reduces map-side and merges. Error gated in tests/test_sketches.py.",
+)
+def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.expr("approx_percentile(n_chars, array(0.5, 0.9), 1000)").alias("approx_p"),
+        F.expr("percentile(n_chars, array(0.5, 0.9))").alias("exact_p"),
+    )

@@ -1,0 +1,27 @@
+"""Accuracy gates for the sketch-based (rows-only) aggregates: the SQL
+oracle can't check estimates, so these pin the estimate error against
+the exact answers computed in the same query."""
+
+from __future__ import annotations
+
+from azurestorage_blueprints_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_hll_estimates_within_5_percent(spark, sf_dir):
+    rows = REGISTRY["q_sketch_hll_merge"].fn(spark, sf_dir).collect()
+    assert any(r.lang == "__all__" for r in rows)
+    for r in rows:
+        err = abs(r.est_distinct - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert err < 0.05, f"{r.lang}: HLL off by {err:.1%}"
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    rows = REGISTRY["q_approx_percentile_sketch"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_p, r.exact_p):
+            # approx_percentile returns a real element of the group; at
+            # accuracy 1000 on these group sizes it is near-exact
+            assert abs(approx - exact) / max(exact, 1) < 0.05, r
