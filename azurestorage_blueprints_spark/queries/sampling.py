@@ -292,3 +292,83 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close_v"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_ts_interpolate_linear",
+    oracle="""
+    WITH spine AS (
+        SELECT generate_series AS h
+        FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sv
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (SELECT s.h, sv FROM spine s LEFT JOIN hourly USING (h)),
+    m AS (
+        SELECT h, sv,
+               last_value(sv IGNORE NULLS) OVER (ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               first_value(sv IGNORE NULLS) OVER (ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM j
+    )
+    SELECT h,
+           CASE WHEN sv IS NOT NULL THEN sv
+                WHEN pv IS NOT NULL AND nv IS NOT NULL AND nh <> ph THEN
+                     pv + (nv - pv) * (CAST(datediff('second', ph, h) AS DOUBLE)
+                                       / CAST(datediff('second', ph, nh) AS DOUBLE))
+                ELSE coalesce(pv, nv) END AS v_interp
+    FROM m
+    """,
+    doc="Linear interpolation across time-series gaps: missing hourly buckets "
+    "get the straight line between the nearest observed values on either side "
+    "(edges fall back to nearest-value). Same spine shape as q_ts_gap_fill; "
+    "the interpolation expression is written identically on both engines so "
+    "per-row IEEE arithmetic is bit-equal. The ordered window runs over the "
+    "|buckets|-sized spine, never the raw events.",
+)
+def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sv"))
+    )
+    spine = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-01 00:00:00', "
+        "timestamp'2024-01-30 23:00:00', interval 1 hour)) AS h"
+    )
+    j = spine.join(hourly, "h", "left")
+    wp = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.orderBy("h").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_h = F.when(F.col("sv").isNotNull(), F.col("h"))
+    m = j.select(
+        "h",
+        "sv",
+        F.last("sv", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("sv", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    frac = F.expr("CAST(timestampdiff(SECOND, ph, h) AS DOUBLE)") / F.expr(
+        "CAST(timestampdiff(SECOND, ph, nh) AS DOUBLE)"
+    )
+    v = (
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nh") != F.col("ph")),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
+    )
+    return m.select("h", v.alias("v_interp"))
