@@ -27,6 +27,9 @@ move verb exploits just like the reference's server-side copy,
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,11 +48,16 @@ def scan(
     recursive: bool = True,
     glob: str | None = None,
     with_content: bool = False,
+    prefix: str | None = None,
 ) -> DataFrame:
     """Build the catalog DataFrame for a directory / container root.
 
-    ``glob`` is pushed into the file listing (``pathGlobFilter``) — the
-    engine's analogue of the reference's server-side prefix pushdown.
+    ``glob`` is pushed into the file listing (``pathGlobFilter``) and
+    ``prefix`` narrows the listing to ``root/prefix`` while keeping
+    ``rel_path`` relative to ``root`` — together the engine's analogue
+    of the reference's server-side prefix pushdown
+    (``list_blobs(prefix=...)``, ``download_file.py:151``: the listing
+    is folder-scoped but returned blob names stay container-relative).
     """
     reader = (
         spark.read.format("binaryFile")
@@ -57,7 +65,8 @@ def scan(
     )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    df = reader.load(root)
+    load_path = f"{root.rstrip('/')}/{prefix.strip('/')}" if prefix else root
+    df = reader.load(load_path)
     cols = [
         F.col("path"),
         F.col("length").alias("size"),
@@ -68,6 +77,15 @@ def scan(
     df = df.select(*cols)
     # strip the file: scheme so paths compare like the reference's os paths
     df = df.withColumn("path", F.regexp_replace("path", "^file:", ""))
+    # root-relative path = the reference's "blob name": download/move/
+    # delete match patterns against the container-relative name, not the
+    # absolute URI (download_file.py:160, delete_file.py:73, move_file.py:74)
+    root_plain = re.sub("^file:", "", root).rstrip("/")
+    if "://" not in root_plain:
+        root_plain = os.path.abspath(root_plain)
+    df = df.withColumn(
+        "rel_path", F.regexp_replace("path", "^" + re.escape(root_plain) + "/?", "")
+    )
     return df.withColumn("file", basename(F.col("path"))).withColumn(
         "folder",
         F.expr("substring(path, 1, greatest(length(path) - length(file) - 1, 0))"),

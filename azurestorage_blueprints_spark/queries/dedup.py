@@ -65,17 +65,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_exact_content",
     oracle="""
     SELECT n_dup_docs, count(*) AS n_groups FROM (
-      SELECT text, count(*) AS n_dup_docs FROM documents GROUP BY text)
+      SELECT md5(text) AS fp, count(*) AS n_dup_docs FROM documents GROUP BY md5(text))
     GROUP BY n_dup_docs
     """,
-    doc="Exact content dedup histogram: groups by full text, reports the duplicate "
-    "multiplicity distribution (all 1s in this synthetic corpus — the operator "
-    "must prove there is nothing to drop).",
+    doc="Exact content dedup histogram: groups by a 64-bit content fingerprint "
+    "(xxhash64 — never the raw text, so at 100 TB the shuffle key is 8 bytes, "
+    "not the whole document), reports the duplicate multiplicity distribution "
+    "(all 1s in this synthetic corpus — the operator must prove there is "
+    "nothing to drop).",
 )
 def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return (
-        d.groupBy("text")
+        d.groupBy(F.xxhash64("text").alias("content_fp"))
         .agg(F.count(F.lit(1)).alias("n_dup_docs"))
         .groupBy("n_dup_docs")
         .agg(F.count(F.lit(1)).alias("n_groups"))
@@ -204,20 +206,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_simhash",
-    oracle=None,  # murmur3-dependent — rows-only
-    doc="SimHash near-dup fingerprint: 32-bit signature from the sign of "
-    "per-bit token-hash votes; documents pair when Hamming distance <= 3. "
-    "The signature is a single integer per doc, so the blocking join is on "
-    "rotated signature chunks (here: exact-signature buckets, sufficient at "
-    "this corpus size).",
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash from the sign of per-bit
+    token-hash votes. bit i = sign of sum over tokens of (+1/-1 per
+    hash bit i)."""
     docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
     hashes = docs.select("doc_id", F.transform("toks", lambda t: F.hash(t)).alias("hs"))
-    # bit i of the simhash = sign of sum over tokens of (+1/-1 per hash bit i)
+
     def _vote(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(1) == 1, 1
@@ -228,11 +223,64 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, v in enumerate(bit_votes):
         bit = F.when(v > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = bit if sim is None else sim + bit
-    return docs.select("doc_id").join(
-        d.select("doc_id", "lang"), "doc_id"
-    ).join(
-        hashes.select("doc_id", sim.alias("simhash")), "doc_id"
-    ).select("doc_id", "lang", "simhash")
+    return hashes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate near-dup pairs from SimHash signatures.
+
+    Blocking: the 32-bit signature splits into 4 8-bit chunks; by
+    pigeonhole, any pair within Hamming distance 3 agrees on at least
+    one chunk, so an equi-join on (chunk_index, chunk_value) finds
+    every such pair while comparing only same-bucket docs — the shape
+    that scales (posting lists per 8-bit bucket, never |docs|^2).
+    Candidates dedup on the (a_id, b_id) ID pair BEFORE signatures
+    rejoin, so the distinct shuffles two longs per row.
+    """
+    chunks = ",".join(
+        f"struct({i} AS ci, pmod(shiftright(simhash, {8 * i}), 256) AS cv)"
+        for i in range(4)
+    )
+    blocked = sig.select(
+        "doc_id", F.expr(f"explode(array({chunks})) AS c")
+    ).select("doc_id", "c.ci", "c.cv")
+    a = blocked.select(F.col("doc_id").alias("a_id"), "ci", "cv")
+    b = blocked.select(F.col("doc_id").alias("b_id"), "ci", "cv")
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sig_a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
+    sig_b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
+    ham = F.bit_count(F.expr("a_sim ^ b_sim"))
+    return (
+        cand.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # murmur3-dependent — rows-only
+    doc="SimHash near-dup dedup, fingerprint + PAIRING stages: 32-bit "
+    "signature from per-bit token-hash votes, then chunk-blocked candidate "
+    "join (4x8-bit chunks; pigeonhole guarantees recall at Hamming<=3) and "
+    "bit_count(xor) Hamming filter. Emits candidate pairs like the other "
+    "dedup rungs; recall vs exact Jaccard asserted in tests/test_ann_recall.py. "
+    "The synthetic corpus has no near-dups, so a wide distance cutoff keeps "
+    "the operator's output shape observable.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sig = simhash_signatures(d)
+    # max_hamming=8: the corpus is synthetic with no true near-dups
+    # (unrelated docs concentrate around distance 16), so a wider cutoff
+    # keeps deterministic output rows flowing through the pairing plan
+    return simhash_pairs(sig, max_hamming=8).orderBy("a_id", "b_id")
 
 
 @register(

@@ -31,7 +31,7 @@ def _sql_word_count(word: str) -> str:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens,
+           CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
            CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
              / count(*) AS avg_tokens,
            max(n_chars) AS max_chars
@@ -280,12 +280,12 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality AS (
       SELECT * FROM scored WHERE n_tokens >= 10 AND punct_ratio <= 0.10),
     deduped AS (
-      SELECT min(doc_id) AS doc_id, text, min(source) AS source,
+      SELECT min(doc_id) AS doc_id, min(source) AS source,
              min(n_tokens) AS n_tokens
-      FROM quality GROUP BY text)
+      FROM quality GROUP BY md5(text))
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
     FROM deduped GROUP BY source
     """,
@@ -305,7 +305,9 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.punct_ratio(F.col("text")).alias("punct_ratio"),
     )
     quality = scored.filter((F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.10))
-    deduped = quality.groupBy("text").agg(
+    # dedup key is a 64-bit content fingerprint, never the document itself:
+    # at 100 TB the exchange shuffles 8-byte keys instead of whole texts
+    deduped = quality.groupBy(F.xxhash64("text").alias("content_fp")).agg(
         F.min("doc_id").alias("doc_id"),
         F.min("source").alias("source"),
         F.min("n_tokens").alias("n_tokens"),
@@ -321,10 +323,10 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_bpe_tokens",
     oracle=r"""
     SELECT lang,
-           sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws_tokens,
-           sum(len(list_filter(
+           CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(list_filter(
                    string_split(regexp_replace(text, '([^a-zA-Z0-9 ])', ' \1 ', 'g'), ' '),
-                   t -> t <> ''))) AS bpe_ish_tokens,
+                   t -> t <> ''))) AS BIGINT) AS bpe_ish_tokens,
            CAST(sum(len(list_filter(
                    string_split(regexp_replace(text, '([^a-zA-Z0-9 ])', ' \1 ', 'g'), ' '),
                    t -> t <> ''))) AS DOUBLE)

@@ -43,21 +43,23 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT event_id,
-           list_sort(json_keys(props)) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), '|') AS prop_keys,
            len(json_keys(props)) AS n_props,
            CAST(props->>'k' AS INTEGER) AS k_value,
            (json_extract(props, '$.k') IS NOT NULL) AS has_k
     FROM events WHERE event_id < 2000
     """,
     doc="Map functions over JSON-derived map<string,int>: map_keys (sorted "
-    "for order stability), size, element access, membership.",
+    "for order stability), size, element access, membership. Array outputs "
+    "are serialized to '|'-joined strings on both engines — the driver's "
+    "pandas canonicalizer cannot sort list cells.",
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("prop_keys"),
         F.size(F.map_keys(m)).alias("n_props"),
         m.getItem("k").alias("k_value"),
         F.map_contains_key(m, "k").alias("has_k"),
@@ -68,7 +70,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pandas_grouped_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_quantity AS BIGINT)) AS total_qty,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
            max(CAST(l_quantity AS BIGINT)) AS max_qty
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -173,8 +175,8 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-           list_sort(list(o_orderkey ORDER BY o_orderkey))[1:5] AS first_orderkeys,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
+           array_to_string(list_sort(list(o_orderkey ORDER BY o_orderkey))[1:5], '|') AS first_orderkeys,
            count(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -183,13 +185,17 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nondeterministic element order under distribution, so every array "
     "aggregate is array_sort-ed (or top-k sliced) before leaving the "
     "operator — the only way collection results can be reproducible at "
-    "1000 executors.",
+    "1000 executors. Serialized to '|'-joined strings so the driver's "
+    "pandas canonicalizer (which cannot sort list cells) can hash them.",
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first_orderkeys"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), "|").alias("statuses"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).cast("array<string>"),
+            "|",
+        ).alias("first_orderkeys"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -255,7 +261,11 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # scalar output columns (not arrays): the driver canonicalizer
+    # cannot sort list cells, and per-percentile columns diff cleaner
     return d.groupBy("lang").agg(
-        F.expr("approx_percentile(n_chars, array(0.5, 0.9), 1000)").alias("approx_p"),
-        F.expr("percentile(n_chars, array(0.5, 0.9))").alias("exact_p"),
+        F.expr("approx_percentile(n_chars, 0.5, 1000)").alias("approx_p50"),
+        F.expr("approx_percentile(n_chars, 0.9, 1000)").alias("approx_p90"),
+        F.expr("percentile(n_chars, 0.5)").alias("exact_p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("exact_p90"),
     )

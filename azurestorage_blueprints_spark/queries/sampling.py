@@ -66,7 +66,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE (doc_id * 2654435761) % 1000
           < CASE WHEN lang = 'en' THEN 100 ELSE 400 END
@@ -119,7 +119,7 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sample_exact_k",
     oracle="""
     SELECT count(*) AS n,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(DISTINCT lang) AS n_langs,
            min(doc_id) AS min_id,
            max(doc_id) AS max_id
@@ -149,7 +149,7 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_interleave_weighted",
     oracle="""
-    SELECT corpus, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT corpus, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
         SELECT 'curated' AS corpus, lang, n_chars FROM documents
         WHERE source < 'src5' AND (doc_id * 2654435761) % 1000 < 900

@@ -111,17 +111,30 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[bucket(F.col("embedding"), t) for t in range(_LSH_TABLES)])
         ).alias("bucket"),
     )
-    q = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "bucket"
+    q_buckets = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "bucket"
     )
-    cand = (
-        tagged.join(F.broadcast(q), "bucket")
+    # OR across tables: dedup candidate ID PAIRS first (two longs per
+    # row), THEN rejoin the embedding arrays — a distinct over full
+    # vectors would shuffle every embedding once per bucket hit
+    cand_ids = (
+        tagged.select("vec_id", "bucket")
+        .join(F.broadcast(q_buckets), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "qv", "vec_id", "embedding")
-        .distinct()  # OR across tables: score each candidate once
+        .select("q_id", "vec_id")
+        .distinct()
     )
-    scored = cand.select(
-        "q_id", F.col("vec_id").alias("n_id"), cosine(F.col("qv"), F.col("embedding")).alias("sim")
+    qv = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cand_ids.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
     return (

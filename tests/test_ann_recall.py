@@ -76,11 +76,60 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
 
 
 def test_simhash_is_deterministic(spark, sf_dir):
-    s1 = {(r.doc_id, r.simhash) for r in REGISTRY["q_dedup_simhash"].fn(spark, sf_dir).collect()}
-    s2 = {(r.doc_id, r.simhash) for r in REGISTRY["q_dedup_simhash"].fn(spark, sf_dir).collect()}
+    from pyspark.sql import functions as F
+
+    from azurestorage_blueprints_spark.queries.dedup import simhash_signatures
+    from azurestorage_blueprints_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    s1 = {(r.doc_id, r.simhash) for r in simhash_signatures(d).collect()}
+    s2 = {(r.doc_id, r.simhash) for r in simhash_signatures(d).collect()}
     assert s1 == s2
     # signatures must vary across documents (not a constant function)
     assert len({h for _, h in s1}) > 1
+    # the registered pair query runs deterministically too
+    p1 = _pairs(REGISTRY["q_dedup_simhash"].fn(spark, sf_dir))
+    p2 = _pairs(REGISTRY["q_dedup_simhash"].fn(spark, sf_dir))
+    assert p1 == p2
+
+
+def test_simhash_pairs_match_brute_force_hamming(spark):
+    """Completeness gate for the SimHash pairing stage: the chunk-blocked
+    join must find EXACTLY the pairs within the Hamming cutoff (pigeonhole:
+    4 chunks of 8 bits ⇒ any pair at distance <=3 shares a chunk). Planted
+    twins share the same distinct-token set, so distance 0 is guaranteed
+    and the expected set is non-trivially non-empty."""
+    import itertools
+
+    from azurestorage_blueprints_spark.queries.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(10):
+        words = base.split()
+        words[3] = f"fox{i}"  # distinct family of docs
+        doc = " ".join(words)
+        rows.append((2 * i, doc))
+        # twin repeats an existing word: same distinct-token set → distance 0
+        rows.append((2 * i + 1, doc + " river quick"))
+    # unrelated filler
+    for i in range(20, 40):
+        rows.append((i, " ".join(f"tok{i}_{j} filler{j * i} zz{j + i}" for j in range(30))))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash_signatures(d)
+    sigs = sorted((r.doc_id, r.simhash) for r in sig.collect())
+    expected = {
+        (a, b)
+        for (a, sa), (b, sb) in itertools.combinations(sigs, 2)
+        if bin(sa ^ sb).count("1") <= 3
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert planted <= expected  # identical token sets collapse to distance 0
+    got = {(r.a_id, r.b_id) for r in simhash_pairs(sig, 3).collect()}
+    assert got == expected
 
 
 def test_pandas_vectorized_matches_brute_force(spark, sf_dir):

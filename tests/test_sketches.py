@@ -21,7 +21,7 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     rows = REGISTRY["q_approx_percentile_sketch"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        for approx, exact in zip(r.approx_p, r.exact_p):
+        for approx, exact in ((r.approx_p50, r.exact_p50), (r.approx_p90, r.exact_p90)):
             # approx_percentile returns a real element of the group; at
             # accuracy 1000 on these group sizes it is near-exact
             assert abs(approx - exact) / max(exact, 1) < 0.05, r

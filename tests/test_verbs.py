@@ -2,8 +2,10 @@
 
 Exercises the per-verb semantic matrix from SURVEY.md §2.1: byte
 identity, collision renaming, the overwrite matrix (upload never /
-download+move always), empty-result policies (noop vs error 200), and
-move's single-match no-suffix rule.
+download+move always), empty-result policies (noop vs error 200),
+move's single-match no-suffix rule, per-verb match targets (upload:
+absolute path; download/move/delete: root-relative name), and move's
+metadata-only rename property.
 """
 
 from __future__ import annotations
@@ -12,7 +14,11 @@ import os
 
 import pytest
 
-from azurestorage_blueprints_spark.errors import AlreadyExistsError, NoMatchesFoundError
+from azurestorage_blueprints_spark.errors import (
+    AlreadyExistsError,
+    EngineError,
+    NoMatchesFoundError,
+)
 from azurestorage_blueprints_spark.operators import verbs
 
 
@@ -32,11 +38,11 @@ def tree(tmp_path):
 
 def test_upload_regex_enumerates_and_preserves_bytes(spark, tree):
     src, dst = tree
-    rows = verbs.upload(
+    res = verbs.upload(
         spark, str(src), r"report.*\.csv", "regex_match", str(dst),
         destination_folder="up", destination_file_name="out.csv",
     )
-    assert len(rows) == 2
+    assert res.total == 2 and res.ok == 2
     # lexicographic path order: report.csv → _1, report_old.csv → _2
     assert (dst / "up" / "out_1.csv").read_bytes() == b"csv-data-1"
     assert (dst / "up" / "out_2.csv").read_bytes() == b"csv-data-2"
@@ -63,19 +69,44 @@ def test_upload_never_overwrites(spark, tree):
     assert (dst / "report.csv").read_bytes() == b"already-here"
 
 
+def test_upload_raises_on_failed_write(spark, tree):
+    # the reference upload raises on any blob upload failure
+    # (upload_file.py:188-193); error rows must not be silently dropped
+    # (an over-long destination name fails open() with ENAMETOOLONG even
+    # when the test runs privileged)
+    src, dst = tree
+    with pytest.raises(EngineError):
+        verbs.upload(
+            spark, str(src), str(src / "report.csv"), "exact_match", str(dst),
+            destination_file_name="x" * 300 + ".bin",
+        )
+
+
 def test_upload_empty_match_is_noop(spark, tree):
     src, dst = tree
-    rows = verbs.upload(spark, str(src), r"nomatch\.xyz", "regex_match", str(dst))
-    assert rows == []
+    res = verbs.upload(spark, str(src), r"nomatch\.xyz", "regex_match", str(dst))
+    assert res.total == 0
 
 
 def test_download_overwrites(spark, tree):
     src, dst = tree
     (dst / "report.csv").write_bytes(b"stale")
-    verbs.download(
+    # download matches the ROOT-RELATIVE name (download_file.py:160)
+    verbs.download(spark, str(src), "report.csv", "exact_match", str(dst))
+    assert (dst / "report.csv").read_bytes() == b"csv-data-1"
+
+
+def test_download_matches_relative_not_absolute(spark, tree):
+    src, dst = tree
+    # an absolute-path exact pattern must NOT match for download —
+    # the reference compares container-relative blob names
+    res = verbs.download(
         spark, str(src), str(src / "report.csv"), "exact_match", str(dst)
     )
-    assert (dst / "report.csv").read_bytes() == b"csv-data-1"
+    assert res.total == 0
+    # nested relative name with folder prefix matches
+    verbs.download(spark, str(src), "nested/a/deep.txt", "exact_match", str(dst))
+    assert (dst / "deep.txt").read_bytes() == b"deep"
 
 
 def test_move_single_match_no_suffix(spark, tree):
@@ -87,6 +118,19 @@ def test_move_single_match_no_suffix(spark, tree):
     )
     assert (dst / "moved.tar.gz").read_bytes() == b"tarball"
     assert not (src / "archive.tar.gz").exists()
+
+
+def test_move_is_metadata_only_rename(spark, tree):
+    # same-filesystem move must rename, not copy: the inode survives
+    # (the reference's move never streams data through the client,
+    # move_file.py:97)
+    src, dst = tree
+    ino = (src / "archive.tar.gz").stat().st_ino
+    verbs.move(
+        spark, str(src), "archive.tar.gz", "exact_match", str(dst),
+        destination_file_name="kept.tar.gz",
+    )
+    assert (dst / "kept.tar.gz").stat().st_ino == ino
 
 
 def test_move_multi_match_enumerates_and_deletes_sources(spark, tree):
@@ -105,6 +149,22 @@ def test_move_empty_match_errors(spark, tree):
     src, dst = tree
     with pytest.raises(NoMatchesFoundError):
         verbs.move(spark, str(src), r"nope", "regex_match", str(dst))
+
+
+def test_hadoop_rename_on_local_fs(spark, tmp_path):
+    # the cloud-store move path, driven directly on file:// — Hadoop
+    # FileSystem.rename with mkdirs + overwrite-delete semantics
+    a = tmp_path / "a.bin"
+    a.write_bytes(b"payload")
+    dst = tmp_path / "sub" / "b.bin"
+    assert verbs.hadoop_rename(spark, f"file://{a}", f"file://{dst}")
+    assert not a.exists()
+    assert dst.read_bytes() == b"payload"
+    # overwrite: rename onto an existing target replaces it (move semantics)
+    c = tmp_path / "c.bin"
+    c.write_bytes(b"new-payload")
+    assert verbs.hadoop_rename(spark, f"file://{c}", f"file://{dst}")
+    assert dst.read_bytes() == b"new-payload"
 
 
 def test_delete_regex(spark, tree):
@@ -131,7 +191,5 @@ def test_recursive_scan_reaches_nested(spark, tree):
 
 def test_exact_match_no_enumeration(spark, tree):
     src, dst = tree
-    verbs.download(
-        spark, str(src), str(src / "noext"), "exact_match", str(dst)
-    )
+    verbs.download(spark, str(src), "noext", "exact_match", str(dst))
     assert (dst / "noext").read_bytes() == b"raw"
