@@ -87,6 +87,7 @@ def load_all() -> dict[str, Query]:
     order the registry for the driver's check rotation."""
     from azurestorage_blueprints_spark.queries import (  # noqa: F401
         behavior,
+        curation,
         dedup,
         fileops,
         llm_text,

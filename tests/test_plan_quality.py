@@ -78,3 +78,43 @@ def test_hash_sample_filter_runs_before_any_exchange(spark, sf_dir):
     assert min(filter_ids) < min(exchange_ids, default=10**9)
     # and the sampling predicate is inside that filter
     assert "% 1000" in plan.split("Condition :")[1].split("\n")[0]
+
+
+def test_content_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
+    import re
+
+    for name in ("q_dedup_exact_content", "q_pipeline_corpus_curation"):
+        plan = _plan(spark, name, sf_dir)
+        # the dedup exchange must partition on the 64-bit fingerprint —
+        # a shuffle keyed on the raw document is a scale-killer
+        assert "xxhash64" in plan, f"{name}: dedup key must be a content fingerprint"
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "text#" not in m, f"{name}: exchange keyed on raw text: {m}"
+
+
+def test_lsh_knn_distinct_carries_ids_not_vectors(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_knn_lsh", sf_dir)
+    # candidate dedup (the distinct) must aggregate on (q_id, vec_id)
+    # only; embedding arrays through that exchange dominated the runtime
+    agg_keys = re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert agg_keys, "no aggregate keys found in formatted plan"
+    for keys in agg_keys:
+        assert "embedding" not in keys and "qv" not in keys, (
+            f"distinct keys carry vectors: {keys}"
+        )
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    plan = _plan(spark, "q_pack_sequences", sf_dir)
+    # the packing cumsum must partition by lang — a global single-
+    # partition window over the corpus cannot scale
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, "global window/exchange in packing plan"
+
+
+def test_decontaminate_has_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "q_decontaminate", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
