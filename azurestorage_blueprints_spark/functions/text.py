@@ -64,21 +64,6 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def occurrence_count(text: Column, needle: str) -> Column:
-    """Count non-overlapping occurrences of a literal substring via the
-    length-difference trick — identical semantics in Spark and SQL."""
-    return (
-        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
-        / len(needle)
-    ).cast("int")
-
-
-def word_occurrences(text: Column, word: str) -> Column:
-    """Whole-word occurrences: pad with spaces and count ' word '."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    return occurrence_count(padded, f" {word} ")
-
-
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation (deterministic
     per-row double division)."""
@@ -86,16 +71,27 @@ def punct_ratio(text: Column) -> Column:
     return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
 
 
+def word_set_occurrences(text: Column, words: tuple[str, ...]) -> Column:
+    """Count tokens equal to any word in ``words`` — ONE codegen'd regex
+    pass over the text instead of a length-diff pass per word. The
+    lookahead ``(?= )`` keeps the trailing separator unconsumed so
+    adjacent hits (``"to to"``) both count, matching token-equality
+    semantics exactly (oracle twin: ``list_filter`` + ``list_contains``
+    over the split tokens)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return F.regexp_count(padded, F.lit(f" (?:{'|'.join(words)})(?= )"))
+
+
 def stopword_ratio(text: Column) -> Column:
     """Fraction of tokens that are stopwords."""
-    n_stop = sum(word_occurrences(text, w) for w in STOPWORDS)
+    n_stop = word_set_occurrences(text, STOPWORDS)
     return n_stop.cast("double") / F.greatest(token_count(text), F.lit(1)).cast("double")
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-occurrence score per language."""
+    """Marker-occurrence score per language (one regex pass each)."""
     return {
-        lang: sum(word_occurrences(text, m) for m in markers)
+        lang: word_set_occurrences(text, markers)
         for lang, markers in LANG_MARKERS.items()
     }
 

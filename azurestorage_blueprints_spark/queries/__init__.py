@@ -104,6 +104,19 @@ def load_all() -> dict[str, Query]:
     tail = set(_R01_GREEN)
     head = [n for n in _R01_FAILED if n in REGISTRY]
     middle = [n for n in REGISTRY if n not in tail and n not in head]
-    ordered = head + middle + [n for n in _R01_GREEN if n in REGISTRY]
+    # Round-robin the never-checked entries by module so a fixed check
+    # budget (50 in round 1) samples every query family, not just the
+    # first modules in import order.
+    by_module: dict[str, list[str]] = {}
+    for n in middle:
+        by_module.setdefault(REGISTRY[n].fn.__module__, []).append(n)
+    buckets = [by_module[m] for m in sorted(by_module)]
+    interleaved = [
+        bucket[i]
+        for i in range(max(map(len, buckets), default=0))
+        for bucket in buckets
+        if i < len(bucket)
+    ]
+    ordered = head + interleaved + [n for n in _R01_GREEN if n in REGISTRY]
     assert len(ordered) == len(REGISTRY)
     return {n: REGISTRY[n] for n in ordered}

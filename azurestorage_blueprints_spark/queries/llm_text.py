@@ -18,11 +18,14 @@ from azurestorage_blueprints_spark.queries import register
 from azurestorage_blueprints_spark.tables import table
 
 
-def _sql_word_count(word: str) -> str:
-    """DuckDB expression: whole-word occurrence count via length diff."""
+def _sql_word_set_count(words: tuple[str, ...]) -> str:
+    """DuckDB expression: count tokens equal to any word in ``words`` —
+    the twin of ``text.word_set_occurrences`` (token-equality semantics,
+    adjacent repeats each count)."""
+    lst = ", ".join(f"'{w}'" for w in words)
     return (
-        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {word} ', '')))"
-        f" / {len(word) + 2} AS INT)"
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{lst}], t))) AS INT)"
     )
 
 
@@ -58,7 +61,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1) AS punct_ratio,
-           CAST({" + ".join(_sql_word_count(w) for w in X.STOPWORDS)} AS DOUBLE)
+           CAST({_sql_word_set_count(X.STOPWORDS)} AS DOUBLE)
              / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS stopword_ratio,
            CAST(length(text) AS DOUBLE)
              / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS chars_per_token
@@ -83,8 +86,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lang_score(lang: str) -> str:
-    markers = X.LANG_MARKERS[lang]
-    return " + ".join(_sql_word_count(m) for m in markers)
+    return _sql_word_set_count(X.LANG_MARKERS[lang])
 
 
 def _sql_lang_guess() -> str:
