@@ -269,3 +269,61 @@ def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.5)").alias("exact_p50"),
         F.expr("percentile(n_chars, 0.9)").alias("exact_p90"),
     )
+
+
+@register(
+    "q_cogroup_reconcile",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS id, count(*) AS n_orders,
+                      max(o_totalprice) AS max_order_total
+               FROM orders GROUP BY 1),
+    e AS (SELECT user_id AS id, count(*) AS n_events,
+                 max(value) AS max_event_value
+          FROM events GROUP BY 1)
+    SELECT CAST(COALESCE(o.id, e.id) AS BIGINT) AS id,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(o.max_order_total AS DOUBLE) AS max_order_total,
+           CAST(e.max_event_value AS DOUBLE) AS max_event_value
+    FROM o FULL OUTER JOIN e ON o.id = e.id
+    """,
+    doc="Cogrouped applyInPandas (two-table Arrow UDF): orders and events "
+    "are co-shuffled on customer id and each key's pair of pandas frames "
+    "is merged in one Python call — the escape hatch for per-key logic "
+    "joins can't express (custom reconciliation, per-entity model "
+    "scoring). Only order-insensitive reductions (count/max) cross the "
+    "Arrow boundary so the result oracle-checks against the equivalent "
+    "FULL OUTER JOIN of two aggregates. Scale: one co-partitioned "
+    "shuffle per side — same cost envelope as a sort-merge join.",
+)
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("id"), "o_totalprice"
+    )
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"), "value"
+    )
+
+    def merge(key: tuple, opdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        (k,) = key
+        return pd.DataFrame(
+            {
+                "id": [k],
+                "n_orders": [len(opdf)],
+                "n_events": [len(epdf)],
+                "max_order_total": [
+                    float(opdf["o_totalprice"].max()) if len(opdf) else None
+                ],
+                "max_event_value": [float(epdf["value"].max()) if len(epdf) else None],
+            }
+        )
+
+    return (
+        orders.groupBy("id")
+        .cogroup(events.groupBy("id"))
+        .applyInPandas(
+            merge,
+            schema="id long, n_orders long, n_events long, "
+            "max_order_total double, max_event_value double",
+        )
+    )

@@ -148,9 +148,11 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_ivf",
     oracle=None,  # centroid means are order-sensitive double sums — rows-only
     doc="IVF-style ANN: coarse centroids (per-label means — the inverted-file "
-    "assignment structure), queries probe only their nearest centroid's list. "
-    "Demonstrates the two-stage coarse-quantize → fine-score plan; at 100 TB "
-    "the lists are pre-partitioned so a probe touches one partition.",
+    "assignment structure), queries multi-probe their 2 nearest centroids' "
+    "lists (nprobe=2 recovers neighbors that fall just across a Voronoi "
+    "boundary — the standard recall/cost knob). Demonstrates the two-stage "
+    "coarse-quantize → fine-score plan; at 100 TB the lists are "
+    "pre-partitioned so a probe touches nprobe partitions.",
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -174,7 +176,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rn", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("csim"), "label"))
         )
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= 2)  # nprobe=2
         .select("q_id", "qv", "label")
     )
     cand = e.join(F.broadcast(qc), "label").filter(F.col("vec_id") != F.col("q_id"))
@@ -187,6 +189,74 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "n_id", "label", "sim", "rnk")
+    )
+
+
+@register(
+    "q_knn_int8",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q8 AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x * 127.0
+                      / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS v8
+           FROM e),
+    q AS (SELECT vec_id AS q_id, v8 AS qv FROM q8 WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             list_dot_product(q.qv, c.v8)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v8, c.v8))) AS sim
+      FROM q JOIN q8 c ON c.vec_id <> q.q_id),
+    ranked AS (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+    doc="Scalar-quantized (int8) brute-force cosine top-k: each vector is "
+    "scaled by its max-abs component and rounded to [-127, 127], then scored "
+    "with integer dot products — cosine is scale-invariant so the per-vector "
+    "scale cancels. This is the memory-bandwidth scale path (4x less data "
+    "scanned per vector than float32, 8x less than float64) used before "
+    "exact re-ranking. All arithmetic is integer-exact inside doubles, so "
+    "the result is deterministic and oracle-checked bit-for-bit; rank "
+    "agreement vs the float baseline is gated in tests/test_ann_recall.py. "
+    "Round-half-up is spelled floor(x + 0.5) because Spark round() and "
+    "DuckDB round() disagree on negative halves.",
+)
+def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def quantize(col):
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        return F.transform(
+            col,
+            lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("double"),
+        )
+
+    q8 = e.select("vec_id", quantize(F.col("embedding")).alias("v8"))
+    q = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v8").alias("qv")
+    )
+    scored = (
+        q8.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (dot(F.col("qv"), F.col("v8"))
+             / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v8"), F.col("v8"))))
+             ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id", "sim", "rnk")
     )
 
 

@@ -282,3 +282,60 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    doc="Stream-stream interval join (click->purchase attribution): two "
+    "watermarked event streams join on user_id with a 30-minute event-time "
+    "bound. The range condition is what lets Spark expire join state as the "
+    "watermark advances — without it stream-stream state grows without "
+    "bound, which is the 100 TB disqualifier. Inner-join matches emit as "
+    "soon as both sides arrive, so a finite replay equals the batch "
+    "interval join, which is the oracle. The lag is epoch-microsecond "
+    "arithmetic (not datediff) because Spark truncates toward zero while "
+    "DuckDB counts boundary crossings.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events(spark, sf_dir)
+    clicks = (
+        _events_stream(spark, staged)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        _events_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("buy_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    return run_to_memory(joined, f"t_{uuid.uuid4().hex[:12]}", output_mode="append")

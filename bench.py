@@ -46,7 +46,10 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_knn_brute_force",
     "q_knn_pandas_vectorized",
+    "q_knn_int8",
     "q_pipeline_corpus_curation",
+    "q_text_repetition",
+    "q_decontaminate",
 ]
 
 

@@ -142,3 +142,22 @@ def test_pandas_vectorized_matches_brute_force(spark, sf_dir):
     assert set(b) == set(f), "top-k membership diverged"
     for k, sim in b.items():
         assert abs(sim - f[k]) < 1e-9
+
+
+def test_int8_quantized_knn_tracks_float_ranking(spark, sf_dir):
+    """int8 quantization must preserve the neighbor ranking closely:
+    top-k overlap with the exact float cosine top-k stays high (the
+    quantization error on 64-dim unit-scale vectors is ~1/254 per
+    component, far below typical neighbor gaps)."""
+    brute = REGISTRY["q_knn_brute_force"].fn(spark, sf_dir)
+    q8 = REGISTRY["q_knn_int8"].fn(spark, sf_dir)
+    exact = {}
+    for r in brute.collect():
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    quant = {}
+    for r in q8.collect():
+        quant.setdefault(r.q_id, set()).add(r.n_id)
+    assert set(quant) == set(exact)  # every query answered
+    hits = sum(len(exact[q] & ns) for q, ns in quant.items())
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8, f"int8 top-k overlap collapsed: {hits}/{total}"
