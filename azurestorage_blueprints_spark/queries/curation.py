@@ -200,3 +200,151 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+#: BM25 query terms (mid-frequency corpus vocabulary) and parameters
+_BM25_TERMS = ("spark", "merge", "window")
+_K1, _B = 1.2, 0.75
+
+
+def _term_eq(t: str):
+    # single-parameter lambda factory: a two-parameter lambda would make
+    # pyspark pass the array INDEX as the second argument
+    return lambda x: x == t
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(tk) AS dl,
+             {", ".join(f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM toked),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM base),
+    scored AS (
+      SELECT doc_id, dl,
+             {" + ".join(
+                 f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+                 f" * (tf{i} * ({_K1} + 1.0))"
+                 f" / (tf{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+                 for i in range(len(_BM25_TERMS)))} AS raw
+      FROM base, stats)
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, round(raw, 6) AS score
+    FROM scored WHERE raw > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-k retrieval over the corpus for a fixed term set: per-doc "
+    "term frequencies, corpus document frequencies, and length "
+    "normalization combine into the standard Okapi BM25 score "
+    "(k1=1.2, b=0.75); top 20 docs with deterministic tie-break. "
+    "Shape: one scan computes tf columns in codegen, one tiny global "
+    "aggregate broadcasts (N, avgdl, df) back, top-k is "
+    "TakeOrderedAndProject — no explode, no join on the fact table. At "
+    "100 TB the same plan holds: the broadcast is O(#terms). The final "
+    "score is rounded to 6 decimals on both engines because ln() differs "
+    "by libm ULPs between the JVM and DuckDB; per-term scores add in "
+    "fixed written order so double addition is deterministic.",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("tk"),
+    ).select(
+        "doc_id",
+        F.size("tk").alias("dl"),
+        *[
+            F.size(F.filter("tk", _term_eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(glob))
+    raw = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        part = idf * (tf * (_K1 + 1.0)) / (
+            tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+        raw = part if raw is None else raw + part
+    return (
+        scored.withColumn("raw", raw)
+        .filter(F.col("raw") > 0)
+        .select("doc_id", F.col("dl").cast("long").alias("dl"), F.round("raw", 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+#: context-window stand-ins sized so the synthetic corpus (~54 tokens/doc)
+#: actually produces multi-chunk documents
+_CHUNK, _STRIDE = 32, 16
+
+
+@register(
+    "q_text_chunks",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    sized AS (
+      SELECT doc_id, tk, len(tk) AS dl,
+             CASE WHEN len(tk) <= {_CHUNK} THEN 1
+                  ELSE (len(tk) - {_CHUNK + 1}) // {_STRIDE} + 2 END AS n_chunks
+      FROM toked WHERE len(tk) > 0),
+    chunked AS (
+      SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, tk FROM sized)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(list_slice(tk, chunk_id * {_STRIDE} + 1, chunk_id * {_STRIDE} + {_CHUNK})) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(tk, chunk_id * {_STRIDE} + 1, chunk_id * {_STRIDE} + {_CHUNK}), ' ')
+             AS chunk_text
+    FROM chunked
+    """,
+    doc="Sliding-window document chunking (window 32 tokens, stride 16): "
+    "every document becomes ceil((dl - w)/s) + 1 overlapping chunks — the "
+    "op that turns raw documents into model-context-sized training "
+    "sequences. Shape: tokenize once, explode a per-doc chunk index "
+    "(sequence + explode), slice the materialized token array per chunk — "
+    "no shuffle at all; chunk fan-out is bounded by dl/stride per doc so "
+    "output size is linear in corpus tokens at any scale.",
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sized = (
+        d.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") > 0)
+        .withColumn(
+            "n_chunks",
+            F.when(F.size("tk") <= _CHUNK, F.lit(1)).otherwise(
+                F.floor((F.size("tk") - (_CHUNK + 1)) / _STRIDE).cast("int") + 2
+            ),
+        )
+    )
+    chunked = sized.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice("tk", F.col("chunk_id") * _STRIDE + 1, _CHUNK)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
