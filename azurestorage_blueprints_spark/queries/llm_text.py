@@ -351,3 +351,57 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bpe).alias("bpe_ish_tokens"),
         (F.sum(bpe).cast("double") / F.sum(ws)).alias("fertility"),
     )
+
+
+@register(
+    "q_text_tfidf_topterms",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms — the classic salient-term "
+    "extractor (keyword tagging, topic labeling of training corpora). "
+    "Shape: explode tokens → (doc,term) hash-agg → term-level df agg "
+    "joined back on term (hash equi-join on the term key, skew-safe under "
+    "AQE), ranking window partitioned by doc_id. The idf ln() rounds to 6 "
+    "decimals on both engines (libm ULP divergence); ranking happens on "
+    "the rounded score with a term tie-break so order is deterministic.",
+)
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = toked.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

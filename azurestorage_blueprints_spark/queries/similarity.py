@@ -362,3 +362,63 @@ def q_knn_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "n_id", "sim", "rnk")
     )
+
+
+_N_SEEDS = 8  # deterministic seed centroids: vec_id < 8
+
+
+@register(
+    "q_embed_cluster_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_N_SEEDS}),
+    scored AS (
+      SELECT e.vec_id, seeds.seed_id,
+             list_cosine_similarity(e.v, seeds.sv) AS sim
+      FROM e, seeds),
+    assigned AS (
+      SELECT vec_id, seed_id, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn
+      FROM scored)
+    SELECT seed_id AS cluster_id,
+           count(*) AS n_members,
+           min(vec_id) AS min_member,
+           max(vec_id) AS max_member,
+           min(sim) AS min_sim,
+           max(sim) AS max_sim
+    FROM assigned WHERE rn = 1
+    GROUP BY seed_id
+    """,
+    doc="K-means assignment step (E-step) over embeddings: every vector is "
+    "assigned to its nearest of 8 deterministic seed centroids by cosine, "
+    "with per-cluster membership stats. Shape: broadcast the tiny centroid "
+    "set, one pass over the corpus, per-vector argmax via ranking window "
+    "partitioned by vec_id, then a cluster-level hash-agg — the exact "
+    "topology a distributed Lloyd iteration repeats (the M-step mean is "
+    "a posexplode + avg agg, see q_knn_ivf's centroid construction). Only "
+    "order-insensitive reductions (count/min/max) cross the agg so the "
+    "result oracle-checks bit-for-bit.",
+)
+def q_embed_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _N_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    )
+    # clamp to [-1, 1]: DuckDB's list_cosine_similarity clamps, and the
+    # raw fold yields 1 + 2ulp for self-similarity (seeds score themselves)
+    sim = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("embedding"), F.col("sv"))))
+    scored = e.crossJoin(F.broadcast(seeds)).select("vec_id", "seed_id", sim.alias("sim"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("seed_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+            F.min("sim").alias("min_sim"),
+            F.max("sim").alias("max_sim"),
+        )
+    )

@@ -118,3 +118,26 @@ def test_decontaminate_has_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "q_decontaminate", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_is_scan_plus_broadcast_topk(spark, sf_dir):
+    plan = _plan(spark, "q_text_bm25", sf_dir)
+    # global stats (N, avgdl, df) must broadcast back onto the scan,
+    # and the top-20 must be TakeOrderedAndProject, never a global sort
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_has_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, "q_text_chunks", sf_dir)
+    # the only allowed Exchange is tables.py's round-robin spread of the
+    # single-file test table; the chunk explode itself must never
+    # introduce a key shuffle
+    assert "hashpartitioning" not in plan.lower(), "chunk explode must stay partition-local"
+
+
+def test_int8_knn_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "q_knn_int8", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
