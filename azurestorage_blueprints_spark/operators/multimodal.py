@@ -5,14 +5,17 @@ bytes (``upload_file.py:183-184``); the engine generalizes it to a
 ``binary`` DataFrame column carrying image/audio/video payloads with a
 typed metadata struct alongside. The Spark-side plumbing here — schema,
 Arrow batch shape, ``mapInPandas`` signatures, partition sizing — is
-real and tested; the codec calls themselves are stubbed because the
-image/audio libraries are not in this environment:
+real and tested. Decode support is tiered:
 
-- ``decode_image`` raises ``NotImplementedError`` unless a decoder
-  callback is injected (production: Pillow/libvips inside the worker);
-- ``fake_decode_meta`` is the deterministic stand-in used by tests:
-  it parses a tiny fake header (magic + width + height) from the
-  payload bytes, which exercises the exact same batch path.
+- uncompressed formats decode FOR REAL with pure numpy — binary PPM
+  (P6) parse, nearest-neighbor resize (``decode_ppm`` /
+  ``_nn_resize_rgb``), no codec library involved;
+- codec-backed formats (JPEG/PNG/GIF) require an injected decoder
+  callback (production: Pillow/libvips inside the worker) since no
+  codec library exists in this environment — such rows return
+  ``ok=false`` instead of failing the stage;
+- ``fake_decode_meta`` parses a tiny deterministic fake header
+  (magic + width + height), exercising the same batch path in tests.
 
 Scale notes: payload columns ride Arrow between JVM and Python in
 column batches — with ``binaryFile`` sources, set
@@ -101,16 +104,101 @@ def _fake_decoder(b: bytes) -> tuple[str, int, int]:
     return (FAKE_MAGIC.decode(), w, h)
 
 
-def decode_image(df: DataFrame, **kwargs) -> DataFrame:
-    """Full image decode → pixel tensors. STUB: requires an image codec
-    library (Pillow / libvips) that is not available in this
-    environment; the metadata/feature paths above are the tested
-    plumbing."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this environment; "
-        "inject a decoder via decode_image_meta(decoder=...) or use "
-        "extract_features for the deterministic feature path"
-    )
+PIXELS_SCHEMA = "content_id bigint, width int, height int, pixels binary, ok boolean"
+
+#: magics of codec-backed formats that require an injected decoder
+_CODEC_MAGICS = {b"\xff\xd8": "jpeg", b"\x89PN": "png", b"GIF8": "gif"}
+
+
+def decode_ppm(b: bytes) -> tuple[int, int, bytes]:
+    """Real decode of binary PPM (P6): pure header parse + raw RGB bytes,
+    no codec library needed. Returns (width, height, rgb_bytes)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — whitespace-separated with
+    # optional '#' comment lines
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    n = w * h * 3
+    pixels = b[i : i + n]
+    if len(pixels) != n:
+        raise ValueError("truncated PPM payload")
+    return w, h, pixels
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Inverse of decode_ppm (used by the resize path and fixtures)."""
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def _nn_resize_rgb(rgb: bytes, ow: int, oh: int, w: int, h: int) -> bytes:
+    """Nearest-neighbor resize on a raw RGB buffer via numpy indexing."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(oh, ow, 3)
+    rows = (np.arange(h) * oh) // h
+    cols = (np.arange(w) * ow) // w
+    return arr[rows][:, cols].tobytes()
+
+
+def decode_image(
+    df: DataFrame,
+    *,
+    id_col: str = "content_id",
+    content_col: str = "content",
+    decoder: Callable[[bytes], tuple[int, int, bytes]] | None = None,
+) -> DataFrame:
+    """Full image decode → (width, height, raw RGB pixels) via mapInPandas.
+
+    Uncompressed formats decode for real: binary PPM (P6) is parsed with
+    pure numpy — no codec library. Codec-backed formats (JPEG/PNG/GIF
+    magics) need an injected ``decoder(payload) -> (w, h, rgb_bytes)``
+    (production: Pillow/libvips inside the worker); without one those
+    rows come back ok=false rather than failing the job — at 100 TB a
+    corrupt or unsupported payload must never kill the stage.
+    """
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for cid, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    if b[:2] == b"P6":
+                        w, h, px = decode_ppm(b)
+                    elif decoder is not None:
+                        w, h, px = decoder(b)
+                    else:
+                        raise NotImplementedError(
+                            f"codec format {_CODEC_MAGICS.get(b[:4][:2], 'unknown')}"
+                            " requires an injected decoder"
+                        )
+                    out.append((cid, w, h, px, True))
+                except Exception:
+                    out.append((cid, None, None, None, False))
+            yield pd.DataFrame(
+                out, columns=["content_id", "width", "height", "pixels", "ok"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(worker, schema=PIXELS_SCHEMA)
 
 
 def extract_features(
@@ -180,7 +268,15 @@ def resize_image(
         n_out = int(len(payload) * min(scale, 1.0))
         return pack_fake_image(w, h, payload[:n_out])
 
-    rz = resizer or _fake_resize
+    def _default_resize(b: bytes, w: int, h: int) -> bytes:
+        # real nearest-neighbor resize for PPM; fake-header rewrite for
+        # the FIMG test format; codec formats need an injected resizer
+        if b[:2] == b"P6":
+            ow, oh, rgb = decode_ppm(b)
+            return encode_ppm(w, h, _nn_resize_rgb(rgb, ow, oh, w, h))
+        return _fake_resize(b, w, h)
+
+    rz = resizer or _default_resize
 
     def worker(batches: Iterator) -> Iterator:
         import pandas as pd

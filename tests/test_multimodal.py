@@ -37,9 +37,11 @@ def test_decode_image_meta_fake_decoder(payloads):
     assert out[4].ok is False and out[4].n_bytes == 0
 
 
-def test_decode_image_is_stubbed(payloads):
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(payloads)
+def test_decode_image_fails_soft_on_codec_formats(payloads):
+    # fake-format payloads are not PPM and no decoder is injected:
+    # every row must come back ok=false (never a stage failure)
+    out = MM.decode_image(payloads).collect()
+    assert out and all(r.ok is False for r in out)
 
 
 def test_extract_features_shape_and_determinism(payloads):
@@ -83,3 +85,48 @@ def test_sample_frames_explodes_every_kth(spark):
     assert by_vid[1][0][1].startswith(b"frame-0")
     assert [i for i, _ in by_vid[2]] == [0]
     assert 3 not in by_vid  # invalid container contributes no frames
+
+
+def _gradient_ppm(w, h):
+    rgb = bytes((x * 40 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    return MM.encode_ppm(w, h, rgb), rgb
+
+
+def test_ppm_decodes_for_real(spark):
+    blob, rgb = _gradient_ppm(4, 2)
+    # comment lines in the header must parse too
+    commented = blob.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    df = spark.createDataFrame(
+        [(1, blob), (2, commented), (3, b"\xff\xd8jpeg-bytes"), (4, b"junk")],
+        "content_id bigint, content binary",
+    )
+    out = {r.content_id: r for r in MM.decode_image(df).collect()}
+    assert (out[1].width, out[1].height, bytes(out[1].pixels)) == (4, 2, rgb)
+    assert bytes(out[2].pixels) == rgb  # comment skipped
+    # codec formats without an injected decoder fail soft, not the stage
+    assert out[3].ok is False and out[3].pixels is None
+    assert out[4].ok is False
+
+
+def test_ppm_nearest_neighbor_resize_picks_exact_source_pixels(spark):
+    blob, rgb = _gradient_ppm(4, 2)
+    df = spark.createDataFrame([(1, blob)], "content_id bigint, content binary")
+    out = MM.resize_image(df, 2, 1).collect()[0]
+    w, h, px = MM.decode_ppm(bytes(out.content))
+    assert (w, h) == (2, 1)
+    # nearest-neighbor with integer mapping selects source pixels (0,0) and (0,2)
+    src = [rgb[0:3], rgb[6:9]]
+    assert px == b"".join(src)
+
+
+def test_injected_decoder_handles_codec_formats(spark):
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8fake-jpeg")], "content_id bigint, content binary"
+    )
+
+    def fake_jpeg_decoder(b):
+        return (2, 1, b"\x01\x02\x03\x04\x05\x06")
+
+    out = MM.decode_image(df, decoder=fake_jpeg_decoder).collect()[0]
+    assert out.ok is True and (out.width, out.height) == (2, 1)
+    assert bytes(out.pixels) == b"\x01\x02\x03\x04\x05\x06"
