@@ -130,3 +130,39 @@ def test_injected_decoder_handles_codec_formats(spark):
     out = MM.decode_image(df, decoder=fake_jpeg_decoder).collect()[0]
     assert out.ok is True and (out.width, out.height) == (2, 1)
     assert bytes(out.pixels) == b"\x01\x02\x03\x04\x05\x06"
+
+
+def test_wav_decodes_for_real_and_features_are_exact(spark):
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 10000).astype("<i2")
+    stereo = np.stack([sine, np.zeros_like(sine)], axis=1)
+    df = spark.createDataFrame(
+        [
+            (1, MM.encode_wav(rate, sine)),
+            (2, MM.encode_wav(rate, stereo)),
+            (3, b"RIFFxxxxWAVE"),          # truncated chunk table
+            (4, b"not audio at all"),
+        ],
+        "content_id bigint, content binary",
+    )
+    out = {r.content_id: r for r in MM.extract_audio_features(df).collect()}
+    assert (out[1].sample_rate, out[1].n_channels, out[1].n_samples) == (rate, 1, rate)
+    assert abs(out[1].duration_s - 1.0) < 1e-9
+    # 440 Hz sine crosses zero ~880 times per second
+    assert 850 <= out[1].zero_crossings <= 910
+    expected_rms = float(np.sqrt(np.mean(sine.astype(np.float64) ** 2)))
+    assert abs(out[1].rms - expected_rms) < 1e-6
+    assert out[2].n_channels == 2 and out[2].n_samples == rate
+    assert out[3].ok is False and out[4].ok is False
+
+
+def test_wav_roundtrip(spark):
+    import numpy as np
+
+    samples = np.array([[0, 1], [-2, 3], [32767, -32768]], dtype="<i2")
+    rate, nch, back = MM.decode_wav(MM.encode_wav(44100, samples))
+    assert (rate, nch) == (44100, 2)
+    assert (back == samples).all()
