@@ -327,3 +327,41 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_order_total double, max_event_value double",
         )
     )
+
+
+@register(
+    "q_udtf_sentences",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, unnest(string_split(text, '. ')) AS sentence,
+             generate_subscripts(string_split(text, '. '), 1) - 1 AS sent_idx
+      FROM documents)
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+           CAST(len(list_filter(string_split(sentence, ' '), t -> t <> '')) AS INT)
+             AS n_sent_tokens
+    FROM parts WHERE sentence <> ''
+    """,
+    doc="Python UDTF (table function) sentence splitter: one input row "
+    "fans out to N sentence rows via LATERAL — completing the "
+    "UDF/UDAF/UDTF triad. The UDTF mechanism is the escape hatch for "
+    "row-expanding logic explode can't express (stateful tokenizers, "
+    "format parsers); for THIS splitting, prefer the codegen "
+    "explode/split path — the UDTF exists as tested API surface, and "
+    "its per-row Python cost is why. Executes partition-local (no "
+    "shuffle); oracle is the equivalent unnest-with-ordinality.",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string, n_sent_tokens int")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            for i, s in enumerate((text or "").split(". ")):
+                if s:
+                    yield doc_id, i, s, len([t for t in s.split(" ") if t])
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT s.* FROM _udtf_docs, LATERAL sentence_split(doc_id, text) s"
+    )

@@ -263,3 +263,43 @@ def q_ts_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "first_seen", "last_seen", "lifetime_seconds", "n_events", "n_types")
     )
+
+
+@register(
+    "q_ts_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_sum,
+           CAST(count(*)
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_trailing
+    FROM events
+    """,
+    doc="Value-range window frame: per-user trailing 1-hour sum/count via "
+    "RANGE BETWEEN on epoch microseconds — the frame every rate-limit / "
+    "rolling-exposure computation needs, and a distinct physical feature "
+    "from ROWS frames (peers enter by ordering value, not position). One "
+    "shuffle on user_id, per-partition sort, exact decimal sums so frame "
+    "evaluation order cannot perturb the double result. Epoch arithmetic "
+    "is tz-independent (NTZ end-to-end).",
+)
+def q_ts_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch_us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
+    )
