@@ -90,6 +90,7 @@ def load_all() -> dict[str, Query]:
         curation,
         dedup,
         fileops,
+        graph_q,
         llm_text,
         maintenance,
         misc_ops,

@@ -1,0 +1,137 @@
+"""Iterative graph analytics as a first-class query: fixed-point PageRank.
+
+Training-data pipelines rank sources by link authority (quality signal
+for web corpora) and dedup pipelines already run iterative label
+propagation (operators/graph.py). This module adds the other canonical
+iterative join+agg algorithm — PageRank — expressed so the per-iteration
+arithmetic is EXACT integer math and therefore bit-identical on any
+engine: ranks are scaled to integers (1.0 → 10^12) and every step is
+bigint multiply / floor-divide / sum. That makes an iterative algorithm
+— normally "rows-only" territory — fully value-hash checkable against a
+DuckDB oracle written as unrolled CTEs.
+
+Scale posture (100 TB): the edge list is built once (join on orderkey,
+distinct), then every iteration is ONE equi-join of the rank vector to
+the edge list (shuffle keyed on node id) plus ONE aggregation keyed on
+destination. Edges dominate memory; ranks are two longs per node. On a
+real cluster, pre-partition edges by src and the per-iteration join is
+co-located; AQE's skew split handles hub nodes. Lineage does not grow
+per iteration here (3 fixed rounds); for fixpoint runs reuse the
+localCheckpoint pattern of operators/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+#: rank scale: 1.0 == 10^12 (fixed-point)
+_ONE = 1_000_000_000_000
+#: damping 0.85 split into integer numerator/denominator
+_D_NUM, _D_DEN = 85, 100
+#: (1 - d) teleport mass at the same scale
+_TELEPORT = 150_000_000_000
+#: supplier node-id offset so customer and supplier keys never collide
+_SUPP_OFF = 1_000_000
+
+
+@register(
+    "q_pagerank_fixedpoint",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, {_SUPP_OFF} + l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM e0
+      UNION ALL
+      SELECT s AS src, c AS dst FROM e0
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({_ONE} AS BIGINT) AS rank FROM deg),
+    r1 AS (
+      SELECT e.dst AS node,
+             CAST({_TELEPORT} + ({_D_NUM} * SUM(r.rank // d.d)) // {_D_DEN}
+                  AS BIGINT) AS rank
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             CAST({_TELEPORT} + ({_D_NUM} * SUM(r.rank // d.d)) // {_D_DEN}
+                  AS BIGINT) AS rank
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             CAST({_TELEPORT} + ({_D_NUM} * SUM(r.rank // d.d)) // {_D_DEN}
+                  AS BIGINT) AS rank
+      FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+    SELECT node AS node_id,
+           CASE WHEN node >= {_SUPP_OFF} THEN 'supplier' ELSE 'customer' END
+             AS node_type,
+           rank AS rank_scaled
+    FROM r3
+    ORDER BY rank_scaled DESC, node_id
+    LIMIT 20
+    """,
+    doc="Fixed-point PageRank (3 iterations, damping 0.85) over the "
+    "undirected customer–supplier purchase graph (edges from "
+    "lineitem⋈orders, distinct pairs; supplier ids offset by 1e6). All "
+    "arithmetic is scaled-integer (1.0 = 1e12) with bigint floor "
+    "division, so the iterative result is bit-exact and value-hash "
+    "checkable — the oracle unrolls the same three iterations as CTEs. "
+    "Per iteration: one join of the rank vector to the edge list plus "
+    "one agg on dst — the canonical distributed PageRank step. Top-20 "
+    "nodes, ties broken by node id.",
+)
+def q_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_SUPP_OFF) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    # (src, dst, d) computed once and reused by all three iterations;
+    # checkpoint so the orderkey join + distinct doesn't replay per round
+    edeg = (
+        edges.join(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")), "src")
+        .localCheckpoint(eager=False)
+    )
+    ranks = edeg.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(_ONE).cast("bigint").alias("rank")
+    )
+    new_rank = F.expr(
+        f"cast({_TELEPORT} + ({_D_NUM} * sum(contrib)) div {_D_DEN} as bigint)"
+    ).alias("rank")
+    for _ in range(3):
+        ranks = (
+            edeg.join(ranks, edeg.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank div d").alias("contrib"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(new_rank)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") >= _SUPP_OFF, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type"),
+            F.col("rank").alias("rank_scaled"),
+        )
+        .orderBy(F.desc("rank_scaled"), "node_id")
+        .limit(20)
+    )

@@ -117,3 +117,65 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_current"),
         F.max(F.datediff(F.col("valid_to"), F.col("valid_from"))).alias("max_days_valid"),
     )
+
+
+def _zorder_terms(x: str, y: str, shift_fmt: str) -> str:
+    """Sum of interleaved-bit terms for an 8+8-bit Z-order key.
+
+    ``shift_fmt`` supplies the dialect's bit ops: Spark SQL uses
+    shiftleft/shiftright functions, DuckDB uses << / >> operators —
+    the arithmetic (and therefore the value) is identical.
+    """
+    return " + ".join(
+        shift_fmt.format(v=x, i=i, o=2 * i) for i in range(8)
+    ) + " + " + " + ".join(
+        shift_fmt.format(v=y, i=i, o=2 * i + 1) for i in range(8)
+    )
+
+
+_SPARK_SHIFT = "shiftleft(shiftright({v}, {i}) & 1, {o})"
+_DUCK_SHIFT = "((({v} >> {i}) & 1) << {o})"
+_X_SPARK = "pmod(user_id, 256)"
+_Y_SPARK = "pmod(cast(floor(value * 100.0) as bigint), 256)"
+_X_DUCK = "((user_id % 256) + 256) % 256"
+_Y_DUCK = "((CAST(floor(value * 100.0) AS BIGINT) % 256) + 256) % 256"
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id, {_zorder_terms(_X_DUCK, _Y_DUCK, _DUCK_SHIFT)} AS zkey
+      FROM events
+    )
+    SELECT CAST(zkey // 256 AS INT) AS z_cell,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(zkey) AS INT) AS min_z,
+           CAST(max(zkey) AS INT) AS max_z
+    FROM keyed GROUP BY 1
+    """,
+    doc="Z-order data-layout key: interleave the bits of two quantized "
+    "dimensions (user_id mod 256, cents-of-value mod 256) into a 16-bit "
+    "Morton code, then profile occupancy per 256-key cell. This is the "
+    "clustering key a 100 TB table writer uses — "
+    "repartitionByRange(zkey).sortWithinPartitions(zkey) before write "
+    "yields parquet files whose min/max stats are tight on BOTH "
+    "dimensions, so point/range predicates on either column skip files. "
+    "The key arithmetic is pure integer bit math (exact on any engine); "
+    "the query itself is one scan + one hash agg.",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "user_id",
+        F.expr(
+            _zorder_terms(_X_SPARK, _Y_SPARK, _SPARK_SHIFT)
+        ).alias("zkey"),
+    )
+    return keyed.groupBy(F.expr("cast(zkey div 256 as int)").alias("z_cell")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("zkey").cast("int").alias("min_z"),
+        F.max("zkey").cast("int").alias("max_z"),
+    )
