@@ -168,3 +168,59 @@ def q_fileops_basename_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("path") == "src3/sub/doc_33.txt").alias("is_exact"),
         F.col("path").rlike(r"doc_3[0-9]\.txt$").alias("is_regex"),
     )
+
+
+@register(
+    "q_fileops_compaction_bins",
+    oracle="""
+    WITH ns AS (
+      SELECT source AS folder,
+             'doc_' || CAST(doc_id AS VARCHAR) ||
+               (CASE WHEN doc_id % 2 = 1 THEN '.txt.gz' ELSE '.txt' END) AS file,
+             n_chars AS bytes
+      FROM documents),
+    binned AS (
+      SELECT folder, file, bytes,
+             CAST((sum(bytes) OVER (PARTITION BY folder ORDER BY file
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bytes) // 4096 AS BIGINT) AS bin
+      FROM ns)
+    SELECT folder, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(file) AS first_file,
+           max(file) AS last_file
+    FROM binned GROUP BY folder, bin
+    """,
+    doc="Small-file compaction planner: greedy bin-packing of a folder's "
+    "files into ~4 KiB output groups via a running-sum window (bin = "
+    "bytes-before-this-file div target). The maintenance job every "
+    "large parquet table needs — billions of small files is the #1 "
+    "operational failure mode at 100 TB; this plan shuffles only the "
+    "file CATALOG (one row per file), never the data, and each bin maps "
+    "to one coalesced rewrite task. Deterministic: files ordered by "
+    "name within folder, all-integer arithmetic.",
+)
+def q_fileops_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    files = d.select(
+        F.col("source").alias("folder"),
+        F.concat(
+            F.lit("doc_"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 1, ".txt.gz").otherwise(".txt"),
+        ).alias("file"),
+        F.col("n_chars").alias("bytes"),
+    )
+    w = Window.partitionBy("folder").orderBy("file").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = files.withColumn("cum", F.sum("bytes").over(w)).withColumn(
+        "bin", F.expr("cast((cum - bytes) div 4096 as bigint)")
+    )
+    return binned.groupBy("folder", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.min("file").alias("first_file"),
+        F.max("file").alias("last_file"),
+    )

@@ -365,3 +365,90 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM _udtf_docs, LATERAL sentence_split(doc_id, text) s"
     )
+
+
+@register(
+    "q_provenance_files",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS min_rid,
+           CAST(count(*) - 1 AS BIGINT) AS max_rid,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey
+    FROM lineitem
+    """,
+    doc="Record provenance audit via the parquet reader's hidden _metadata "
+    "struct: per source file, row count, the [min,max] of the in-file row "
+    "index, and a content checksum column. At 100 TB this is how a "
+    "pipeline attributes every training record back to its source file "
+    "(and prunes/recalls a bad file's rows) without storing lineage "
+    "columns in the data — the reader synthesizes them. The oracle "
+    "exploits the testdata invariant of one file per table (row_index "
+    "must then cover 0..n-1 exactly); with multi-file tables the same "
+    "query groups per file. _metadata is null-cost: no shuffle, no extra "
+    "I/O beyond the scan.",
+)
+def q_provenance_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"[^/]+$", 0).alias("file_name"),
+            F.col("_metadata.row_index").alias("rid"),
+            "l_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("rid").alias("min_rid"),
+            F.max("rid").alias("max_rid"),
+            F.sum("l_orderkey").alias("sum_orderkey"),
+        )
+    )
+
+
+@register(
+    "q_join_prefiltered",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= DATE '1995-01-01'
+    GROUP BY l_linestatus
+    """,
+    doc="Runtime-filter (bloom-style) join: before shuffling the fact "
+    "table into the join, semi-join it against the DISTINCT coarse hash "
+    "buckets (xxhash64 mod 8192) of the filtered dim keys — a broadcast "
+    "of a few-KB int set that drops most fact rows at the scan, exactly "
+    "what Spark's own InSubquery/bloom runtime filters do when enabled. "
+    "The final equi-join re-checks exact keys, so false-positive bucket "
+    "collisions cannot leak rows and the result equals the plain join "
+    "(the oracle IS the plain join). At 100 TB this turns a "
+    "full-fact-table shuffle into a shuffle of only plausibly-matching "
+    "rows.",
+)
+def q_join_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries.relational import DEC
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+    )
+    bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(8192))  # noqa: E731
+    dim_buckets = o.select(bucket("o_orderkey").alias("b")).distinct()
+    pruned = li.withColumn("b", bucket("l_orderkey")).join(
+        F.broadcast(dim_buckets), "b", "left_semi"
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        pruned.join(o.select("o_orderkey"), pruned.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

@@ -1007,3 +1007,94 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+# Correlation/covariance from exact decimal moment sums. The naive
+# corr()/covar_samp() aggregates accumulate doubles in partition order,
+# so two engines (or two runs at different parallelism) disagree in the
+# last bits and the value hash diverges. Instead: accumulate the five
+# moments (Σx, Σy, Σx², Σy², Σxy) in EXACT decimal arithmetic — order
+# cannot matter — convert once to double, and derive the statistics
+# with the IDENTICAL scalar formula on both engines (same IEEE
+# expression tree → bit-equal results). The formulas are shared
+# constants so the Spark and DuckDB texts cannot drift.
+#
+# One trap, found bitwise: a direct decimal→double CAST is one rounding
+# in Spark (BigDecimal.doubleValue) but TWO in DuckDB (int128→double,
+# then ×10⁻ˢ) — syy differed by 1 ulp. The conversion below scales the
+# decimal to an integral bigint first (exact), casts bigint→double
+# (correctly rounded everywhere), and divides by the scale as a double
+# literal (one IEEE op) — a single-rounding path on both engines.
+# Bound: |moment|·10ˢ must fit int64, which holds through sf0.1 here;
+# beyond that, split the moment into quotient/remainder bigints.
+
+
+def _dec_to_dbl(col: str, scale: int) -> str:
+    return f"cast(cast({col} * {10**scale} as bigint) as double) / {float(10**scale)}"
+
+
+_CORR_F = "(nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy))"
+_COV_F = "(sxy - sx*sy/nd) / (nd - 1.0)"
+_STDX_F = "sqrt((sxx - sx*sx/nd) / (nd - 1.0))"
+_STDY_F = "sqrt((syy - sy*sy/nd) / (nd - 1.0))"
+_MOMENTS_DBL = (
+    f"{_dec_to_dbl('sxd', 2)} AS sx, {_dec_to_dbl('syd', 2)} AS sy, "
+    f"{_dec_to_dbl('sxxd', 4)} AS sxx, {_dec_to_dbl('syyd', 4)} AS syy, "
+    f"{_dec_to_dbl('sxyd', 4)} AS sxy, CAST(n AS DOUBLE) AS nd"
+)
+
+
+@register(
+    "q_stats_corr",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sxd,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS syd,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxxd,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS syyd,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxyd
+      FROM lineitem GROUP BY l_returnflag),
+    m2 AS (SELECT l_returnflag, n, {_MOMENTS_DBL} FROM m)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           {_CORR_F} AS corr_qty_price,
+           {_COV_F} AS covar_qty_price,
+           {_STDX_F} AS std_qty,
+           {_STDY_F} AS std_price
+    FROM m2
+    """,
+    doc="Pearson correlation, sample covariance, and sample stddev of "
+    "(l_quantity, l_extendedprice) per return flag — computed from exact "
+    "decimal moment sums so the result is bit-deterministic at any "
+    "parallelism (built-in corr/covar_samp accumulate doubles in "
+    "partition order and cannot be hash-compared across engines). One "
+    "scan, one map-side-combinable hash agg; the moments are mergeable, "
+    "which is exactly how a 1000-executor cluster computes statistics.",
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sxd"),
+        F.sum(y).alias("syd"),
+        F.sum(x * x).alias("sxxd"),
+        F.sum(y * y).alias("syyd"),
+        F.sum(x * y).alias("sxyd"),
+    )
+    return mom.selectExpr(
+        "l_returnflag", "n", *_MOMENTS_DBL.replace(" AS ", " as ").split(", ")
+    ).selectExpr(
+        "l_returnflag",
+        "cast(n as bigint) as n_rows",
+        f"{_CORR_F} as corr_qty_price",
+        f"{_COV_F} as covar_qty_price",
+        f"{_STDX_F} as std_qty",
+        f"{_STDY_F} as std_price",
+    )
