@@ -141,3 +141,40 @@ def test_int8_knn_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, "q_knn_int8", sf_dir)
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_repetition_is_shuffle_free(spark, sf_dir):
+    # per-doc bigram stats are row-local: a hash/range Exchange means
+    # the token stream is being shuffled, which is the 100 TB failure
+    # mode (the loader's round-robin spread of the tiny test file is
+    # expected and keyless)
+    plan = _plan(spark, "q_text_repetition", sf_dir)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_prefiltered_join_semi_joins_before_exact_join(spark, sf_dir):
+    plan = _plan(spark, "q_join_prefiltered", sf_dir)
+    # the coarse bucket set must broadcast as a LeftSemi ahead of the
+    # exact join — that is the runtime-filter shape the query exists for
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_profile_is_single_agg(spark, sf_dir):
+    plan = _plan(spark, "q_zorder_layout", sf_dir)
+    # one scan, one partial+final agg pair: more than 2 shuffles means
+    # the key computation stopped being a pure projection
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_planner_shuffles_catalog_only(spark, sf_dir):
+    plan = _plan(spark, "q_fileops_compaction_bins", sf_dir)
+    # window + final agg over one-row-per-file metadata: the text
+    # column must never enter the plan (catalog-only shuffle)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read_schema
