@@ -1098,3 +1098,68 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_STDX_F} as std_qty",
         f"{_STDY_F} as std_price",
     )
+
+
+@register(
+    "q_arg_max",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) * 10000000 + o_orderkey AS ord
+      FROM orders)
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, ord) AS best_order,
+           arg_min(o_orderkey, ord) AS worst_order,
+           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+           CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price
+    FROM keyed GROUP BY o_orderpriority
+    """,
+    doc="arg-max/arg-min aggregation (max_by/min_by): the order id holding "
+    "each priority class's highest/lowest total price — the idiom that "
+    "replaces a per-group sort or self-join with ONE hash agg. Price ties "
+    "are broken deterministically by folding the unique order key into "
+    "the ordering scalar (cents * 10^7 + orderkey), because max_by on a "
+    "tied key is otherwise free to return either row and the result "
+    "would not be hash-comparable.",
+)
+def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").withColumn(
+        "ord",
+        F.expr("cast(round(o_totalprice * 100.0) as bigint) * 10000000 + o_orderkey"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, ord)").alias("best_order"),
+        F.expr("min_by(o_orderkey, ord)").alias("worst_order"),
+        F.max(F.col("o_totalprice").cast(DEC)).cast("double").alias("max_price"),
+        F.min(F.col("o_totalprice").cast(DEC)).cast("double").alias("min_price"),
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (listagg/string_agg): comma-joined "
+    "sorted nation names per region. Spark spells it "
+    "array_join(array_sort(collect_list(...))) — collect_list order is "
+    "partition-dependent, so the explicit sort is what makes the result "
+    "deterministic at any parallelism (same reason DuckDB needs the "
+    "WITHIN-GROUP ORDER BY). Dimension-sized groups only; for fact-scale "
+    "groups prefer slice-limited collection or an explode-side join.",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
