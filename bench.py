@@ -50,6 +50,10 @@ HEADLINE = [
     "q_pipeline_corpus_curation",
     "q_text_repetition",
     "q_decontaminate",
+    "q_stats_corr",
+    "q_join_prefiltered",
+    "q_zorder_layout",
+    "q_pagerank_fixedpoint",
 ]
 
 
