@@ -1163,3 +1163,50 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH g AS (
+      SELECT nullif(o_orderstatus, 'O') AS maybe_status,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_counted
+      FROM orders GROUP BY 1)
+    SELECT a.maybe_status, a.n_orders, a.n_counted,
+           b.n_orders AS n_selfjoin,
+           CAST(row_number() OVER (ORDER BY a.maybe_status ASC NULLS LAST) AS INT)
+             AS rn_nulls_last
+    FROM g a JOIN g b ON a.maybe_status IS NOT DISTINCT FROM b.maybe_status
+    """,
+    doc="NULL semantics in one plan: GROUP BY keeps a NULL group, "
+    "count(col) skips NULLs while count(*) does not, the self-join uses "
+    "null-safe equality (<=> / IS NOT DISTINCT FROM) so the NULL group "
+    "joins to itself (a plain = would drop it), and the ordering column "
+    "pins NULLS LAST explicitly — Spark ASC defaults to NULLS FIRST and "
+    "DuckDB to NULLS LAST, the classic cross-engine drift. Null-safe "
+    "join keys also hash-partition normally, so <=> joins shuffle like "
+    "any equi-join at scale.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.expr("nullif(o_orderstatus, 'O')").alias("maybe_status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.expr("nullif(o_orderstatus, 'O')")).alias("n_counted"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, F.col("a.maybe_status").eqNullSafe(F.col("b.maybe_status")))
+        .select(
+            F.col("a.maybe_status").alias("maybe_status"),
+            F.col("a.n_orders").alias("n_orders"),
+            F.col("a.n_counted").alias("n_counted"),
+            F.col("b.n_orders").alias("n_selfjoin"),
+            F.row_number()
+            .over(W.orderBy(F.col("a.maybe_status").asc_nulls_last()))
+            .cast("int")
+            .alias("rn_nulls_last"),
+        )
+    )
