@@ -422,3 +422,73 @@ def q_embed_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sim").alias("max_sim"),
         )
     )
+
+
+@register(
+    "q_embed_centroid_update",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_N_SEEDS}),
+    scored AS (
+      SELECT e.vec_id, seeds.seed_id,
+             list_cosine_similarity(e.v, seeds.sv) AS sim
+      FROM e, seeds),
+    assigned AS (
+      SELECT vec_id, seed_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn
+      FROM scored),
+    exploded AS (
+      SELECT a.seed_id, unnest(e.v) AS val,
+             generate_subscripts(e.v, 1) - 1 AS dim
+      FROM assigned a JOIN e ON a.vec_id = e.vec_id
+      WHERE a.rn = 1)
+    SELECT seed_id AS cluster_id,
+           CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CAST(round(val * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_nanos,
+           CAST(sum(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS centroid
+    FROM exploded GROUP BY seed_id, dim
+    """,
+    doc="K-means M-step (centroid update) completing the Lloyd iteration "
+    "with q_embed_cluster_assign: assign every vector to its nearest "
+    "seed, then recompute each cluster's per-dimension mean. The mean "
+    "accumulates QUANTIZED components (round(val*1e9) as bigint) so the "
+    "sum is exact integer arithmetic — a float/double sum over a "
+    "shuffled group is partition-order-dependent and could never "
+    "hash-match across engines; nano-quantization keeps 9 decimal "
+    "digits (beyond float32 precision) while staying order-free. Shape: "
+    "broadcast 8 centroids, one scored pass, posexplode to (cluster, "
+    "dim) pairs, one hash agg — exactly how a distributed Lloyd "
+    "iteration scales to billions of vectors.",
+)
+def q_embed_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _N_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    )
+    sim = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("embedding"), F.col("sv"))))
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id")
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "seed_id", sim.alias("sim"), "embedding")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    exploded = assigned.select(
+        F.col("seed_id").alias("cluster_id"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select(
+        "cluster_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.expr("cast(round(cast(val as double) * 1000000000.0) as bigint)").alias("nanos"),
+    )
+    return exploded.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("nanos").alias("sum_nanos"),
+        (
+            F.sum("nanos").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1000000000.0))
+        ).alias("centroid"),
+    )
