@@ -303,3 +303,62 @@ def q_ts_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("trailing_sum"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
     )
+
+
+@register(
+    "q_ts_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL '30 minutes'
+                THEN c.ts END AS click_ts_tol,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL '30 minutes'
+                THEN c.value END AS click_value_tol,
+           (c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL '30 minutes') AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join with a match tolerance (pandas merge_asof's `tolerance`): "
+    "the most-recent click attributes a purchase only when it happened "
+    "within the last 30 minutes; staler matches become NULL (stale "
+    "attribution is usually worse than none). Same union-merge + "
+    "carry-forward window as q_ts_asof_join — the tolerance is one extra "
+    "codegen predicate after the carry, so the plan cost is identical: "
+    "one shuffle on user_id, per-partition sort, no per-row lookups.",
+)
+def q_ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("kind"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = W.partitionBy("user_id").orderBy("ts", "kind").rowsBetween(W.unboundedPreceding, W.currentRow)
+    in_tol = F.col("lct").isNotNull() & (
+        F.col("ts") <= F.col("lct") + F.expr("INTERVAL 30 MINUTES")
+    )
+    return (
+        merged.withColumn("lct", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("lcv", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(in_tol, F.col("lct")).alias("click_ts_tol"),
+            F.when(in_tol, F.col("lcv")).alias("click_value_tol"),
+            in_tol.alias("matched"),
+        )
+    )
