@@ -400,3 +400,77 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+      FROM documents WHERE doc_id < 200),
+    sizes AS (SELECT doc_id, len(toks) AS n FROM docs),
+    posting AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM posting a JOIN posting b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.a_id, i.b_id
+      FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+                   JOIN sizes sb ON i.b_id = sb.doc_id
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.6),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM walk GROUP BY u),
+    members AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+      FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comp c USING (doc_id))
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           arg_max(doc_id, n_chars * 1000000 - doc_id) AS kept_doc,
+           CAST(max(n_chars) AS BIGINT) AS kept_chars,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM members GROUP BY component
+    """,
+    doc="The dedup pipeline's FINAL decision: near-dup pairs → connected "
+    "components → keep ONE representative per cluster (longest document, "
+    "ties to the smallest doc_id via the ordering scalar "
+    "n_chars*1e6 - doc_id) — singletons survive as their own component. "
+    "This is the keep/drop verdict a corpus curation run materializes "
+    "(SemDeDup-style keep-best, not keep-first). Shape on top of the "
+    "component labels: one broadcast-size left join + one hash agg with "
+    "arg_max — no new shuffles of document text; the representative "
+    "choice rides the component key.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.operators.graph import connected_components
+
+    pairs = q_dedup_jaccard(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+    )
+    members = docs.join(labels, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
+    )
+    return members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("max_by(doc_id, n_chars * 1000000 - doc_id)").alias("kept_doc"),
+        F.max("n_chars").alias("kept_chars"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_dropped"),
+    )
