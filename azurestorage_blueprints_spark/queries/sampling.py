@@ -372,3 +372,47 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
     )
     return m.select("h", v.alias("v_interp"))
+
+
+@register(
+    "q_sample_exact_k_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS rn
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM ranked WHERE rn <= 30
+    GROUP BY lang
+    """,
+    doc="Exact-k PER-STRATUM draw: exactly 30 documents per language in "
+    "deterministic multiplicative-hash order (ties broken by doc_id) — "
+    "the balanced-mixture primitive a multilingual corpus draw needs "
+    "when fraction-based stratified sampling (q_sample_stratified) "
+    "cannot guarantee per-language counts. One shuffle on the stratum "
+    "key; the rank window sorts only within each stratum's partition, "
+    "and every cluster size draws the identical sample. For heavily "
+    "skewed strata the rank is still per-partition-bounded — no global "
+    "sort appears at any scale.",
+)
+def q_sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _hash_mod(F.col("doc_id"), 1 << 20), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
