@@ -470,11 +470,17 @@ def q_embed_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("embedding"), F.col("sv"))))
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id")
+    # rank (vec_id, seed_id, sim) triples only — the ranking window
+    # shuffles on vec_id, and dragging the embedding array through that
+    # exchange would replicate every vector once per seed; rejoin the
+    # arrays after the argmax instead (same id-first discipline as
+    # q_knn_lsh's candidate dedup)
     assigned = (
         e.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "seed_id", sim.alias("sim"), "embedding")
+        .select("vec_id", "seed_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .join(e.select("vec_id", "embedding"), "vec_id")
     )
     exploded = assigned.select(
         F.col("seed_id").alias("cluster_id"),
