@@ -97,6 +97,7 @@ def load_all() -> dict[str, Query]:
         relational,
         sampling,
         similarity,
+        stats_q,
         streaming_q,
         timeseries,
         tpch_extra,

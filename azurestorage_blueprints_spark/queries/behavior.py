@@ -148,3 +148,59 @@ def q_window_distribution_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("n_chars", 3).over(wf).alias("third_smallest"),
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+             AS p_transition
+    FROM trans
+    """,
+    doc="First-order Markov transition matrix over per-user event streams: "
+    "lag() within (user, time) order pairs each event with its predecessor, "
+    "one hash-agg counts (from, to) cells, and the row-conditional "
+    "probability divides exact integer counts (deterministic double). "
+    "Timestamp ties are broken by the unique event_id. Shape at 100 TB: "
+    "one shuffle on user_id for the lag window, then an agg whose output "
+    "is O(|event_type|^2) — the transition matrix of a trillion events "
+    "is still a handful of rows.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(W.partitionBy("from_type")).cast("double")
+        ).alias("p_transition"),
+    )

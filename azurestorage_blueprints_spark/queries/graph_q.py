@@ -135,3 +135,81 @@ def q_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), "node_id")
         .limit(20)
     )
+
+
+#: minimum distinct-order co-occurrence for a part-part edge; at larger
+#: SF raise this strength threshold to keep the graph sparse (the knob
+#: that bounds wedge fan-out at 100 TB)
+_MIN_COOCCUR = 1
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= {_MIN_COOCCUR}
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    membership AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS partkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM membership GROUP BY node
+    ORDER BY n_triangles DESC, partkey
+    LIMIT 20
+    """,
+    doc="Triangle counting over the part co-purchase graph (parts sharing "
+    "an order, oriented u < v so each undirected edge and triangle exists "
+    "exactly once): the canonical wedge-close join — edges(a,b) x "
+    "edges(b,c) closed by edges(a,c). Top-20 parts by triangle "
+    "participation, pure integer counts. Scale posture: within-order "
+    "pair fan-out is bounded by order size (quadratic in ~4, not in the "
+    "corpus); the edge-strength HAVING is the density knob; the two "
+    "triangle joins shuffle on single node keys and the orientation bounds "
+    "wedge enumeration by the ordered degree (the classic "
+    "high-degree-vertex mitigation).",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_COOCCUR)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    membership = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        membership.groupBy(F.col("node").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "partkey")
+        .limit(20)
+    )

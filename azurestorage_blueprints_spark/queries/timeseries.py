@@ -362,3 +362,105 @@ def q_ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             in_tol.alias("matched"),
         )
     )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+      FROM events WHERE user_id % 50 = 0
+    )
+    SELECT user_id, event_id, value,
+           list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.5 + x)
+             / (CAST((1::BIGINT << len(arr)) - 1 AS DOUBLE)
+                / CAST(1::BIGINT << (len(arr) - 1) AS DOUBLE)) AS ewma
+    FROM s
+    """,
+    doc="Exponentially-weighted moving average (alpha = 1/2) over each "
+    "user's last 8 values: the window collects the trailing frame in time "
+    "order and a sequential fold halves the accumulator per step, so every "
+    "weight is an exact power of two (multiplication by 0.5 is an exponent "
+    "shift — no rounding) and the only rounding is the per-step add, "
+    "performed in the identical order on both engines. The normalizer "
+    "(2^n - 1) / 2^(n-1) is exact integer shift arithmetic. alpha = 1/2 is "
+    "the one EWMA the IEEE grid makes bit-deterministic; other alphas ride "
+    "the same plan shape. One shuffle on user_id; the frame is O(1) per row.",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    s = e.select(
+        "user_id", "event_id", "value", F.collect_list("value").over(w).alias("arr")
+    )
+    num = F.aggregate("arr", F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x)
+    den = F.expr(
+        "CAST(shiftleft(1L, size(arr)) - 1 AS DOUBLE)"
+        " / CAST(shiftleft(1L, size(arr) - 1) AS DOUBLE)"
+    )
+    return s.select("user_id", "event_id", "value", (num / den).alias("ewma"))
+
+
+@register(
+    "q_ts_zscore_anomaly",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v3, ts
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id, event_id, value, v3,
+             count(v3) OVER w AS n,
+             CAST(sum(v3) OVER w AS BIGINT) AS s,
+             CAST(sum(v3 * v3) OVER w AS BIGINT) AS q2
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value,
+           CAST(v3 * n - s AS DOUBLE) / sqrt(CAST(n * q2 - s * s AS DOUBLE)) AS z
+    FROM stats
+    WHERE n >= 8 AND n * q2 - s * s > 0
+      AND abs(CAST(v3 * n - s AS DOUBLE) / sqrt(CAST(n * q2 - s * s AS DOUBLE))) > 3.0
+    """,
+    doc="Trailing z-score anomaly detection: each event is scored against "
+    "the mean/stddev of its user's previous 16 values (current row "
+    "excluded). Values are quantized to exact milli-units once, the "
+    "window accumulates bigint sum and sum-of-squares (order-free integer "
+    "arithmetic), and z = (x*n - S) / sqrt(n*Q - S^2) is algebraically the "
+    "centered/scaled score computed from exact integers with one double "
+    "division — bit-deterministic across engines where a naive "
+    "mean/variance over shuffled doubles never is. Warm-up (< 8 prior "
+    "events) and zero-variance windows are excluded. One shuffle on "
+    "user_id; O(1) state per row — the same computation "
+    "applyInPandasWithState runs in the streaming form.",
+)
+def q_ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)").alias("v3"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-16, -1)
+    stats = q.select(
+        "user_id",
+        "event_id",
+        "value",
+        "v3",
+        F.count("v3").over(w).alias("n"),
+        F.sum("v3").over(w).alias("s"),
+        F.sum(F.col("v3") * F.col("v3")).over(w).alias("q2"),
+    )
+    z = F.expr("CAST(v3 * n - s AS DOUBLE) / sqrt(CAST(n * q2 - s * s AS DOUBLE))")
+    return (
+        stats.filter((F.col("n") >= 8) & (F.col("n") * F.col("q2") - F.col("s") * F.col("s") > 0))
+        .select("user_id", "event_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
