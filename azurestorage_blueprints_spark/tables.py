@@ -47,26 +47,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (parquet scan — columnar, with
     predicate pushdown and column pruning left to Catalyst).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's
-    reader rejects (PARQUET_TYPE_ILLEGAL); we read it as long via the
-    ``nanosAsLong`` legacy conf and truncate to microseconds with
-    integer arithmetic (``ts div 1000`` — exact for int64, matching
-    DuckDB's ns→us truncation bit-for-bit).
+    ``events.ts`` has shipped in two parquet encodings across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's reader rejects without
+    the ``nanosAsLong`` legacy conf — we then truncate ns→us with
+    ``ts div 1000``, exact int64 arithmetic matching DuckDB) and plain
+    TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ — no conversion).
+    We branch on the actual read dtype so either generation works.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestampadd on an NTZ base is pure integer arithmetic — independent
-        # of the session timezone (timestamp_micros().cast(ntz) is NOT: it
-        # renders through the session zone and shifts under TZ!=UTC drivers)
-        return _spread(spark, spark.read.parquet(path), name).withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # nanos-as-long generation: timestampadd on an NTZ base is pure
+            # integer arithmetic — independent of the session timezone
+            # (timestamp_micros().cast(ntz) is NOT: it renders through the
+            # session zone and shifts under TZ!=UTC drivers)
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return _spread(spark, df, name)
     return _spread(spark, spark.read.parquet(path), name)
 
 
