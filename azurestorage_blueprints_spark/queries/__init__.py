@@ -94,6 +94,7 @@ def load_all() -> dict[str, Query]:
     """
     from azurestorage_blueprints_spark.queries import (  # noqa: F401
         behavior,
+        corpus_ops,
         curation,
         dedup,
         fileops,
@@ -102,6 +103,7 @@ def load_all() -> dict[str, Query]:
         maintenance,
         misc_ops,
         relational,
+        relational_ext,
         sampling,
         similarity,
         stats_q,

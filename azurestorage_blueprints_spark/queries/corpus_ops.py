@@ -1,0 +1,447 @@
+"""Corpus-surgery queries a large-scale training-data pipeline runs
+between scoring (llm_text) and dedup: n-gram language-model counts,
+C4-style rule filtering, token-budgeted mixture selection, weighted
+sampling, heavy-hitter vocabulary, inverted-index construction, URL
+canonicalization, and positional token explosion.
+
+All token work uses the whitespace tokenizer shared with llm_text
+(``filter(split(text,' '), t -> t <> '')``) so rule thresholds compose
+across modules. Determinism: counts are bigint, ratios are one
+int→double cast + one divide per output row (IEEE per-row, safe), and
+sampling keys are pure integer multiplicative hashes — no engine RNG.
+
+Scale posture (100 TB): every query here is one scan + one or two
+hash-aggs keyed on small values (tokens, sources, canonical URLs) —
+never on document text. The trigram/posting-list explosions fan out
+per token but aggregate immediately with map-side partial combine;
+the mixture/sampling queries add a single window over the per-source
+partitioning they already need. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+#: whitespace tokenizer (Spark column expr) — twin of the DuckDB
+#: ``list_filter(string_split(text, ' '), t -> t <> '')``
+_TOKS = "filter(split(text, ' '), t -> t <> '')"
+
+
+@register(
+    "q_ngram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM (
+        SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3
+      )
+    ),
+    cnt AS (
+      SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS tri_cnt
+      FROM tri GROUP BY w1, w2, w3
+    )
+    SELECT w1, w2, w3, tri_cnt,
+           CAST(SUM(tri_cnt) OVER (PARTITION BY w1, w2) AS BIGINT) AS ctx_cnt
+    FROM cnt
+    ORDER BY tri_cnt DESC, w1, w2, w3
+    LIMIT 20
+    """,
+    doc="Trigram language-model count table: every (w1,w2,w3) with its "
+    "count and the (w1,w2) context count (the numerator/denominator of "
+    "the conditional probability — kept as exact bigints so the result "
+    "is hash-checkable; the division is the caller's one cheap step). "
+    "Trigrams come from an in-array slide (transform over an index "
+    "sequence, JVM codegen) — no self-join, no positional shuffle; the "
+    "only exchanges are the trigram hash-agg (map-side combined) and "
+    "the tiny (w1,w2) window. Top-20 trigrams, fully ordered.",
+)
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tri = (
+        d.select(F.expr(_TOKS).alias("t"))
+        .filter(F.expr("size(t) >= 3"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> struct(t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2", "g.w3")
+    )
+    cnt = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("tri_cnt"))
+    w = Window.partitionBy("w1", "w2")
+    return (
+        cnt.withColumn("ctx_cnt", F.sum("tri_cnt").over(w).cast("bigint"))
+        .orderBy(F.desc("tri_cnt"), "w1", "w2", "w3")
+        .limit(20)
+    )
+
+
+#: C4-style rule thresholds (integer-only so both engines compare
+#: exactly): min tokens per doc, max single-token length, max chars per
+#: token (as n_chars <= ratio * n_tokens)
+_MIN_TOKENS = 5
+_MAX_TOK_LEN = 20
+_MAX_CHARS_PER_TOK = 15
+
+
+@register(
+    "q_text_c4_filters",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             list_max(list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               x -> len(x))) AS max_tok_len,
+             n_chars
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source,
+             (n_tokens >= {_MIN_TOKENS}) AS ok_len,
+             (max_tok_len <= {_MAX_TOK_LEN}) AS ok_tok,
+             (n_chars <= {_MAX_CHARS_PER_TOK} * n_tokens) AS ok_ratio
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok_len AND ok_tok AND ok_ratio THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_short,
+           CAST(sum(CASE WHEN NOT ok_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_longtok,
+           CAST(sum(CASE WHEN NOT ok_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ratio,
+           CAST(sum(CASE WHEN ok_len AND ok_tok AND ok_ratio THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS pass_rate
+    FROM flagged GROUP BY source
+    """,
+    doc="C4-style rule filtering scoreboard per source: minimum token "
+    "count, maximum single-token length, and a chars-per-token bound "
+    "(expressed as the integer inequality n_chars <= k*n_tokens so no "
+    "float crosses the comparison). One scan, per-row JVM expressions, "
+    "one hash-agg on source; the pass_rate double is a single "
+    "int→double divide per output row.",
+)
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "n_chars",
+        F.expr(f"size({_TOKS})").alias("n_tokens"),
+        F.expr(f"array_max(transform({_TOKS}, x -> length(x)))").alias("max_tok_len"),
+    )
+    flagged = scored.select(
+        "source",
+        (F.col("n_tokens") >= _MIN_TOKENS).alias("ok_len"),
+        (F.col("max_tok_len") <= _MAX_TOK_LEN).alias("ok_tok"),
+        (F.col("n_chars") <= _MAX_CHARS_PER_TOK * F.col("n_tokens")).alias("ok_ratio"),
+    )
+    all_ok = F.col("ok_len") & F.col("ok_tok") & F.col("ok_ratio")
+    npass = F.sum(F.when(all_ok, 1).otherwise(0))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        npass.alias("n_pass"),
+        F.sum(F.when(~F.col("ok_len"), 1).otherwise(0)).alias("n_fail_short"),
+        F.sum(F.when(~F.col("ok_tok"), 1).otherwise(0)).alias("n_fail_longtok"),
+        F.sum(F.when(~F.col("ok_ratio"), 1).otherwise(0)).alias("n_fail_ratio"),
+        (npass.cast("double") / F.count(F.lit(1))).alias("pass_rate"),
+    )
+
+
+#: per-source token budget for mixture selection (documents admitted in
+#: doc_id order until the running token total would exceed this)
+_TOKEN_BUDGET = 2000
+
+
+@register(
+    "q_mixture_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    running AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           max(doc_id) AS last_doc_id
+    FROM running
+    WHERE cum_tokens <= {_TOKEN_BUDGET}
+    GROUP BY source
+    """,
+    doc="Token-budgeted mixture selection: admit documents per source in "
+    "deterministic doc_id order until the running token total reaches "
+    "the per-source budget — how a pretraining mixture caps each "
+    "domain's contribution. One window (cumulative sum over the "
+    "per-source ordering) + one filter + one agg; the window partition "
+    "is the same key as the final group, so the plan is a single "
+    "shuffle on source.",
+)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", F.expr(f"size({_TOKS})").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return (
+        running.filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+#: Knuth multiplicative-hash constant (public domain; 2^32 * golden
+#: ratio conjugate) and a prime modulus — the same engine-independent
+#: integer-hash family used by queries/sampling.py
+_HASH_MULT = 2654435761
+_HASH_MOD = 1000003
+_WEIGHTED_K = 5
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ((doc_id * {_HASH_MULT}) % {_HASH_MOD}) // GREATEST(n_chars, 1)
+               AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, priority,
+             row_number() OVER (
+               PARTITION BY source ORDER BY priority, doc_id
+             ) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(priority AS BIGINT) AS priority,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_WEIGHTED_K}
+    """,
+    doc="Deterministic weighted sampling (k per source, weight = doc "
+    "size): each doc gets an integer priority hash(doc_id)/weight — the "
+    "integer-arithmetic analogue of exponential-clock weighted "
+    "reservoir sampling (bigger weight → smaller expected priority) — "
+    "and the k smallest priorities per source win. Pure multiplicative "
+    "hash, no RNG, so the sample is identical on any engine, any "
+    "cluster size, any retry. One window on the per-source partition.",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.expr(
+            f"(doc_id * {_HASH_MULT}) % {_HASH_MOD} "
+            f"div greatest(n_chars, 1)"
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _WEIGHTED_K)
+        .select("source", "doc_id", F.col("priority").cast("bigint").alias("priority"), "rn")
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    tot AS (
+      SELECT token, cnt, CAST(SUM(cnt) OVER () AS BIGINT) AS total FROM cnt
+    )
+    SELECT token, cnt,
+           CAST(cnt AS DOUBLE) * 100.0 / total AS share_pct
+    FROM tot
+    WHERE cnt * 100 >= total
+    ORDER BY cnt DESC, token
+    """,
+    doc="Heavy-hitter vocabulary: tokens holding at least 1% of all "
+    "token mass (the threshold is the integer inequality cnt*100 >= "
+    "total — no float in the cut). The explode→count agg is map-side "
+    "combined (per-partition partial counts), so the shuffle carries "
+    "one row per distinct token per partition — the exact-count "
+    "equivalent of a Misra-Gries pass, and the output is small by "
+    "construction (≤100 rows can pass a 1% threshold).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cnt.withColumn("total", F.sum("cnt").over(Window.partitionBy()).cast("bigint"))
+    return (
+        tot.filter(F.col("cnt") * 100 >= F.col("total"))
+        .select(
+            "token",
+            "cnt",
+            (F.col("cnt").cast("double") * 100.0 / F.col("total")).alias("share_pct"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+    )
+
+
+#: document-frequency floor for a token to earn a posting list, and the
+#: posting-list cap (both keep the output bounded at any corpus size)
+_MIN_DF = 50
+_POSTINGS_CAP = 10
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    idx AS (
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS df,
+             array_to_string(list_sort(list(doc_id))[1:{_POSTINGS_CAP}], ',')
+               AS postings_head
+      FROM pairs GROUP BY token
+    )
+    SELECT token, df, postings_head
+    FROM idx WHERE df >= {_MIN_DF}
+    ORDER BY df DESC, token
+    LIMIT 50
+    """,
+    doc="Inverted-index construction: token → document frequency + the "
+    "first 10 postings (sorted doc_ids, serialized to a string so the "
+    "row is flat and hash-comparable). The (doc_id, token) distinct "
+    "dedups within-doc repeats BEFORE the posting agg, the df floor "
+    "prunes the singleton long tail, and the cap bounds every posting "
+    "list — the three knobs that keep index construction linear-ish at "
+    "100 TB. Postings aggregate via collect_set→array_sort (exact, "
+    "order-insensitive).",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(F.expr(_TOKS)).alias("token")).distinct()
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.expr(
+                f"array_join(slice(array_sort(collect_set(doc_id)), 1, {_POSTINGS_CAP}), ',')"
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= _MIN_DF)
+        .orderBy(F.desc("df"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "q_url_canonicalize",
+    oracle="""
+    WITH urls AS (
+      SELECT 'https://' || source || '.example.com/' || lang || '/'
+             || CAST(doc_id % 20 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT lower(regexp_replace(regexp_replace(url, '\\?.*$', ''), '/+$', ''))
+               AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls
+    FROM canon GROUP BY canonical_url
+    ORDER BY n_urls DESC, canonical_url
+    LIMIT 40
+    """,
+    doc="URL canonicalization for web-corpus dedup: strip query strings "
+    "and trailing slashes, lowercase, then count how many raw URLs "
+    "collapse onto each canonical form. (URLs are synthesized "
+    "deterministically from source/lang/doc_id since the corpus has no "
+    "URL column — the canonicalization pipeline is the operator under "
+    "test.) Per-row regex + one hash-agg on the canonical key; the "
+    "group key is a short URL, never document text.",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+    )
+    canonical = F.lower(
+        F.regexp_replace(F.regexp_replace(url, r"\?.*$", ""), r"/+$", "")
+    ).alias("canonical_url")
+    return (
+        d.select(canonical)
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy(F.desc("n_urls"), "canonical_url")
+        .limit(40)
+    )
+
+
+@register(
+    "q_posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(t))) - 1 AS BIGINT) AS pos,
+           unnest(t) AS token
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+    doc="Positional token explosion (posexplode): one row per (doc, "
+    "position, token) — the layout attention-window analyses and "
+    "position-aware n-gram passes start from. Spark's posexplode "
+    "generator runs inside the scan stage (no shuffle at all); the "
+    "doc_id predicate is pushed to the parquet scan. The DuckDB twin "
+    "zips two aligned unnests (values + 1-based index, re-based to 0).",
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+    )

@@ -213,3 +213,82 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "partkey")
         .limit(20)
     )
+
+
+#: BFS seed set (customer keys) and hop limit
+_SEED_MAX = 10
+_MAX_HOPS = 3
+
+
+@register(
+    "q_graph_khop",
+    oracle=f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o_custkey AS c, {_SUPP_OFF} + l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM e0
+      UNION ALL
+      SELECT s AS src, c AS dst FROM e0
+    ),
+    bfs(node, hop) AS (
+      SELECT CAST(c_custkey AS BIGINT), 0
+      FROM customer WHERE c_custkey < {_SEED_MAX}
+      UNION
+      SELECT e.dst, b.hop + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hop < {_MAX_HOPS}
+    ),
+    dist AS (SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node)
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hop ORDER BY hop
+    """,
+    doc="K-hop BFS reachability over the undirected customer–supplier "
+    "purchase graph from a fixed seed set (custkey < 10): how many "
+    "nodes first become reachable at each hop ≤ 3. Spark expands one "
+    "frontier per iteration (join frontier→edges, union, min-hop agg — "
+    "the standard distributed BFS step, shuffles keyed on node id); "
+    "the DuckDB twin is a recursive CTE whose UNION-distinct on "
+    "(node, hop) bounds path re-enumeration, collapsed to min-hop. At "
+    "100 TB: pre-partition edges by src so every frontier join is "
+    "co-located, and localCheckpoint the visited set per hop to "
+    "truncate lineage (operators/graph.py pattern).",
+)
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_SUPP_OFF) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    visited = cust.filter(F.col("c_custkey") < _SEED_MAX).select(
+        F.col("c_custkey").cast("bigint").alias("node"), F.lit(0).alias("hop")
+    )
+    for h in range(1, _MAX_HOPS + 1):
+        frontier = visited.filter(F.col("hop") == h - 1)
+        expand = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"), F.lit(h).alias("hop"))
+        )
+        visited = (
+            visited.union(expand)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        visited.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hop")
+    )
