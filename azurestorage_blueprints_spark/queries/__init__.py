@@ -101,6 +101,7 @@ def load_all() -> dict[str, Query]:
         graph_q,
         llm_text,
         maintenance,
+        mining,
         misc_ops,
         relational,
         relational_ext,

@@ -514,3 +514,103 @@ def q_embed_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(1000000000.0))
         ).alias("centroid"),
     )
+
+
+#: fixed-point scales for the power iteration: products quantized to
+#: micros (1e6) before any shuffled sum, direction components kept at
+#: 1e-6 resolution. Bounds: with |component| <= 0.6 and 64 dims,
+#: |score| <= 40, so the per-dim contribution sum stays under
+#: ~40e6 * N — raise the quantum (lower precision) if N approaches
+#: 2^63 / 4e7 ≈ 2e11 vectors.
+_PCA_Q = 1_000_000
+_PCA_ITERS = 2
+
+
+def _pca_oracle() -> str:
+    q = _PCA_Q
+    it = """
+    s{k} AS (
+      SELECT p.vec_id,
+             CAST(SUM(CAST(round(p.val * v.v * {q}.0) AS BIGINT)) AS BIGINT)
+               AS s_micro
+      FROM p JOIN v{j} v USING (dim) GROUP BY p.vec_id
+    ),
+    c{k} AS (
+      SELECT p.dim,
+             CAST(SUM(CAST(round(p.val * (s.s_micro / {q}.0) * {q}.0) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM p JOIN s{k} s USING (vec_id) GROUP BY p.dim
+    ),
+    m{k} AS (SELECT MAX(ABS(c)) AS m FROM c{k}),
+    v{k} AS (
+      SELECT dim,
+             CAST(((c + m) * {q}) // m AS BIGINT) / {q}.0 - 1.0 AS v
+      FROM c{k}, m{k}
+    )"""
+    iters = ",".join(it.format(k=k, j=k - 1, q=q) for k in range(1, _PCA_ITERS + 1))
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM embeddings
+    ),
+    v0 AS (SELECT DISTINCT dim, 1.0 AS v FROM p),
+    {iters}
+    SELECT dim, v AS weight FROM v{_PCA_ITERS} ORDER BY dim
+    """
+
+
+@register(
+    "q_embed_pca_power",
+    oracle=_pca_oracle(),
+    doc="Top principal direction of the embedding corpus by power "
+    "iteration (2 rounds of v ← normalize(Σᵢ xᵢ(xᵢ·v)) from the all-ones "
+    "start), expressed so an ITERATIVE LINEAR-ALGEBRA result is exact "
+    "and hash-checkable: every shuffled sum accumulates micro-quantized "
+    "integers (round(product*1e6) as bigint — double sums over shuffled "
+    "groups are partition-order-dependent and can never hash-match), "
+    "and the per-round normalization is positive-range integer floor "
+    "division (components shifted by +max before dividing, so floor "
+    "and truncate agree on both engines). Shape per round: broadcast "
+    "the 64-row direction onto the (vec_id, dim, val) posting table, "
+    "one agg keyed on vec_id (scores), one keyed on dim "
+    "(contributions) — two shuffles of scalar rows per iteration, the "
+    "distributed power-method step that scales to billions of vectors. "
+    "The DuckDB twin unrolls the same rounds as CTEs.",
+)
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = _PCA_Q
+    p = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "valf")
+    ).select("vec_id", "dim", F.col("valf").cast("double").alias("val"))
+    v = p.select("dim").distinct().select("dim", F.lit(1.0).alias("v"))
+    for _ in range(_PCA_ITERS):
+        s = (
+            p.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.expr(f"cast(round(val * v * {q}.0) as bigint)"))
+                .cast("bigint")
+                .alias("s_micro")
+            )
+            .select("vec_id", (F.col("s_micro") / float(q)).alias("s"))
+        )
+        c = (
+            p.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(F.expr(f"cast(round(val * s * {q}.0) as bigint)"))
+                .cast("bigint")
+                .alias("c")
+            )
+        )
+        m = c.agg(F.max(F.abs(F.col("c"))).alias("m"))
+        v = c.crossJoin(F.broadcast(m)).select(
+            "dim",
+            (
+                F.expr(f"cast(((c + m) * {q}) div m as bigint)") / float(q) - 1.0
+            ).alias("v"),
+        )
+    return v.select(F.col("dim").cast("int").alias("dim"), F.col("v").alias("weight")).orderBy("dim")
