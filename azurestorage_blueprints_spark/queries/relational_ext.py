@@ -197,3 +197,269 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("b_n") - F.col("a_n0")).cast("bigint").alias("order_delta"),
         )
     )
+
+
+@register(
+    "q_ts_multires_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+           CAST(GROUPING(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS is_day_level,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY GROUPING SETS (
+      (event_type, CAST(ts AS DATE)),
+      (event_type, CAST(ts AS DATE), CAST(EXTRACT(hour FROM ts) AS BIGINT))
+    )
+    """,
+    doc="Hypertable-style multi-resolution rollup: hourly AND daily "
+    "aggregates of the event stream in ONE scan via GROUPING SETS — "
+    "the continuous-aggregate pattern time-series stores maintain as "
+    "materialized rollups. GROUPING() disambiguates the day-level rows "
+    "(hr is NULL there); value is cent-quantized before the sum so "
+    "every aggregate is exact. Spark expands the two sets in a single "
+    "Expand node feeding one hash-agg — at 100 TB this halves the "
+    "scan cost vs running per-resolution queries, and the output IS "
+    "the rollup table you would persist.",
+)
+def q_ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               CAST(GROUPING(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS is_day_level,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY GROUPING SETS (
+          (event_type, CAST(ts AS DATE)),
+          (event_type, CAST(ts AS DATE), CAST(EXTRACT(hour FROM ts) AS BIGINT))
+        )
+        """
+    )
+
+
+@register(
+    "q_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS nation_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, nation_cents,
+           CAST(SUM(nation_cents) OVER (PARTITION BY region) AS BIGINT)
+             AS region_cents,
+           CAST(nation_cents AS DOUBLE)
+             / SUM(nation_cents) OVER (PARTITION BY region) AS revenue_share
+    FROM rev
+    """,
+    doc="Ratio-to-report: each nation's share of its region's order "
+    "revenue — the windowed percent-of-total every BI layer computes. "
+    "Revenue is cent-quantized (exact bigint sums); the share is one "
+    "int→double divide per output row. The dimension joins (customer→"
+    "nation→region) broadcast; the window partitions on the 5-row "
+    "region key AFTER aggregation to 25 nation rows, so the window "
+    "cost is nil at any input scale.",
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100.0) as bigint)"))
+            .cast("bigint")
+            .alias("nation_cents")
+        )
+    )
+    w = Window.partitionBy("region")
+    region_cents = F.sum("nation_cents").over(w).cast("bigint")
+    return rev.select(
+        "region",
+        "nation",
+        "nation_cents",
+        region_cents.alias("region_cents"),
+        (F.col("nation_cents").cast("double") / F.sum("nation_cents").over(w)).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@register(
+    "q_stats_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, m.med,
+           quantile_disc(abs(e.value - m.med), 0.5) AS mad,
+           CAST(count(e.value) AS BIGINT) AS n
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type, m.med
+    """,
+    doc="Median absolute deviation (robust dispersion) per event type: "
+    "the two-pass exact computation — per-group discrete median, "
+    "broadcast back, then the discrete median of absolute deviations. "
+    "Both medians are percentile_disc (actual data values, so the "
+    "doubles hash exactly; the deviation |x - med| is one per-row IEEE "
+    "subtract). MAD is the outlier-resistant spread the z-score "
+    "anomaly query (q_ts_zscore_anomaly) should graduate to when the "
+    "value distribution is heavy-tailed.",
+)
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))"
+            ).alias("mad"),
+            F.count("value").alias("n"),
+        )
+        .select("event_type", "med", "mad", "n")
+    )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             max(o.o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    scored AS (
+      SELECT c_mktsegment,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY last_order, c_custkey) AS r,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY freq, c_custkey) AS f,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents, c_custkey) AS m
+      FROM rfm
+    )
+    SELECT c_mktsegment,
+           CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY c_mktsegment, r * 100 + f * 10 + m
+    """,
+    doc="RFM segmentation: recency/frequency/monetary quartiles per "
+    "customer (ntile(4) within each market segment, totally ordered "
+    "with the customer key as tie-break so bucket edges are "
+    "deterministic), combined into the classic 3-digit segment code "
+    "and counted. All three windows share the c_mktsegment "
+    "partitioning — one shuffle, three ntile passes over "
+    "already-aggregated per-customer rows. At 100 TB the per-segment "
+    "sort is the cost; pre-aggregation (one row per customer) keeps "
+    "it proportional to customers, never orders.",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rfm = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.expr("cast(round(o_totalprice * 100.0) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    r = F.ntile(4).over(seg.orderBy("last_order", "c_custkey"))
+    f = F.ntile(4).over(seg.orderBy("freq", "c_custkey"))
+    m = F.ntile(4).over(seg.orderBy("cents", "c_custkey"))
+    return (
+        rfm.select(
+            "c_mktsegment", (r * 100 + f * 10 + m).cast("bigint").alias("rfm_segment")
+        )
+        .groupBy("c_mktsegment", "rfm_segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+#: columns profiled by q_table_profile (name, typed min/max stringify
+#: identically on both engines: bigint and date — doubles deliberately
+#: excluded, their string renderings differ)
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_table_profile",
+    oracle=_profile_oracle(),
+    doc="Table profiling (ANALYZE-style statistics): per-column row "
+    "count, null count, exact distinct count, and min/max — the "
+    "data-quality summary every ingestion pipeline publishes. One "
+    "branch per column unioned: each branch's scan prunes to a single "
+    "column (columnar parquet reads exactly one column per branch), "
+    "which beats a single multi-distinct pass — Spark plans that via "
+    "Expand, replicating every row once per distinct column. Min/max "
+    "are stringified for a uniform schema; double columns are excluded "
+    "because float formatting is engine-specific.",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    branches = []
+    for c in _PROFILE_COLS:
+        branches.append(
+            o.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
