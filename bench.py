@@ -54,6 +54,13 @@ HEADLINE = [
     "q_join_prefiltered",
     "q_zorder_layout",
     "q_pagerank_fixedpoint",
+    # round-3 families
+    "q_ngram_lm",
+    "q_market_basket",
+    "q_graph_khop",
+    "q_ts_multires_rollup",
+    "q_attribution_first_touch",
+    "q_embed_pca_power",
 ]
 
 
