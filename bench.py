@@ -77,27 +77,32 @@ def main() -> None:
     registry = load_all()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         # per-query warm-up: whole-stage codegen compiles once per plan
         # (JIT + parquet footers on the first pass); the timed pass
         # measures steady-state execution, which is what scales — the
-        # one-time compile amortizes to zero on a real workload
-        run_query(registry[name].fn(spark, sf_dir))
-        t0 = time.perf_counter()
-        run_query(registry[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # one-time compile amortizes to zero on a real workload.
+        # Failures are isolated per query: one broken plan must not
+        # erase the benchmark line for the other queries.
+        try:
+            run_query(registry[name].fn(spark, sf_dir))
+            t0 = time.perf_counter()
+            run_query(registry[name].fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
