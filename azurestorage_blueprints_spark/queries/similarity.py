@@ -582,9 +582,14 @@ def _pca_oracle() -> str:
 def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = _PCA_Q
-    p = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "valf")
-    ).select("vec_id", "dim", F.col("valf").cast("double").alias("val"))
+    # materialize the exploded (vec_id, dim, val) triples once — every
+    # iteration reads them twice (scores + contributions), so without
+    # the checkpoint the posexplode replays 2x per round
+    p = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "valf"))
+        .select("vec_id", "dim", F.col("valf").cast("double").alias("val"))
+        .localCheckpoint(eager=False)
+    )
     v = p.select("dim").distinct().select("dim", F.lit(1.0).alias("v"))
     for _ in range(_PCA_ITERS):
         s = (
