@@ -146,11 +146,19 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toked = d.select("doc_id", "source", tokens(F.col("text")).alias("tk"))
+    # the exploded shingle set feeds three consumers (eval side, the
+    # contamination join, and the train-doc census) — materialize it
+    # once instead of replaying tokenize+shingle per consumer
     sh = toked.select(
         "doc_id", "source",
         F.explode(F.array_distinct(word_shingles(F.col("tk"), k=5))).alias("shingle"),
+    ).localCheckpoint(eager=False)
+    # eval sets are small by construction (heldout benchmarks, not the
+    # corpus), so the shingle drop-list broadcasts — the train side is
+    # never shuffled for the overlap check
+    eval_sh = F.broadcast(
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     )
-    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     train = sh.filter(F.col("doc_id") % 97 != 0)
     contaminated = (
         train.join(eval_sh, "shingle")

@@ -68,7 +68,11 @@ _MIN_SUPPORT = 3
 )
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket relation feeds three consumers (census,
+    # singleton counts, both self-join sides) — materialize it once
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    )
     n_baskets = baskets.select(
         F.countDistinct("l_orderkey").alias("n")
     )
@@ -92,9 +96,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (F.col("pair_cnt") * F.col("n")).cast("double") / (
         F.col("cnt_a") * F.col("cnt_b")
     )
+    # singleton counts are one row per part — broadcast both sides so
+    # the support-filtered pairs never shuffle for the lift join
     return (
-        pairs.join(sa, "part_a")
-        .join(sb, "part_b")
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
         .crossJoin(F.broadcast(n_baskets))
         .select("part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b", lift.alias("lift"))
         .orderBy(F.desc("pair_cnt"), F.desc("lift"), "part_a", "part_b")
