@@ -103,6 +103,7 @@ def load_all() -> dict[str, Query]:
         maintenance,
         mining,
         misc_ops,
+        quality,
         relational,
         relational_ext,
         sampling,

@@ -474,3 +474,54 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("kept_chars"),
         (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_dropped"),
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+      FROM documents WHERE doc_id < 200),
+    sizes AS (SELECT doc_id, len(toks) AS n FROM docs),
+    posting AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM posting a JOIN posting b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+    FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+                 JOIN sizes sb ON i.b_id = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+    """,
+    doc="Containment near-dup detection: |A∩B| / min(|A|,|B|) over token "
+    "sets — the measure that catches a document EMBEDDED in a larger one "
+    "(quotes, boilerplate wrappers, page-of-pages scrapes), which "
+    "symmetric Jaccard under-scores because the union is dominated by "
+    "the larger doc. Same inverted-index shape as q_dedup_jaccard "
+    "(explode -> equi-join -> pair counts), different denominator; at "
+    "scale the candidate pairs come from MinHash-LSH band buckets and "
+    "this is the refine predicate.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    sizes = docs.select("doc_id", F.size("toks").alias("n"))
+    posting = docs.select("doc_id", F.explode("toks").alias("tok"))
+    a = posting.select(F.col("doc_id").alias("a_id"), "tok")
+    b = posting.select(F.col("doc_id").alias("b_id"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.8)
+    )

@@ -179,3 +179,95 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").cast("int").alias("min_z"),
         F.max("zkey").cast("int").alias("max_z"),
     )
+
+
+#: zone-map file proxy: rows per simulated file (event_id is
+#: write-ordered in the testdata, so ts zone maps genuinely prune)
+_ZM_FILE_ROWS = 2_000
+#: the probe predicate the pruning report evaluates
+_ZM_TS_LO, _ZM_TS_HI = "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+_ZM_USER_MIN = 50
+
+
+@register(
+    "q_zonemap_pruning",
+    oracle=f"""
+    WITH zm AS (
+      SELECT event_id // {_ZM_FILE_ROWS} AS file_id,
+             min(ts) AS min_ts, max(ts) AS max_ts,
+             CAST(min(user_id) AS BIGINT) AS min_user,
+             CAST(max(user_id) AS BIGINT) AS max_user,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{_ZM_TS_LO}'
+                            AND ts < TIMESTAMP '{_ZM_TS_HI}'
+                            AND user_id >= {_ZM_USER_MIN}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+      FROM events GROUP BY 1
+    )
+    SELECT file_id, min_ts, max_ts, min_user, max_user, n_rows, n_matching,
+           CASE
+             WHEN max_ts < TIMESTAMP '{_ZM_TS_LO}'
+               OR min_ts >= TIMESTAMP '{_ZM_TS_HI}'
+               OR max_user < {_ZM_USER_MIN} THEN 'skip'
+             WHEN min_ts >= TIMESTAMP '{_ZM_TS_LO}'
+              AND max_ts < TIMESTAMP '{_ZM_TS_HI}'
+              AND min_user >= {_ZM_USER_MIN} THEN 'full'
+             ELSE 'partial'
+           END AS scan_class
+    FROM zm
+    """,
+    doc="Zone-map (min/max statistics) pruning report: build per-file "
+    "column statistics — the footer metadata parquet/Iceberg/Delta keep "
+    "— over write-order file bins, then classify each file against a "
+    "probe predicate as skip (statistics alone disprove any match), "
+    "full (statistics alone prove every row matches) or partial (must "
+    "read). n_matching rides the same single scan, so the report also "
+    "quantifies pruning effectiveness (rows in skipped files are never "
+    "touched at read time). This is the data-skipping contract the "
+    "engine's scan planning relies on at 100 TB; the Z-order layout "
+    "query (q_zorder_layout) exists to make these zone maps tight on "
+    "multi-column predicates.",
+)
+def q_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    lo = F.lit(_ZM_TS_LO).cast("timestamp_ntz")
+    hi = F.lit(_ZM_TS_HI).cast("timestamp_ntz")
+    matches = (
+        (F.col("ts") >= lo) & (F.col("ts") < hi) & (F.col("user_id") >= _ZM_USER_MIN)
+    )
+    zm = (
+        ev.groupBy(F.expr(f"event_id div {_ZM_FILE_ROWS}").alias("file_id"))
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(matches, 1).otherwise(0)).cast("bigint").alias("n_matching"),
+        )
+    )
+    scan_class = (
+        F.when(
+            (F.col("max_ts") < lo)
+            | (F.col("min_ts") >= hi)
+            | (F.col("max_user") < _ZM_USER_MIN),
+            F.lit("skip"),
+        )
+        .when(
+            (F.col("min_ts") >= lo)
+            & (F.col("max_ts") < hi)
+            & (F.col("min_user") >= _ZM_USER_MIN),
+            F.lit("full"),
+        )
+        .otherwise(F.lit("partial"))
+    )
+    return zm.select(
+        "file_id",
+        "min_ts",
+        "max_ts",
+        "min_user",
+        "max_user",
+        "n_rows",
+        "n_matching",
+        scan_class.alias("scan_class"),
+    )

@@ -1,0 +1,148 @@
+"""Data-quality constraint checking as a first-class query family.
+
+A 100 TB training-data pipeline gates every ingest on a constraint
+suite (the pattern popularized by Deequ/Great Expectations): key
+uniqueness, referential integrity, null contracts, value domains and
+ranges — each evaluated as a full-table aggregate, reported as one row
+per constraint with checked/violation counts. The whole suite compiles
+to one Spark job of independent single-pass aggregates (Catalyst
+shares nothing between them, so they parallelize as separate stages;
+each is scan → partial agg → 1-row exchange). Referential checks are
+anti-join counts — at scale the dimension side stays a shuffle-hash
+join build or a broadcast when it fits, never a driver collect.
+
+Reference parity: the closest behavior in the reference is the
+empty-result / missing-blob error matrix (SURVEY §2.1 E2,
+``download_file.py`` error handling) — this family generalizes that
+"did the data meet the contract?" gate to relational contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.tables import table
+
+
+@register(
+    "q_dq_constraints",
+    oracle="""
+    SELECT 'unique_o_orderkey' AS check_name, 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'fk_orders_customer', 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'fk_lineitem_orders', 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'not_null_c_name', 'customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'range_l_quantity_1_50', 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'domain_o_orderstatus', 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'not_null_value', 'events',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    """,
+    doc="Deequ-style data-quality constraint suite: key uniqueness, two "
+    "referential-integrity checks, a NOT NULL contract, a numeric range, "
+    "and a categorical domain — one row per constraint with checked and "
+    "violation counts. Every check is a single-pass aggregate (uniqueness "
+    "via count - count distinct, FKs via outer-join null counts — the "
+    "anti-join count expressed so one join serves both counters); all "
+    "integer arithmetic, so the report is value-hash exact.",
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+
+    def report(name: str, tbl: str, df: DataFrame, violation) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("checked"),
+            F.sum(F.when(violation, 1).otherwise(0)).cast("bigint").alias("violations"),
+        ).select(
+            F.lit(name).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            "checked",
+            "violations",
+        )
+
+    uniq = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("violations"),
+    ).select(
+        F.lit("unique_o_orderkey").alias("check_name"),
+        F.lit("orders").alias("tbl"),
+        "checked",
+        "violations",
+    )
+    fk_oc = report(
+        "fk_orders_customer",
+        "orders",
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    fk_lo = report(
+        "fk_lineitem_orders",
+        "lineitem",
+        lineitem.select("l_orderkey").join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left",
+        ),
+        F.col("o_orderkey").isNull(),
+    )
+    nn_name = report(
+        "not_null_c_name", "customer", customer, F.col("c_name").isNull()
+    )
+    rng = report(
+        "range_l_quantity_1_50",
+        "lineitem",
+        lineitem,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    dom = report(
+        "domain_o_orderstatus",
+        "orders",
+        orders,
+        ~F.col("o_orderstatus").isin("F", "O", "P"),
+    )
+    nn_val = report("not_null_value", "events", events, F.col("value").isNull())
+    return (
+        uniq.unionByName(fk_oc)
+        .unionByName(fk_lo)
+        .unionByName(nn_name)
+        .unionByName(rng)
+        .unionByName(dom)
+        .unionByName(nn_val)
+    )

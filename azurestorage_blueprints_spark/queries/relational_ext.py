@@ -463,3 +463,163 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.union(b)
     return out
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS wt,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(l_extendedprice) AS w_median,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM w
+    WHERE 2 * cum >= total
+    GROUP BY l_returnflag
+    """,
+    doc="Weighted median of extended price per return flag, weighted by "
+    "quantity: the first value (in a deterministic total order — price, "
+    "then the unique line key) whose running weight reaches half the "
+    "group total. Two windows sharing ONE partitioning (a single "
+    "shuffle + sort per group), then a filter + min-agg — no self-join. "
+    "The median is an actual data value, so the double is bit-exact "
+    "across engines; weights stay integer.",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    wspec = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(F.col("l_quantity").cast("bigint")).over(wspec).alias("cum"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(wtot).alias("total"),
+    )
+    return (
+        w.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("w_median"),
+            F.min("total").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+#: equi-depth bucket count for the value-distribution histogram
+_EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile({_EQUIDEPTH_BUCKETS}) OVER (
+               ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY bucket
+    """,
+    doc="Equi-depth (equal-frequency) histogram of order totals — the "
+    "bucket-boundary statistic cost-based optimizers and data profilers "
+    "keep, complementary to the equi-width q_histogram. ntile over a "
+    "deterministic total order (value, unique key) assigns ranks; "
+    "bounds are actual data values (bit-exact doubles). The global sort "
+    "is the honest cost at small scale; at 100 TB this becomes "
+    "approx_percentile boundaries + one partitioned pass (the sketch "
+    "rung exists as q_approx_percentile_sketch).",
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        F.ntile(_EQUIDEPTH_BUCKETS)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "q_skyline_2d",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey, c.c_acctbal AS bal,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+    ),
+    pts AS (SELECT DISTINCT nationkey, bal, spend FROM spend)
+    SELECT p.nationkey, p.bal, p.spend
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.nationkey = p.nationkey
+        AND q.bal >= p.bal AND q.spend >= p.spend
+        AND (q.bal > p.bal OR q.spend > p.spend)
+    )
+    """,
+    doc="2D skyline (Pareto frontier) per nation over (account balance, "
+    "total spend): the customers no one in their nation dominates on "
+    "both axes. Spark avoids the quadratic NOT EXISTS the oracle uses: "
+    "after reducing to distinct points, one window pass in (bal DESC, "
+    "spend DESC) order keeps exactly the rows whose spend exceeds the "
+    "running max of all earlier (higher-balance) rows — the classic "
+    "sort-scan skyline, O(n log n) per group, one shuffle + sort. On "
+    "distinct points the prefix-max test is equivalent to dominance "
+    "(any earlier row has bal >= r; equal spend forces bal > r).",
+)
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    pts = spend.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("bal"),
+        "spend",
+    ).distinct()
+    prev_max = (
+        W.partitionBy("nationkey")
+        .orderBy(F.desc("bal"), F.desc("spend"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("m", F.max("spend").over(prev_max))
+        .filter(F.col("m").isNull() | (F.col("spend") > F.col("m")))
+        .select("nationkey", "bal", "spend")
+    )

@@ -619,3 +619,95 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     return v.select(F.col("dim").cast("int").alias("dim"), F.col("v").alias("weight")).orderBy("dim")
+
+
+#: quantization scales for the standardization pipeline (exact bigint
+#: accumulation; see q_embed_pca_power for the rationale)
+_STD_QV = 1_000_000
+_STD_QSQ = 1_000_000_000
+_STD_QZ = 10_000
+#: bound the emitted standardized vectors (stats still use ALL vectors)
+_STD_EMIT_MAX = 50
+
+
+@register(
+    "q_embed_standardize",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(sum(CAST(round(val * {_STD_QV}) AS BIGINT)) AS DOUBLE)
+               / (count(*) * {_STD_QV}.0) AS mu,
+             sqrt(
+               CAST(sum(CAST(round(val * val * {_STD_QSQ}) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * {_STD_QSQ}.0)
+               - pow(CAST(sum(CAST(round(val * {_STD_QV}) AS BIGINT)) AS DOUBLE)
+                       / (count(*) * {_STD_QV}.0), 2)
+             ) AS sigma
+      FROM p GROUP BY dim
+    )
+    SELECT p.vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           string_agg(
+             CAST(CAST(round((p.val - s.mu) / s.sigma * {_STD_QZ}) AS BIGINT)
+                  AS VARCHAR), ',' ORDER BY p.dim) AS z_quantized
+    FROM p JOIN stats s ON p.dim = s.dim
+    WHERE p.vec_id < {_STD_EMIT_MAX}
+    GROUP BY p.vec_id
+    """,
+    doc="Per-dimension standardization (z-scoring) of the embedding "
+    "corpus — the feature-scaling pass before clustering or PCA. "
+    "Dimension means and variances accumulate micro-quantized bigints "
+    "(shuffled double sums are partition-order-dependent; integer sums "
+    "are exact), the derived mu/sigma and each row's z-score are then "
+    "pure per-row IEEE arithmetic — deterministic on both engines — and "
+    "the emitted vector is quantized to 1e-4 and serialized dim-ordered "
+    "(array cells crash the driver canonicalizer). Shape: one "
+    "posexplode, one hash-agg per dim (D rows), broadcast of the stats "
+    "back onto the triples, one per-vector agg. The stats side is D "
+    "rows total at any corpus size.",
+)
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "valf")
+    ).select("vec_id", "dim", F.col("valf").cast("double").alias("val"))
+    stats = p.groupBy("dim").agg(
+        (
+            F.sum(F.expr(f"cast(round(val * {_STD_QV}) as bigint)")).cast("double")
+            / (F.count(F.lit(1)) * float(_STD_QV))
+        ).alias("mu"),
+        F.sqrt(
+            F.sum(F.expr(f"cast(round(val * val * {_STD_QSQ}) as bigint)")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * float(_STD_QSQ))
+            - F.pow(
+                F.sum(F.expr(f"cast(round(val * {_STD_QV}) as bigint)")).cast("double")
+                / (F.count(F.lit(1)) * float(_STD_QV)),
+                2,
+            )
+        ).alias("sigma"),
+    )
+    zq = F.expr(f"cast(round((val - mu) / sigma * {_STD_QZ}) as bigint)")
+    return (
+        p.filter(F.col("vec_id") < _STD_EMIT_MAX)
+        .join(F.broadcast(stats), "dim")
+        .withColumn("zq", zq)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "zq"))),
+                    lambda s: s["zq"].cast("string"),
+                ),
+            ).alias("z_quantized"),
+        )
+    )

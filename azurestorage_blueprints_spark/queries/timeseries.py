@@ -464,3 +464,84 @@ def q_ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 3.0)
     )
+
+
+#: nearest-match tolerance for the bidirectional as-of join
+_NEAREST_TOL_US = 15 * 60 * 1_000_000
+
+
+@register(
+    "q_ts_asof_nearest",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           m.click_event_id, m.click_ts, m.delta_us,
+           m.click_event_id IS NOT NULL AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT c.event_id AS click_event_id, c.ts AS click_ts,
+             CAST(abs(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS delta_us
+      FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= {_NEAREST_TOL_US}
+      ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), c.ts, c.event_id
+      LIMIT 1
+    ) m ON TRUE
+    """,
+    doc="Nearest-direction as-of join (pandas merge_asof "
+    "direction='nearest'): each purchase matches its temporally CLOSEST "
+    "click by the same user within ±15 minutes, either side — backward "
+    "(q_ts_asof_join) misses the click that lands seconds AFTER the "
+    "purchase event when clocks or pipelines reorder. Spark shape: "
+    "tolerance-sized time buckets, probe rows exploded into their "
+    "bucket and both neighbors, one equi-join on (user, bucket) — "
+    "candidates are provably bounded to |tol| windows, never a range "
+    "scan — then a per-purchase min by (|Δt|, click ts, click id) and a "
+    "left join back for the unmatched rows. One shuffle each side keyed "
+    "(user, bucket); the oracle is the quadratic LATERAL form.",
+)
+def q_ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.expr(epoch).alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.expr(epoch).alias("c_us"),
+    ).withColumn("bucket", F.expr(f"c_us div {_NEAREST_TOL_US}"))
+    probe = p.withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                f"array(p_us div {_NEAREST_TOL_US} - 1,"
+                f" p_us div {_NEAREST_TOL_US},"
+                f" p_us div {_NEAREST_TOL_US} + 1)"
+            )
+        ),
+    )
+    cand = (
+        probe.join(c, (probe.user_id == c.c_user) & (probe.bucket == c.bucket))
+        .withColumn("delta_us", F.abs(F.col("p_us") - F.col("c_us")))
+        .filter(F.col("delta_us") <= _NEAREST_TOL_US)
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_id").orderBy("delta_us", "click_ts", "click_event_id")
+        ),
+    ).filter(F.col("rn") == 1)
+    return p.join(
+        best.select("event_id", "click_event_id", "click_ts", "delta_us"),
+        "event_id",
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_ts",
+        "delta_us",
+        F.col("click_event_id").isNotNull().alias("matched"),
+    )
