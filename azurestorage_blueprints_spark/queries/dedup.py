@@ -525,3 +525,61 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", cont.alias("containment"))
         .filter(F.col("containment") >= 0.8)
     )
+
+
+#: entity-matching bounds: candidate universe and edit-distance band
+#: (distance 0 is exact duplication — q_dedup_exact's job, excluded)
+_ENTITY_KEY_MAX = 500
+_ENTITY_MAX_DIST = 4
+
+
+@register(
+    "q_entity_match_blocked",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+      FROM part WHERE p_partkey < {_ENTITY_KEY_MAX}
+    )
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_ENTITY_MAX_DIST}
+    """,
+    doc="Blocked fuzzy entity matching (record linkage): candidate pairs "
+    "share a blocking key (first name token) and match when edit "
+    "distance lands in (0, threshold] — distance 0 is exact duplication "
+    "and belongs to q_dedup_exact. The blocking+refine shape keeps the "
+    "quadratic comparator inside small blocks instead of across the "
+    "table; one shuffle on the blocking key. At 100 TB the block key "
+    "graduates to phonetic/sorted-neighborhood keys and skewed blocks "
+    "get the salted-join treatment (operators/skew.py). Levenshtein "
+    "evaluates JVM-side (codegen), and the threshold prunes before the "
+    "pair ever leaves the join. Bounded to a deterministic key range "
+    "like the other pairwise dedup rungs.",
+)
+def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(F.col("p_partkey") < _ENTITY_KEY_MAX)
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name").cast("bigint"))
+        .filter(F.col("dist").between(1, _ENTITY_MAX_DIST))
+        .select("a_key", "b_key", "a_name", "b_name", "dist")
+    )

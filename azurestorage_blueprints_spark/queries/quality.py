@@ -146,3 +146,79 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dom)
         .unionByName(nn_val)
     )
+
+
+#: the forget cohort: a deterministic customer predicate standing in
+#: for an erasure-request list (in production this arrives as a table)
+_FORGET_MOD = 211
+
+
+@register(
+    "q_forget_manifest",
+    oracle=f"""
+    WITH cohort AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {_FORGET_MOD} = 0
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+    )
+    SELECT 'customer' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_delete,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+    FROM cohort
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+    FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT)
+    FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+    UNION ALL
+    SELECT 'events', CAST(count(*) AS BIGINT),
+           CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT)
+    FROM events WHERE user_id IN (SELECT c_custkey FROM cohort)
+    """,
+    doc="Right-to-forget delete-propagation manifest: given an erasure "
+    "cohort of customers, walk the foreign-key graph (customer -> orders "
+    "-> lineitem, customer -> events) and report per-table delete counts "
+    "and key ranges — the manifest a GDPR/takedown pipeline hands to the "
+    "table writers before rewriting files. Every hop is a semi-join with "
+    "the (small) cohort or order-key list on the build side — broadcast "
+    "here, a shuffled semi-join at 100 TB — and the manifests are "
+    "integer aggregates, so the report is value-hash exact. The same "
+    "walk powers corpus takedowns on the documents table "
+    "(q_decontaminate shares the drop-list join shape).",
+)
+def q_forget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+
+    cohort = customer.filter(F.col("c_custkey") % _FORGET_MOD == 0).select("c_custkey")
+    o = orders.join(
+        F.broadcast(cohort), orders.o_custkey == cohort.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    def manifest(tbl: str, df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_delete"),
+            F.min(key).cast("bigint").alias("min_key"),
+            F.max(key).cast("bigint").alias("max_key"),
+        ).select(F.lit(tbl).alias("tbl"), "n_delete", "min_key", "max_key")
+
+    li = lineitem.join(
+        F.broadcast(o), lineitem.l_orderkey == o.o_orderkey, "left_semi"
+    )
+    ev = events.join(
+        F.broadcast(cohort), events.user_id == cohort.c_custkey, "left_semi"
+    )
+    return (
+        manifest("customer", cohort, "c_custkey")
+        .unionByName(manifest("orders", o, "o_orderkey"))
+        .unionByName(manifest("lineitem", li, "l_orderkey"))
+        .unionByName(manifest("events", ev, "event_id"))
+    )

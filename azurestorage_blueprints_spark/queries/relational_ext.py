@@ -623,3 +623,45 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("m").isNull() | (F.col("spend") > F.col("m")))
         .select("nationkey", "bal", "spend")
     )
+
+
+@register(
+    "q_mom_change",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) AS mom_change
+    FROM monthly
+    """,
+    doc="Month-over-month growth: monthly revenue (exact decimal sums "
+    "cast to double) with the previous month's value and relative "
+    "change via lag — the reporting primitive behind every trend "
+    "dashboard and training-ingest volume monitor. The window runs over "
+    "the 84-row monthly aggregate, not the fact table, so the "
+    "single-partition ORDER BY is a non-issue at any scale; the "
+    "fact-side cost is one hash-agg keyed on month.",
+)
+def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_change"),
+    )
