@@ -178,3 +178,54 @@ def test_compaction_planner_shuffles_catalog_only(spark, sf_dir):
     # column must never enter the plan (catalog-only shuffle)
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "text" not in read_schema
+
+
+def test_dq_constraint_fk_checks_broadcast(spark, sf_dir):
+    plan = _plan(spark, "q_dq_constraints", sf_dir)
+    # referential checks must never cross-join, and the customer
+    # dimension side must broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_forget_manifest_hops_are_broadcast_semi_joins(spark, sf_dir):
+    plan = _plan(spark, "q_forget_manifest", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 3, "each FK hop must be a semi-join"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skyline_is_single_window_pass_not_self_join(spark, sf_dir):
+    plan = _plan(spark, "q_skyline_2d", sf_dir)
+    # the Spark side must use the sort-scan skyline (one window), never
+    # the oracle's quadratic NOT EXISTS (which would plan as a join of
+    # pts with itself)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 1  # the spend build join only
+
+
+def test_asof_nearest_bounds_candidates_to_buckets(spark, sf_dir):
+    plan = _plan(spark, "q_ts_asof_nearest", sf_dir)
+    # the ±tolerance candidate join must be an equi-join on the bucket
+    # key — a theta/range join over raw timestamps would be quadratic
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_median_windows_share_one_exchange(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_weighted_median", sf_dir)
+    # both the running-weight and group-total windows partition on
+    # l_returnflag; a second exchange means they stopped sharing it
+    assert len(re.findall(r"\bWindow \(\d+\)", plan)) == 2
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"expected one shared window exchange, saw {len(exchanges)}"
+
+
+def test_embed_standardize_stats_broadcast_back(spark, sf_dir):
+    plan = _plan(spark, "q_embed_standardize", sf_dir)
+    # the O(dims) stats side must broadcast onto the exploded triples
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
