@@ -445,3 +445,135 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "token"))
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
     )
+
+
+#: BPE merge-candidate report size
+_BPE_TOP_PAIRS = 30
+
+
+@register(
+    "q_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS pair,
+             wc
+      FROM words WHERE len(tok) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {_BPE_TOP_PAIRS}
+    """,
+    doc="BPE tokenizer training, one merge round: count adjacent symbol "
+    "pairs across the corpus weighted by word frequency and rank the "
+    "merge candidates — the inner loop of byte-pair-encoding vocabulary "
+    "induction. The corpus collapses to the word-frequency table FIRST "
+    "(the standard BPE trick: pair counting is per DISTINCT word times "
+    "its count, so the explode touches |vocab| rows, not |corpus| "
+    "tokens), then an in-array slide generates pairs with no positional "
+    "shuffle. Two hash-aggs + a top-k; all integer counts.",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(_TOKS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOP_PAIRS)
+    )
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             unnest(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+               ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS shingle
+      FROM (SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents)
+    ),
+    totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           ta.n_shingles AS n_a, tb.n_shingles AS n_b,
+           CAST(s.n_shared AS DOUBLE) / least(ta.n_shingles, tb.n_shingles)
+             AS overlap_coef
+    FROM shared s JOIN totals ta ON s.source_a = ta.source
+                  JOIN totals tb ON s.source_b = tb.source
+    """,
+    doc="Cross-source corpus redundancy matrix: for every source pair, "
+    "the number of distinct 5-gram shingles they share and the overlap "
+    "coefficient (shared / smaller set) — the diagnostic that decides "
+    "whether two crawls/dumps are worth keeping separately in a "
+    "training mixture. Shape: distinct (source, shingle) posting "
+    "(integer-footprint after the first hash-agg), self-join on "
+    "shingle with source_a < source_b orientation, then two tiny "
+    "totals joins; output is O(|sources|^2) rows at any corpus size. "
+    "At 100 TB the posting key becomes xxhash64(shingle) so the "
+    "self-join shuffles 8-byte keys.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("source", tokens(F.col("text")).alias("tk"))
+    sh = (
+        toked.select(
+            "source",
+            F.explode(word_shingles(F.col("tk"), k=5)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    totals = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared").cast("double") / F.least("n_a", "n_b")).alias(
+                "overlap_coef"
+            ),
+        )
+    )
