@@ -339,3 +339,55 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("buy_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
     return run_to_memory(joined, f"t_{uuid.uuid4().hex[:12]}", output_mode="append")
+
+
+@register(
+    "q_stream_topk_windowed",
+    oracle="""
+    WITH wc AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM wc)
+    WHERE rnk <= 3
+    """,
+    doc="Streaming top-k per window (trending event types per hour): the "
+    "windowed counts run INSIDE the stream (watermark + window groupBy "
+    "— bounded state), and the rank runs on the materialized sink "
+    "output — the standard two-tier pattern, because rank-over-window "
+    "is not an incremental streaming operator (a late row can demote "
+    "previously emitted rows, so Spark rejects it mid-stream by "
+    "design). Complete-mode finite replay equals the batch answer; at "
+    "100 TB the sink side is O(windows x event types), trivially "
+    "rankable anywhere.",
+)
+def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    out = run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    )
+    return (
+        out.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            _ltz_to_ntz("window_start").alias("window_start"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+    )
