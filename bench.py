@@ -61,6 +61,13 @@ HEADLINE = [
     "q_ts_multires_rollup",
     "q_attribution_first_touch",
     "q_embed_pca_power",
+    # round-3 additions: data-quality gate, skyline, corpus redundancy,
+    # BPE merge counting, containment dedup
+    "q_dq_constraints",
+    "q_skyline_2d",
+    "q_source_overlap",
+    "q_bpe_merge_candidates",
+    "q_dedup_containment",
 ]
 
 
