@@ -530,34 +530,48 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the number of distinct 5-gram shingles they share and the overlap "
     "coefficient (shared / smaller set) — the diagnostic that decides "
     "whether two crawls/dumps are worth keeping separately in a "
-    "training mixture. Shape: distinct (source, shingle) posting "
-    "(integer-footprint after the first hash-agg), self-join on "
-    "shingle with source_a < source_b orientation, then two tiny "
-    "totals joins; output is O(|sources|^2) rows at any corpus size. "
-    "At 100 TB the posting key becomes xxhash64(shingle) so the "
-    "self-join shuffles 8-byte keys.",
+    "training mixture. Shape: ONE shuffle keyed on shingle — "
+    "collect_set(source) dedups inside the aggregate (partial sets are "
+    "bounded by |sources|, so the map side combines), then the source "
+    "pairs are enumerated IN-ARRAY per shingle and re-aggregated on "
+    "O(|sources|^2) keys; totals ride the same grouped result. The "
+    "self-join formulation (the oracle) would shuffle the posting "
+    "twice more. At 100 TB the group key becomes xxhash64(shingle) so "
+    "the one wide shuffle carries 8-byte keys.",
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
 
     d = table(spark, sf_dir, "documents")
     toked = d.select("source", tokens(F.col("text")).alias("tk"))
-    sh = (
-        toked.select(
-            "source",
-            F.explode(word_shingles(F.col("tk"), k=5)).alias("shingle"),
-        )
-        .distinct()
+    posting = toked.select(
+        "source",
+        F.explode(word_shingles(F.col("tk"), k=5)).alias("shingle"),
+    )
+    # one wide shuffle: the per-shingle source set (dedup happens inside
+    # the aggregate, and partial sets are capped at |sources|);
+    # materialized once — three consumers (pair counts + both totals
+    # sides) would otherwise each replay the wide shuffle
+    grouped = (
+        posting.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .localCheckpoint(eager=False)
     )
-    totals = sh.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    totals = (
+        grouped.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
     )
-    a = sh.select(F.col("source").alias("source_a"), "shingle")
-    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    # enumerate ordered source pairs per shingle in-array (sets are
+    # tiny), then count shared shingles per pair
+    pair_structs = F.expr(
+        "flatten(transform(ss, (a, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " b -> struct(a AS source_a, b AS source_b))))"
+    )
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("source_a") < F.col("source_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )

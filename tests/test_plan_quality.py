@@ -229,3 +229,22 @@ def test_embed_standardize_stats_broadcast_back(spark, sf_dir):
     # the O(dims) stats side must broadcast onto the exploded triples
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_candidates_use_top_k_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, "q_bpe_merge_candidates", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_is_single_wide_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_source_overlap", sf_dir)
+    # the posting must shuffle on shingle exactly once (collect_set
+    # dedup inside the agg); the self-join formulation would add two
+    # more shingle-keyed exchanges
+    shingle_exchanges = re.findall(r"hashpartitioning\(shingle", plan)
+    assert len(shingle_exchanges) <= 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
