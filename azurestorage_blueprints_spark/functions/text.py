@@ -54,7 +54,13 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     shingling quadratic in document length. Documents shorter than k
     tokens shingle to their whole token span. Shingle space grows with
     vocab^k, so near-identical shingle sets imply near-identical texts
-    even over small vocabularies."""
+    even over small vocabularies.
+
+    When only shingle HASHES are consumed (no strings, no per-doc
+    dedup), a posexplode + lead() window is ~1.5x faster (all codegen —
+    see q_dedup_minhash_lsh); when a per-doc distinct follows, this
+    array form wins because array_distinct dedups before the explode
+    instead of paying a shuffle (measured on q_decontaminate)."""
     return F.when(
         F.size(toks) >= k,
         F.transform(
@@ -123,3 +129,4 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda h, c: (h * 31 + c) % F.lit(2147483647).cast("bigint"),
     )
+
