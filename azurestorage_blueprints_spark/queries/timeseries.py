@@ -545,3 +545,79 @@ def q_ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta_us",
         F.col("click_event_id").isNotNull().alias("matched"),
     )
+
+
+@register(
+    "q_conversion_lag_stats",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.event_id,
+             CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      WHERE p.ts - c.ts <= INTERVAL '30 minutes'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us,
+           CAST(quantile_disc(lag_us, 0.25) AS BIGINT) AS p25_lag_us,
+           CAST(quantile_disc(lag_us, 0.50) AS BIGINT) AS p50_lag_us,
+           CAST(quantile_disc(lag_us, 0.90) AS BIGINT) AS p90_lag_us
+    FROM pairs
+    """,
+    doc="Conversion-lag distribution: how long after the attributed "
+    "(most recent, within 30 minutes) click does a purchase land — "
+    "count, min/max and discrete percentiles of the lag. Composes the "
+    "as-of attribution pass (union-merge + carry-forward window, one "
+    "shuffle on user_id — same as q_ts_asof_tolerance) with a one-row "
+    "exact-percentile aggregate over integer microsecond lags; the agg "
+    "input is one row per conversion, tiny next to the event stream. "
+    "The funnel-health metric every attribution pipeline reports.",
+)
+def q_conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(1).alias("kind"),
+        "event_id",
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lag_us = F.expr("timestampdiff(MICROSECOND, lct, ts)")
+    pairs = (
+        merged.withColumn("lct", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(
+            (F.col("kind") == 1)
+            & F.col("lct").isNotNull()
+            & (F.col("ts") <= F.col("lct") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(lag_us.alias("lag_us"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.min("lag_us").cast("bigint").alias("min_lag_us"),
+        F.max("lag_us").cast("bigint").alias("max_lag_us"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p25_lag_us"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p50_lag_us"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p90_lag_us"),
+    )
