@@ -102,11 +102,15 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checked",
         "violations",
     )
+    # no broadcast hint on either FK side: a key-only dimension column
+    # broadcasts via AQE while it fits and degrades to a shuffled join
+    # when it doesn't — a hardcoded hint would OOM the build side at
+    # 100 TB dimension sizes
     fk_oc = report(
         "fk_orders_customer",
         "orders",
         orders.join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             orders.o_custkey == F.col("c_custkey"),
             "left",
         ),
