@@ -96,11 +96,12 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (F.col("pair_cnt") * F.col("n")).cast("double") / (
         F.col("cnt_a") * F.col("cnt_b")
     )
-    # singleton counts are one row per part — broadcast both sides so
-    # the support-filtered pairs never shuffle for the lift join
+    # no hint on the lift joins: singleton counts are one row per part
+    # (SF-proportional), so AQE broadcasts whichever side fits at
+    # runtime — support-filtered pairs at extreme scale, singles here
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(n_baskets))
         .select("part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b", lift.alias("lift"))
         .orderBy(F.desc("pair_cnt"), F.desc("lift"), "part_a", "part_b")
