@@ -160,3 +160,88 @@ def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_EXPECTED).alias("expected"),
         F.expr(_CHISQ_TERM).alias("chisq_term"),
     )
+
+
+# Spearman rho over exact integer ranks, spelled once and formatted into
+# BOTH engines (identical IEEE expression tree — see _SLOPE above)
+_RHO = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@register(
+    "q_stats_spearman",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey, c.c_acctbal,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+    ),
+    ranked AS (
+      SELECT nationkey,
+             CAST(rank() OVER (PARTITION BY nationkey
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rx,
+             CAST(rank() OVER (PARTITION BY nationkey
+                               ORDER BY spend, c_custkey) AS BIGINT) AS ry
+      FROM spend
+    ),
+    m AS (
+      SELECT nationkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy
+      FROM ranked GROUP BY nationkey
+    )
+    SELECT nationkey, n, {_RHO} AS spearman_rho FROM m
+    """,
+    doc="Spearman rank correlation between customer account balance and "
+    "total spend, per nation: rank both variables inside the nation "
+    "(deterministic total order — value then the unique customer key, "
+    "so the ranks are an exact permutation and the statistic is "
+    "hash-checkable; classical average-rank tie handling would drag "
+    "engine-specific float averaging into the shuffle), then Pearson "
+    "over the integer ranks from exact bigint moments. The monotone- "
+    "association screen (outliers can't dominate like in q_stats_corr). "
+    "Shape: one pre-aggregate join, both rank windows share the nation "
+    "partitioning (one shuffle + sort), one moment hash-agg per nation "
+    "— the shuffle carries O(nations) moment rows.",
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    ranked = spend.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.rank()
+        .over(W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey"))
+        .cast("bigint")
+        .alias("rx"),
+        F.rank()
+        .over(W.partitionBy("c_nationkey").orderBy("spend", "c_custkey"))
+        .cast("bigint")
+        .alias("ry"),
+    )
+    m = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+    )
+    return m.select("nationkey", "n", F.expr(_RHO).alias("spearman_rho"))
