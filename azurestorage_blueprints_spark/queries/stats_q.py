@@ -245,3 +245,54 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
     )
     return m.select("nationkey", "n", F.expr(_RHO).alias("spearman_rho"))
+
+
+@register(
+    "q_stats_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_disc(value, 0.25) AS q1,
+             quantile_disc(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(q.q1) AS q1, min(q.q3) AS q3,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Tukey IQR outlier screen per event type: quartiles via "
+    "percentile_disc (actual data values — bit-exact doubles across "
+    "engines), fences at 1.5x IQR (per-row IEEE arithmetic from "
+    "identical inputs), outlier counts as exact integers. The "
+    "distribution-free third rung of the anomaly ladder next to the "
+    "trailing z-score (q_ts_zscore_anomaly) and MAD (q_stats_mad). "
+    "Shape: one percentile agg keyed on event_type (a handful of "
+    "groups), the O(groups) fence table broadcast back onto the scan, "
+    "one counting agg — the fact table never shuffles on anything "
+    "wider than event_type.",
+)
+def q_stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+    )
