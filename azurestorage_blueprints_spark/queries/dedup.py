@@ -493,9 +493,15 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_containment",
     oracle="""
-    WITH docs AS (
-      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
       FROM documents WHERE doc_id < 200),
+    docs AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        THEN list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        ELSE [list_aggregate(tk, 'string_agg', ' ')] END) AS toks
+      FROM toked),
     sizes AS (SELECT doc_id, len(toks) AS n FROM docs),
     posting AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
     inter AS (
@@ -508,18 +514,23 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                  JOIN sizes sb ON i.b_id = sb.doc_id
     WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.8
     """,
-    doc="Containment near-dup detection: |A∩B| / min(|A|,|B|) over token "
-    "sets — the measure that catches a document EMBEDDED in a larger one "
+    doc="Containment near-dup detection: |A∩B| / min(|A|,|B|) over 3-gram "
+    "shingle sets — the measure that catches a document EMBEDDED in a larger one "
     "(quotes, boilerplate wrappers, page-of-pages scrapes), which "
     "symmetric Jaccard under-scores because the union is dominated by "
     "the larger doc. Same inverted-index shape as q_dedup_jaccard "
-    "(explode -> equi-join -> pair counts), different denominator; at "
+    "(explode -> equi-join -> pair counts), different denominator and "
+    "3-gram units (unigram postings over a small vocabulary collide "
+    "into near-all-pairs — shingles keep posting lists sparse); at "
     "scale the candidate pairs come from MinHash-LSH band buckets and "
     "this is the refine predicate.",
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    docs = toked.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("tk"), k=3)).alias("toks")
+    )
     sizes = docs.select("doc_id", F.size("toks").alias("n"))
     posting = docs.select("doc_id", F.explode("toks").alias("tok"))
     a = posting.select(F.col("doc_id").alias("a_id"), "tok")
