@@ -629,7 +629,7 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mom_change",
     oracle="""
     WITH monthly AS (
-      SELECT date_trunc('month', o_orderdate) AS month,
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              CAST(count(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY 1
@@ -652,7 +652,9 @@ def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     o = table(spark, sf_dir, "orders")
-    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month")
+    ).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
