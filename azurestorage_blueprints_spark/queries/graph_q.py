@@ -13,9 +13,11 @@ DuckDB oracle written as unrolled CTEs.
 Scale posture (100 TB): the edge list is built once (join on orderkey,
 distinct), then every iteration is ONE equi-join of the rank vector to
 the edge list (shuffle keyed on node id) plus ONE aggregation keyed on
-destination. Edges dominate memory; ranks are two longs per node. On a
-real cluster, pre-partition edges by src and the per-iteration join is
-co-located; AQE's skew split handles hub nodes. Lineage does not grow
+destination. Edges dominate memory; ranks are two longs per node. The
+checkpointed edge list is hash-partitioned on src, so each iteration's
+join is broadcast while the rank vector fits (AQE's runtime choice) and
+degrades to a co-located shuffle join — only the rank side moves — when
+it doesn't; AQE's skew split handles hub nodes. Lineage does not grow
 per iteration here (3 fixed rounds); for fixpoint runs reuse the
 localCheckpoint pattern of operators/graph.py.
 """
@@ -36,6 +38,15 @@ _D_NUM, _D_DEN = 85, 100
 _TELEPORT = 150_000_000_000
 #: supplier node-id offset so customer and supplier keys never collide
 _SUPP_OFF = 1_000_000
+
+#: lineage-truncation switch. True in production; the plan-quality gate
+#: flips it off so the per-iteration join shape (normally hidden behind
+#: the checkpoint's ExistingRDD scan) is visible in one explain string.
+_CHECKPOINT = True
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=False) if _CHECKPOINT else df
 
 
 @register(
@@ -106,10 +117,19 @@ def q_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     # (src, dst, d) computed once and reused by all three iterations;
-    # checkpoint so the orderkey join + distinct doesn't replay per round
-    edeg = (
+    # checkpoint so the orderkey join + distinct doesn't replay per
+    # round, and hash-partition on src FIRST so the checkpointed RDD's
+    # partitioning survives into every iteration's join: while the rank
+    # vector is small AQE turns the join into a broadcast (edges read in
+    # place), and when it outgrows the broadcast threshold the fallback
+    # shuffled join only moves the rank side — the edge list (the big
+    # side) is already co-located on the join key. No mandatory
+    # broadcast hint: a hardcoded hint would OOM the build side once the
+    # node vector stops fitting (the 100 TB failure mode), whereas AQE
+    # degrades to the co-partitioned join instead of dying.
+    edeg = _ckpt(
         edges.join(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")), "src")
-        .localCheckpoint(eager=False)
+        .repartition("src")
     )
     ranks = edeg.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(_ONE).cast("bigint").alias("rank")
@@ -118,12 +138,11 @@ def q_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast({_TELEPORT} + ({_D_NUM} * sum(contrib)) div {_D_DEN} as bigint)"
     ).alias("rank")
     for _ in range(3):
-        # the rank vector is two longs per node — broadcast it so the
-        # edge list (the big side) is never shuffled inside the loop;
-        # the narrow (dst, contrib) rows are the only per-iteration
-        # shuffle left (measured 4x faster than the sort-merge form)
+        # the rank vector is two longs per node; the narrow
+        # (dst, contrib) rows are the only guaranteed per-iteration
+        # shuffle
         ranks = (
-            edeg.join(F.broadcast(ranks), edeg.src == ranks.node)
+            edeg.join(ranks, edeg.src == ranks.node)
             .select(F.col("dst"), F.expr("rank div d").alias("contrib"))
             .groupBy(F.col("dst").alias("node"))
             .agg(new_rank)
@@ -254,10 +273,11 @@ _MAX_HOPS = 3
     "frontier per iteration (join frontier→edges, union, min-hop agg — "
     "the standard distributed BFS step, shuffles keyed on node id); "
     "the DuckDB twin is a recursive CTE whose UNION-distinct on "
-    "(node, hop) bounds path re-enumeration, collapsed to min-hop. At "
-    "100 TB: pre-partition edges by src so every frontier join is "
-    "co-located, and localCheckpoint the visited set per hop to "
-    "truncate lineage (operators/graph.py pattern).",
+    "(node, hop) bounds path re-enumeration, collapsed to min-hop. "
+    "Edges are pre-partitioned by src so every frontier join is "
+    "co-located when AQE doesn't broadcast the frontier, and the "
+    "visited set is localCheckpointed per hop to truncate lineage "
+    "(operators/graph.py pattern).",
 )
 def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -271,28 +291,30 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    edges = _ckpt(
         e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .union(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .localCheckpoint(eager=False)
+        .repartition("src")
     )
     visited = cust.filter(F.col("c_custkey") < _SEED_MAX).select(
         F.col("c_custkey").cast("bigint").alias("node"), F.lit(0).alias("hop")
     )
     for h in range(1, _MAX_HOPS + 1):
-        # the frontier is a set of node ids (bounded by the node count,
-        # tiny next to the edge list) — broadcast it so each hop reads
-        # the checkpointed edges in place instead of shuffling them
+        # the frontier is a set of node ids — AQE broadcasts it while it
+        # is small (edges read in place); past the broadcast threshold
+        # the shuffled join is co-located on the pre-partitioned edge
+        # side, so only the frontier moves. No mandatory hint: a
+        # worst-case frontier is bounded only by the node count, which
+        # at 100 TB cannot be forced into a broadcast.
         frontier = visited.filter(F.col("hop") == h - 1)
         expand = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            edges.join(frontier, edges.src == frontier.node)
             .select(F.col("dst").alias("node"), F.lit(h).alias("hop"))
         )
-        visited = (
+        visited = _ckpt(
             visited.union(expand)
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=False)
         )
     return (
         visited.groupBy("hop")

@@ -248,3 +248,30 @@ def test_source_overlap_is_single_wide_shuffle(spark, sf_dir):
     assert len(shingle_exchanges) <= 1, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["q_pagerank_fixedpoint", "q_graph_khop"])
+def test_iterative_graph_joins_have_no_mandatory_broadcast(spark, sf_dir, name, monkeypatch):
+    """The per-iteration rank/frontier side must NOT carry a broadcast
+    hint: at 100 TB the node vector outgrows any broadcast and a
+    hardcoded hint dies instead of degrading. AQE may still *choose* a
+    broadcast at small scale (asserted below) because the checkpointed
+    edge list is pre-partitioned on src, making the fallback shuffled
+    join co-located. Checkpointing is flipped off so every iteration's
+    join (normally hidden behind an ExistingRDD scan) is in the plan."""
+    from azurestorage_blueprints_spark.queries import graph_q
+
+    monkeypatch.setattr(graph_q, "_CHECKPOINT", False)
+    df = REGISTRY[name].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, f"{name}: mandatory broadcast hint in loop"
+    # the edge side must be pre-partitioned on the join key so the
+    # non-broadcast fallback is co-located
+    assert "hashpartitioning(src" in optimized.lower().replace(" ", "") or (
+        "repartitionbyexpression" in optimized.lower().replace(" ", "")
+    ), f"{name}: edge list not pre-partitioned by src"
+    # runtime: with the sf-test-sized node vector AQE must still pick
+    # the broadcast join — the plan degrades by choice, not by accident
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, f"{name}: AQE did not broadcast the small side"
