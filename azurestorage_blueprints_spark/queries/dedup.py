@@ -490,9 +490,20 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: document-frequency ceiling for containment candidate generation: a
+#: shingle appearing in more than this many documents is too common to
+#: be blocking evidence (it would contribute df^2 candidate rows) and
+#: is excluded from the pair-generating join; the surviving pairs are
+#: re-scored EXACTLY from the full shingle arrays, so the cap bounds
+#: the join without approximating the containment value. Observed max
+#: df on the testdata corpus is 5, so 64 changes nothing here while
+#: giving the plan a hard hot-key ceiling.
+_CONTAIN_DF_CAP = 64
+
+
 @register(
     "q_dedup_containment",
-    oracle="""
+    oracle=f"""
     WITH toked AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
       FROM documents WHERE doc_id < 200),
@@ -504,26 +515,36 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toked),
     sizes AS (SELECT doc_id, len(toks) AS n FROM docs),
     posting AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
-    inter AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-      FROM posting a JOIN posting b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT i.a_id, i.b_id,
-           CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
-    FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
-                 JOIN sizes sb ON i.b_id = sb.doc_id
-    WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+    rare AS (
+      SELECT tok FROM posting GROUP BY tok
+      HAVING count(*) BETWEEN 2 AND {_CONTAIN_DF_CAP}),
+    capped AS (SELECT p.doc_id, p.tok FROM posting p JOIN rare USING (tok)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id)
+    SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+             / least(sa.n, sb.n) AS containment
+    FROM cand c
+    JOIN docs da ON c.a_id = da.doc_id
+    JOIN docs db ON c.b_id = db.doc_id
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    WHERE CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+            / least(sa.n, sb.n) >= 0.8
     """,
     doc="Containment near-dup detection: |A∩B| / min(|A|,|B|) over 3-gram "
     "shingle sets — the measure that catches a document EMBEDDED in a larger one "
     "(quotes, boilerplate wrappers, page-of-pages scrapes), which "
     "symmetric Jaccard under-scores because the union is dominated by "
-    "the larger doc. Same inverted-index shape as q_dedup_jaccard "
-    "(explode -> equi-join -> pair counts), different denominator and "
-    "3-gram units (unigram postings over a small vocabulary collide "
-    "into near-all-pairs — shingles keep posting lists sparse); at "
-    "scale the candidate pairs come from MinHash-LSH band buckets and "
-    "this is the refine predicate.",
+    "the larger doc. Candidate pairs come from an inverted-index "
+    "equi-join restricted to shingles with document frequency in "
+    "[2, cap] — singletons can't pair and hot shingles would fan out "
+    "df^2 rows (the unbounded-posting failure mode at 100 TB) — then "
+    "each candidate is re-scored EXACTLY via array_intersect of the "
+    "two full shingle sets, so the cap bounds the join, not the "
+    "answer. At scale the candidate tier graduates to MinHash-LSH "
+    "band buckets and this stays the refine predicate.",
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -531,22 +552,40 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = toked.select(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"), k=3)).alias("toks")
     )
-    sizes = docs.select("doc_id", F.size("toks").alias("n"))
     posting = docs.select("doc_id", F.explode("toks").alias("tok"))
-    a = posting.select(F.col("doc_id").alias("a_id"), "tok")
-    b = posting.select(F.col("doc_id").alias("b_id"), "tok")
-    inter = (
-        a.join(b, ["tok"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # ONE wide shuffle: group the posting list per shingle, drop
+    # singleton (no pair to make) and hot (df > cap) shingles on the
+    # grouped row itself, and enumerate the candidate pairs inside the
+    # bounded array — at most cap^2/2 rows per shingle, by construction
+    cand = (
+        posting.groupBy("tok")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, _CONTAIN_DF_CAP))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    da = docs.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("toks_a"),
+        F.size("toks").alias("na"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("toks_b"),
+        F.size("toks").alias("nb"),
+    )
+    cont = (
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.least("na", "nb")
+    )
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        cand.join(da, "a_id")
+        .join(db, "b_id")
         .select("a_id", "b_id", cont.alias("containment"))
         .filter(F.col("containment") >= 0.8)
     )

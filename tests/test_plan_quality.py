@@ -275,3 +275,21 @@ def test_iterative_graph_joins_have_no_mandatory_broadcast(spark, sf_dir, name, 
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, f"{name}: AQE did not broadcast the small side"
+
+
+def test_containment_candidate_postings_are_df_capped(spark, sf_dir):
+    """The pair-generating self-join must read df-bounded postings: a
+    hot shingle of document frequency d contributes d^2 candidate rows,
+    so the posting list feeding the join needs a frequency ceiling (the
+    exact containment is recomputed per candidate from the full shingle
+    arrays afterwards, so the cap bounds the join, not the answer)."""
+    plan = _plan(spark, "q_dedup_containment", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the df window [2, cap] must bound the grouped posting row before
+    # any pair is enumerated
+    from azurestorage_blueprints_spark.queries.dedup import _CONTAIN_DF_CAP
+
+    assert f"size(ds" in plan, "candidates must come from grouped, size-bounded postings"
+    assert str(_CONTAIN_DF_CAP) in plan, "df ceiling missing from the candidate plan"
+    # exact rescoring happens on the pair arrays, not by counting join rows
+    assert "array_intersect" in plan
