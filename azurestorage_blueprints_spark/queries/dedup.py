@@ -160,14 +160,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
     p = toked.select("doc_id", F.posexplode("tk").alias("pos", "t0"))
     w = W.partitionBy("doc_id").orderBy("pos")
+    # keep (t2 IS NOT NULL) OR (pos = 0): the second disjunct is the
+    # whole-span fallback for documents with fewer than 3 tokens —
+    # their pos=0 row has t2 (and for 1-token docs t1) null, and
+    # Spark's hash() skips null inputs, so hash(t0, t1, t2) on that row
+    # is a deterministic fingerprint of the full short span (mirroring
+    # word_shingles' otherwise branch; without it short duplicates have
+    # no signature and silently escape detection). Zero-token documents
+    # still vanish here — an empty text has nothing to minhash and is
+    # exact-dedup's job (q_dedup_exact_content).
     posting = (
         p.select(
             "doc_id",
+            "pos",
             "t0",
             F.lead("t0", 1).over(w).alias("t1"),
             F.lead("t0", 2).over(w).alias("t2"),
         )
-        .filter(F.col("t2").isNotNull())
+        .filter(F.col("t2").isNotNull() | (F.col("pos") == 0))
         .select("doc_id", F.hash("t0", "t1", "t2").cast("bigint").alias("h"))
     )
     # expressions as single parsed SQL strings: building 64 aggregates

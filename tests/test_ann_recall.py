@@ -161,3 +161,36 @@ def test_int8_quantized_knn_tracks_float_ranking(spark, sf_dir):
     hits = sum(len(exact[q] & ns) for q, ns in quant.items())
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.8, f"int8 top-k overlap collapsed: {hits}/{total}"
+
+
+def test_minhash_catches_short_document_duplicates(spark, tmp_path):
+    """Documents with fewer than 3 tokens get a whole-span fallback
+    shingle hash (the pos=0 row with null leads), so short duplicates
+    still collide into band buckets; without it they have no signature
+    at all and silently escape dedup."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "tiny dup",
+                "tiny dup",
+                "one",
+                "a completely different longer document with many tokens inside",
+                "unrelated",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [8, 8, 3, 62, 9],
+        }
+    )
+    sf = tmp_path / "sf_short"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+    pairs = {
+        (r.a_id, r.b_id): r.est_jaccard
+        for r in REGISTRY["q_dedup_minhash_lsh"].fn(spark, str(sf)).collect()
+    }
+    assert (1, 2) in pairs, f"short duplicate pair missed: {pairs}"
+    assert pairs[(1, 2)] == 1.0  # identical spans -> identical signatures
