@@ -102,8 +102,14 @@ def main() -> None:
 
     out = {
         "metric": "headline_queries_total_wall_seconds",
-        "value": round(sum(timings.values()), 3),
+        # a partial sum is NOT comparable across rounds: with any error
+        # the headline value is withheld (null) so a broken query can
+        # never make a round look faster; per-query timings remain for
+        # apples-to-apples comparison on the surviving set
+        "value": round(sum(timings.values()), 3) if not errors else None,
         "unit": "sec",
+        "n_ok": len(timings),
+        "n_total": len(HEADLINE),
         "queries": timings,
         "sf": sf,
     }
