@@ -7,13 +7,15 @@ typed metadata struct alongside. The Spark-side plumbing here — schema,
 Arrow batch shape, ``mapInPandas`` signatures, partition sizing — is
 real and tested. Decode support is tiered:
 
-- uncompressed formats decode FOR REAL with pure numpy — binary PPM
-  (P6) parse, nearest-neighbor resize (``decode_ppm`` /
-  ``_nn_resize_rgb``), no codec library involved;
-- codec-backed formats (JPEG/PNG/GIF) require an injected decoder
-  callback (production: Pillow/libvips inside the worker) since no
-  codec library exists in this environment — such rows return
-  ``ok=false`` instead of failing the stage;
+- formats whose only compression is DEFLATE or none decode FOR REAL
+  with stdlib + numpy: binary PPM (P6) parse, 8-bit PNG (zlib inflate
+  + scanline unfilter, ``decode_png``), PCM WAV, nearest-neighbor
+  resize (``_nn_resize_rgb``) — no codec library involved;
+- codec-backed formats (JPEG/GIF — entropy coders stdlib cannot
+  inflate) require an injected decoder callback (production:
+  Pillow/libvips inside the worker) since no codec library exists in
+  this environment — such rows return ``ok=false`` instead of failing
+  the stage;
 - ``fake_decode_meta`` parses a tiny deterministic fake header
   (magic + width + height), exercising the same batch path in tests.
 
@@ -107,7 +109,138 @@ def _fake_decoder(b: bytes) -> tuple[str, int, int]:
 PIXELS_SCHEMA = "content_id bigint, width int, height int, pixels binary, ok boolean"
 
 #: magics of codec-backed formats that require an injected decoder
-_CODEC_MAGICS = {b"\xff\xd8": "jpeg", b"\x89PN": "png", b"GIF8": "gif"}
+#: (PNG is NOT here: its only compression is DEFLATE, which stdlib zlib
+#: inflates — see decode_png)
+_CODEC_MAGICS = {b"\xff\xd8": "jpeg", b"GIF8": "gif"}
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(b: bytes) -> tuple[int, int, bytes]:
+    """Real decode of 8-bit non-interlaced PNG with pure stdlib zlib +
+    numpy: chunk walk, IDAT inflate, per-scanline unfilter (None / Sub /
+    Up / Average / Paeth), then normalization to raw RGB bytes
+    (grayscale replicated, alpha dropped, palette looked up). Returns
+    (width, height, rgb_bytes). 16-bit depth and Adam7 interlace raise
+    (rare in training corpora and not worth the code here)."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    i, ihdr, palette, idat = 8, None, None, bytearray()
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            palette = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if interlace:
+        raise ValueError("Adam7 interlace not supported")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"bad color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.intp)
+    for r in range(h):
+        f, line = int(filters[r]), rows[r].astype(np.intp)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prior) & 0xFF
+        else:
+            # Sub/Average/Paeth need the reconstructed LEFT neighbor —
+            # sequential per pixel, vectorized across the ch samples
+            cur = np.zeros(stride, dtype=np.intp)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                bb = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + bb) >> 1
+                elif f == 4:  # Paeth
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad filter type {f}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[r] = cur
+        prior = cur.astype(np.intp)
+    px = out.reshape(h, w, ch)
+    if color == 2:  # truecolor
+        rgb = px
+    elif color == 6:  # truecolor + alpha
+        rgb = px[:, :, :3]
+    elif color == 0:  # grayscale
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:  # grayscale + alpha
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if palette is None:
+            raise ValueError("palette image without PLTE")
+        lut = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        rgb = lut[px[:, :, 0]]
+    return w, h, np.ascontiguousarray(rgb).tobytes()
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Inverse of decode_png for fixtures and the resize path: 8-bit
+    truecolor, filter 0 scanlines, one zlib-deflated IDAT."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer does not match dimensions")
+    stride = width * 3
+    scanlines = b"".join(
+        b"\x00" + rgb[r * stride : (r + 1) * stride] for r in range(height)
+    )
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, no interlace
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_ppm(b: bytes) -> tuple[int, int, bytes]:
@@ -166,12 +299,14 @@ def decode_image(
 ) -> DataFrame:
     """Full image decode → (width, height, raw RGB pixels) via mapInPandas.
 
-    Uncompressed formats decode for real: binary PPM (P6) is parsed with
-    pure numpy — no codec library. Codec-backed formats (JPEG/PNG/GIF
-    magics) need an injected ``decoder(payload) -> (w, h, rgb_bytes)``
-    (production: Pillow/libvips inside the worker); without one those
-    rows come back ok=false rather than failing the job — at 100 TB a
-    corrupt or unsupported payload must never kill the stage.
+    Two formats decode for real with no codec library: binary PPM (P6,
+    pure numpy header parse) and 8-bit PNG (stdlib zlib inflate +
+    per-scanline unfilter — see ``decode_png``). Codec-backed formats
+    (JPEG/GIF magics) need an injected
+    ``decoder(payload) -> (w, h, rgb_bytes)`` (production: Pillow /
+    libvips inside the worker); without one those rows come back
+    ok=false rather than failing the job — at 100 TB a corrupt or
+    unsupported payload must never kill the stage.
     """
 
     def worker(batches: Iterator) -> Iterator:
@@ -184,6 +319,8 @@ def decode_image(
                 try:
                     if b[:2] == b"P6":
                         w, h, px = decode_ppm(b)
+                    elif b[:8] == _PNG_MAGIC:
+                        w, h, px = decode_png(b)
                     elif decoder is not None:
                         w, h, px = decoder(b)
                     else:
@@ -269,11 +406,15 @@ def resize_image(
         return pack_fake_image(w, h, payload[:n_out])
 
     def _default_resize(b: bytes, w: int, h: int) -> bytes:
-        # real nearest-neighbor resize for PPM; fake-header rewrite for
-        # the FIMG test format; codec formats need an injected resizer
+        # real nearest-neighbor resize for PPM and PNG (round-tripped
+        # through the same format); fake-header rewrite for the FIMG
+        # test format; codec formats need an injected resizer
         if b[:2] == b"P6":
             ow, oh, rgb = decode_ppm(b)
             return encode_ppm(w, h, _nn_resize_rgb(rgb, ow, oh, w, h))
+        if b[:8] == _PNG_MAGIC:
+            ow, oh, rgb = decode_png(b)
+            return encode_png(w, h, _nn_resize_rgb(rgb, ow, oh, w, h))
         return _fake_resize(b, w, h)
 
     rz = resizer or _default_resize

@@ -166,3 +166,129 @@ def test_wav_roundtrip(spark):
     rate, nch, back = MM.decode_wav(MM.encode_wav(44100, samples))
     assert (rate, nch) == (44100, 2)
     assert (back == samples).all()
+
+
+def _forward_filter(raw, filters, ch):
+    """Apply PNG filters forward (what an encoder does) so the decoder's
+    unfilter path is exercised against ground truth."""
+    import numpy as np
+
+    h, stride = raw.shape
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.intp)
+    for r in range(h):
+        line = raw[r].astype(np.intp)
+        f = filters[r]
+        enc = np.zeros(stride, dtype=np.intp)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        out += bytes([f]) + bytes(enc.astype(np.uint8))
+        prior = line
+    return bytes(out)
+
+
+def test_png_roundtrip_encode_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8).tobytes()
+    w, h, decoded = MM.decode_png(MM.encode_png(4, 5, rgb))
+    assert (w, h) == (4, 5)
+    assert decoded == rgb
+
+
+def test_png_unfilters_all_five_filter_types():
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    h, w, ch = 5, 6, 3
+    raw = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    scanlines = _forward_filter(raw, [0, 1, 2, 3, 4], ch)
+
+    def chunk(typ, body):
+        return len(body).to_bytes(4, "big") + typ + body + zlib.crc32(typ + body).to_bytes(4, "big")
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, decoded = MM.decode_png(png)
+    assert (dw, dh) == (w, h)
+    assert decoded == raw.tobytes()
+
+
+def test_png_normalizes_gray_alpha_palette_to_rgb():
+    import zlib
+
+    import numpy as np
+
+    def build(color, body_px, plte=None):
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        h, w = body_px.shape[0], body_px.shape[1] // ch
+        scan = b"".join(b"\x00" + bytes(body_px[r]) for r in range(h))
+        def chunk(typ, body):
+            return len(body).to_bytes(4, "big") + typ + body + zlib.crc32(typ + body).to_bytes(4, "big")
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+        png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            png += chunk(b"PLTE", plte)
+        return png + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+    # grayscale 2x1: values 7, 200 -> replicated across RGB
+    g = np.array([[7, 200]], dtype=np.uint8)
+    assert MM.decode_png(build(0, g))[2] == bytes([7, 7, 7, 200, 200, 200])
+    # gray+alpha: alpha dropped
+    ga = np.array([[7, 255, 200, 0]], dtype=np.uint8)
+    assert MM.decode_png(build(4, ga))[2] == bytes([7, 7, 7, 200, 200, 200])
+    # RGBA: alpha dropped
+    rgba = np.array([[1, 2, 3, 9, 4, 5, 6, 8]], dtype=np.uint8)
+    assert MM.decode_png(build(6, rgba))[2] == bytes([1, 2, 3, 4, 5, 6])
+    # palette: indices 1, 0 against a 2-entry PLTE
+    pal = np.array([[1, 0]], dtype=np.uint8)
+    plte = bytes([10, 20, 30, 40, 50, 60])
+    assert MM.decode_png(build(3, pal, plte))[2] == bytes([40, 50, 60, 10, 20, 30])
+
+
+def test_png_decodes_for_real_through_spark(spark):
+    import numpy as np
+
+    rgb = np.arange(4 * 3 * 3, dtype=np.uint8).tobytes()
+    png = MM.encode_png(4, 3, rgb)
+    df = spark.createDataFrame([(1, png)], "content_id bigint, content binary")
+    row = MM.decode_image(df).collect()[0]
+    assert (row.width, row.height, row.ok) == (4, 3, True)
+    assert bytes(row.pixels) == rgb
+
+
+def test_png_nearest_neighbor_resize_roundtrips(spark):
+    import numpy as np
+
+    rgb = np.arange(6 * 4 * 3, dtype=np.uint8).tobytes()
+    df = spark.createDataFrame(
+        [(1, MM.encode_png(6, 4, rgb))], "content_id bigint, content binary"
+    )
+    out = MM.resize_image(df, 3, 2).collect()[0]
+    w, h, resized = MM.decode_png(bytes(out.content))
+    assert (w, h) == (3, 2)
+    expect = MM._nn_resize_rgb(rgb, 6, 4, 3, 2)
+    assert resized == expect
