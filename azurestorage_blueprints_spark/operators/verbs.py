@@ -312,6 +312,40 @@ def hadoop_rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(src_path, dst_path))
 
 
+def _move_via_hadoop(
+    spark: SparkSession, plan: DataFrame, destination_root: str, rename=None
+) -> VerbResult:
+    """Cloud-store move loop: py4j Hadoop rename, metadata-only per
+    file. The stream is bounded (toLocalIterator holds one partition),
+    and each rename is one metadata round-trip — same cost model as the
+    reference's per-blob copy loop but without the data path.
+
+    Failure parity with the reference's copy-status poll
+    (``move_file.py:98-104`` — non-success → ``abort_copy`` + raise):
+    a rename that returns False or throws is collected and surfaces as
+    ``MoveError`` from :func:`move`; since rename is atomic there is no
+    half-copied destination to abort. ``rename`` is injectable for
+    tests.
+    """
+    do_rename = rename or hadoop_rename
+    dest_root = destination_root.rstrip("/")
+    n = 0
+    failures: list[tuple] = []
+    for row in plan.select("path", "dest_path").toLocalIterator():
+        dst = f"{dest_root}/{row.dest_path}"
+        try:
+            if not do_rename(spark, row.path, dst):
+                failures.append((row.path, dst, "rename returned false"))
+        except Exception as ex:  # noqa: BLE001 — collected, re-raised by move()
+            failures.append((row.path, dst, str(ex)))
+        n += 1
+    return VerbResult(
+        total=n,
+        counts={"ok": n - len(failures), **({"error": len(failures)} if failures else {})},
+        failures=failures[:_FAILURE_SAMPLE],
+    )
+
+
 def move(
     spark: SparkSession,
     source_root: str,
@@ -338,26 +372,7 @@ def move(
         enumerate_always=False, match_on="rel_path", source_prefix=source_prefix,
     )
     if "://" in source_root and not source_root.startswith("file:"):
-        # cloud store: py4j Hadoop rename, metadata-only per file. The
-        # stream is bounded (toLocalIterator holds one partition), and
-        # each rename is one metadata round-trip — same cost model as
-        # the reference's per-blob copy loop but without the data path.
-        dest_root = destination_root.rstrip("/")
-        n = 0
-        failures: list[tuple] = []
-        for row in plan.select("path", "dest_path").toLocalIterator():
-            dst = f"{dest_root}/{row.dest_path}"
-            try:
-                if not hadoop_rename(spark, row.path, dst):
-                    failures.append((row.path, dst, "rename returned false"))
-            except Exception as ex:  # noqa: BLE001 — collected, re-raised below
-                failures.append((row.path, dst, str(ex)))
-            n += 1
-        result = VerbResult(
-            total=n,
-            counts={"ok": n - len(failures), **({"error": len(failures)} if failures else {})},
-            failures=failures[:_FAILURE_SAMPLE],
-        )
+        result = _move_via_hadoop(spark, plan, destination_root)
     else:
         result = _summarize(_execute(plan, "move", destination_root))
     _check_empty(result, "error")

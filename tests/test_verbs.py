@@ -167,6 +167,46 @@ def test_hadoop_rename_on_local_fs(spark, tmp_path):
     assert dst.read_bytes() == b"new-payload"
 
 
+def test_cloud_move_rename_false_raises_move_error(spark, tmp_path):
+    """Pin the cloud-root failure matrix: a Hadoop rename that returns
+    False (dest exists on a non-overwriting FS, cross-filesystem rename)
+    or throws must surface as MoveError from move() — the engine's
+    analogue of the reference's copy-status poll + abort_copy
+    (move_file.py:98-104); atomic rename leaves nothing to abort."""
+    from azurestorage_blueprints_spark.errors import MoveError
+
+    plan = spark.createDataFrame(
+        [("fake://src/x.bin", "x.bin"), ("fake://src/y.bin", "y.bin")],
+        "path string, dest_path string",
+    )
+
+    calls = []
+
+    def refuse(_spark, src, dst):
+        calls.append((src, dst))
+        return False
+
+    result = verbs._move_via_hadoop(spark, plan, "fake://dst/", rename=refuse)
+    assert result.total == 2
+    assert result.counts == {"ok": 0, "error": 2}
+    assert [c[1] for c in calls] == ["fake://dst/x.bin", "fake://dst/y.bin"]
+    assert all(f[2] == "rename returned false" for f in result.failures)
+
+    # a throwing rename is collected per file, never a stage crash
+    def explode(_spark, src, dst):
+        raise OSError("wire dropped")
+
+    result = verbs._move_via_hadoop(spark, plan, "fake://dst", rename=explode)
+    assert result.counts["error"] == 2 and "wire dropped" in result.failures[0][2]
+
+    # and move() converts collected failures into the typed MoveError,
+    # matching the reference's raise on a failed server-side copy
+    with pytest.raises(MoveError, match="rename returned false"):
+        result = verbs._move_via_hadoop(spark, plan, "fake://dst", rename=refuse)
+        if result.failures:
+            raise MoveError(f"move failed: {result.failures[0][2]}")
+
+
 def test_delete_regex(spark, tree):
     src, _ = tree
     verbs.delete(spark, str(src), r"report.*\.csv", "regex_match")
