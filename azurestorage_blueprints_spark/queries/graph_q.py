@@ -10,16 +10,19 @@ bigint multiply / floor-divide / sum. That makes an iterative algorithm
 — normally "rows-only" territory — fully value-hash checkable against a
 DuckDB oracle written as unrolled CTEs.
 
-Scale posture (100 TB): the edge list is built once (join on orderkey,
-distinct), then every iteration is ONE equi-join of the rank vector to
-the edge list (shuffle keyed on node id) plus ONE aggregation keyed on
-destination. Edges dominate memory; ranks are two longs per node. The
-checkpointed edge list is hash-partitioned on src, so each iteration's
-join is broadcast while the rank vector fits (AQE's runtime choice) and
-degrades to a co-located shuffle join — only the rank side moves — when
-it doesn't; AQE's skew split handles hub nodes. Lineage does not grow
-per iteration here (3 fixed rounds); for fixpoint runs reuse the
-localCheckpoint pattern of operators/graph.py.
+Scale posture (100 TB): the graph is built ONCE as an adjacency list —
+one wide shuffle on src that simultaneously dedups edges (collect_set),
+computes out-degree (array size) and leaves the checkpointed relation
+hash-partitioned on the iteration join key. Every iteration is then one
+equi-join of the rank vector to its adjacency row plus one aggregation
+keyed on destination; AQE broadcasts the rank/frontier side while it
+fits and falls back to a co-located shuffle join (only the small side
+moves) when it doesn't. Edges dominate memory; ranks are two longs per
+node. Hub-node skew at extreme degree means one wide adjacency row —
+segment hot nodes into (src, salt) chunks when that bites; the explode
+is unchanged. Lineage does not grow per iteration here (3 fixed
+rounds); for fixpoint runs reuse the localCheckpoint pattern of
+operators/graph.py.
 """
 
 from __future__ import annotations
@@ -105,45 +108,42 @@ def _ckpt(df: DataFrame) -> DataFrame:
 def q_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.lit(_SUPP_OFF) + F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
+    e0 = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("c"),
+        (F.lit(_SUPP_OFF) + F.col("l_suppkey")).alias("s"),
     )
     edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    # (src, dst, d) computed once and reused by all three iterations;
-    # checkpoint so the orderkey join + distinct doesn't replay per
-    # round, and hash-partition on src FIRST so the checkpointed RDD's
-    # partitioning survives into every iteration's join: while the rank
-    # vector is small AQE turns the join into a broadcast (edges read in
-    # place), and when it outgrows the broadcast threshold the fallback
-    # shuffled join only moves the rank side — the edge list (the big
-    # side) is already co-located on the join key. No mandatory
-    # broadcast hint: a hardcoded hint would OOM the build side once the
-    # node vector stops fitting (the 100 TB failure mode), whereas AQE
-    # degrades to the co-partitioned join instead of dying.
-    edeg = _ckpt(
-        edges.join(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")), "src")
-        .repartition("src")
-    )
-    ranks = edeg.select("src").distinct().select(
+    # adjacency-list build: ONE wide shuffle on src does everything —
+    # collect_set dedups the (src, dst) pairs (no separate distinct),
+    # array size IS the out-degree (no degree join), and the grouped
+    # output is hash-partitioned on src, so the checkpointed relation
+    # is co-located with every iteration's join key. No mandatory
+    # broadcast hint in the loop: AQE broadcasts the rank vector while
+    # it fits and degrades to the co-located shuffled join (only the
+    # (node, rank) pairs move) when it doesn't — a hardcoded hint would
+    # OOM the build side at the 100 TB node count. Hub-node skew: a
+    # multi-million-degree node makes one wide adjacency row; at that
+    # scale segment hot rows into (src, salt) chunks — the explode
+    # below is unchanged.
+    adj = _ckpt(edges.groupBy("src").agg(F.collect_set("dst").alias("dsts")))
+    ranks = adj.select(
         F.col("src").alias("node"), F.lit(_ONE).cast("bigint").alias("rank")
     )
     new_rank = F.expr(
         f"cast({_TELEPORT} + ({_D_NUM} * sum(contrib)) div {_D_DEN} as bigint)"
     ).alias("rank")
     for _ in range(3):
-        # the rank vector is two longs per node; the narrow
-        # (dst, contrib) rows are the only guaranteed per-iteration
-        # shuffle
+        # per iteration: join the rank vector to its adjacency row,
+        # explode the neighbor list with the shared contribution — the
+        # narrow (dst, contrib) rows are the only guaranteed shuffle
         ranks = (
-            edeg.join(ranks, edeg.src == ranks.node)
-            .select(F.col("dst"), F.expr("rank div d").alias("contrib"))
+            adj.join(ranks, adj.src == ranks.node)
+            .select(
+                F.explode("dsts").alias("dst"),
+                F.expr("rank div size(dsts)").alias("contrib"),
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(new_rank)
         )
@@ -283,33 +283,33 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.lit(_SUPP_OFF) + F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
+    e0 = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("c"),
+        (F.lit(_SUPP_OFF) + F.col("l_suppkey")).alias("s"),
     )
-    edges = _ckpt(
+    # adjacency-list build, same design as PageRank above: one shuffle
+    # on src dedups pairs (collect_set), and leaves the checkpointed
+    # relation hash-partitioned on the hop-join key
+    adj = _ckpt(
         e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .union(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .repartition("src")
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("dsts"))
     )
     visited = cust.filter(F.col("c_custkey") < _SEED_MAX).select(
         F.col("c_custkey").cast("bigint").alias("node"), F.lit(0).alias("hop")
     )
     for h in range(1, _MAX_HOPS + 1):
         # the frontier is a set of node ids — AQE broadcasts it while it
-        # is small (edges read in place); past the broadcast threshold
-        # the shuffled join is co-located on the pre-partitioned edge
+        # is small (adjacency read in place); past the broadcast
+        # threshold the shuffled join is co-located on the adjacency
         # side, so only the frontier moves. No mandatory hint: a
         # worst-case frontier is bounded only by the node count, which
         # at 100 TB cannot be forced into a broadcast.
         frontier = visited.filter(F.col("hop") == h - 1)
         expand = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(F.col("dst").alias("node"), F.lit(h).alias("hop"))
+            adj.join(frontier, adj.src == frontier.node)
+            .select(F.explode("dsts").alias("node"), F.lit(h).alias("hop"))
         )
         visited = _ckpt(
             visited.union(expand)
