@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.queries import REGISTRY, register
 from azurestorage_blueprints_spark.tables import table
 
 # OLS closed form over exact integer moments, spelled once and formatted
@@ -296,3 +296,236 @@ def q_stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# Welch's t statistic and degrees of freedom from exact moments, spelled
+# once into both engines. Variance uses the computational form
+# (q - s^2/n) / (n-1) over exact decimal moments cast to double at the
+# last step — identical IEEE expression tree on both sides.
+_V1 = (
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / CAST(n1 - 1 AS DOUBLE))"
+)
+_V2 = (
+    "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / CAST(n2 - 1 AS DOUBLE))"
+)
+_SE2 = f"({_V1} / CAST(n1 AS DOUBLE) + {_V2} / CAST(n2 AS DOUBLE))"
+_WELCH_T = (
+    "((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    f" / sqrt({_SE2}))"
+)
+_WELCH_DF = (
+    f"(({_SE2}) * ({_SE2})"
+    f" / (({_V1} / CAST(n1 AS DOUBLE)) * ({_V1} / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)"
+    f"  + ({_V2} / CAST(n2 AS DOUBLE)) * ({_V2} / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)))"
+)
+
+# one-pass conditional moments: cents and cents^2 as exact decimals
+_W_MOMENTS = """
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             sum(CASE WHEN o_orderstatus = 'F' THEN CAST(c AS DECIMAL(18,0)) END) AS s1,
+             sum(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) END) AS q1,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             sum(CASE WHEN o_orderstatus = 'O' THEN CAST(c AS DECIMAL(18,0)) END) AS s2,
+             sum(CASE WHEN o_orderstatus = 'O'
+                      THEN CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) END) AS q2
+      FROM (SELECT o_orderpriority, o_orderstatus,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+            FROM orders WHERE o_orderstatus IN ('F', 'O')) t
+      GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_stats_ttest_welch",
+    oracle=f"""
+    WITH m AS ({_W_MOMENTS})
+    SELECT o_orderpriority, n1, n2,
+           {_WELCH_T} AS welch_t,
+           {_WELCH_DF} AS welch_df
+    FROM m
+    """,
+    doc="Welch's unequal-variance t-test of mean order value (cents), "
+    "fulfilled vs open orders, per order priority: ONE conditional-moment "
+    "hash-aggregation accumulates n / sum(c) / sum(c^2) for both arms as "
+    "exact decimal(38,0) (cents^2 sums exceed int64 past ~sf10, decimals "
+    "do not overflow until well past 100 TB), then the t statistic and "
+    "Welch-Satterthwaite df are derived doubles from identical exact "
+    "inputs via a shared expression tree. The A/B-test primitive for "
+    "corpus experiments. Shape: partial aggregation collapses every "
+    "partition to 5 moment rows before the only shuffle — O(priorities) "
+    "rows move regardless of input size.",
+)
+def q_stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        WITH m AS ({_W_MOMENTS})
+        SELECT o_orderpriority, n1, n2,
+               {_WELCH_T} AS welch_t,
+               {_WELCH_DF} AS welch_df
+        FROM m
+        """
+    )
+
+
+@register(
+    "q_stats_ks_test",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(c1) OVER (ORDER BY v) AS DECIMAL(19,0)) AS f1,
+             CAST(sum(c2) OVER (ORDER BY v) AS DECIMAL(19,0)) AS f2,
+             CAST(sum(c1) OVER () AS DECIMAL(19,0)) AS n1,
+             CAST(sum(c2) OVER () AS DECIMAL(19,0)) AS n2
+      FROM cells
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           v AS at_cents,
+           CAST(abs(f1 * n2 - f2 * n1) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+    FROM cum
+    ORDER BY abs(f1 * n2 - f2 * n1) DESC, v
+    LIMIT 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the returned (A) "
+    "and refused (R) extended-price distributions, computed EXACTLY in integers: "
+    "the ECDF difference |F1 - F2| at each distinct price is the exact "
+    "decimal |f1*n2 - f2*n1| (cross-multiplied to avoid any float ECDF), "
+    "so the argmax is an exact integer comparison and only the final "
+    "reported statistic divides to double. Distribution-drift detection "
+    "between corpus sources without binning error. Shape: one hash-agg "
+    "to the distinct-value table (bounded by the price domain, not row "
+    "count — ~O(10^6) cells at any SF), one single-partition window "
+    "cumsum over that small table, top-1 by exact key. The fact scan "
+    "never shuffles more than the cell table.",
+)
+def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(REGISTRY["q_stats_ks_test"].oracle)
+
+
+# Benford expected first-digit frequencies log10(1 + 1/d), inlined as
+# literal doubles so both engines consume identical constants (no
+# engine-specific libm log10 in the hot path).
+_BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST({v!r} AS DOUBLE)" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "q_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM orders
+    ),
+    obs AS (
+      SELECT first_digit, CAST(count(*) AS BIGINT) AS n
+      FROM digits GROUP BY first_digit
+    ),
+    tot AS (
+      SELECT first_digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM obs
+    )
+    SELECT first_digit, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed_freq,
+           {_BENFORD_CASE} AS benford_freq,
+           (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - ({_BENFORD_CASE}))
+             * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - ({_BENFORD_CASE}))
+             / ({_BENFORD_CASE}) AS chisq_term
+    FROM tot
+    """,
+    doc="Benford's-law first-digit audit of order values — the classic "
+    "anomaly/fraud screen for ingested numeric feeds. The first "
+    "significant digit is extracted from the EXACT integer cents via "
+    "string head (no log10 on data — engine libm differences never "
+    "touch values), counts are exact, and the expected Benford "
+    "frequencies are python-precomputed literal doubles inlined "
+    "identically into both engines' expression text. Shape: one "
+    "hash-agg to 9 rows (partial agg collapses each partition to <=9 "
+    "rows pre-shuffle), window total over 9 rows. O(1) output at any SF.",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    # exact integer cents -> string head (Spark spells the string type
+    # STRING where DuckDB says VARCHAR; the digit itself is exact either way)
+    digits = o.select(
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+        .cast("string")
+        .substr(1, 1)
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    obs = digits.groupBy("first_digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.select(
+        "first_digit", "n", F.sum("n").over(W.partitionBy()).cast("bigint").alias("total")
+    )
+    freq = "CAST(n AS DOUBLE) / CAST(total AS DOUBLE)"
+    return tot.select(
+        "first_digit",
+        "n",
+        F.expr(freq).alias("observed_freq"),
+        F.expr(_BENFORD_CASE).alias("benford_freq"),
+        F.expr(
+            f"({freq} - ({_BENFORD_CASE})) * ({freq} - ({_BENFORD_CASE})) / ({_BENFORD_CASE})"
+        ).alias("chisq_term"),
+    )
+
+
+@register(
+    "q_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c_nationkey AS nationkey, o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey
+    ),
+    ranked AS (
+      SELECT nationkey, cents,
+             CAST(row_number() OVER (PARTITION BY nationkey
+                                     ORDER BY cents, o_custkey) AS BIGINT) AS i
+      FROM spend
+    ),
+    m AS (
+      SELECT nationkey,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DECIMAL(18,0))) AS ss,
+             sum(CAST(i AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0))) AS sis
+      FROM ranked GROUP BY nationkey
+    )
+    SELECT nationkey, n,
+           (2.0 * CAST(sis AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(ss AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)) AS gini
+    FROM m
+    """,
+    doc="Gini coefficient of customer-spend concentration per nation "
+    "(how unequal is revenue across customers — the inequality/"
+    "concentration primitive, same math as data-source token-share "
+    "audits). Rank-weighted closed form G = (2*sum(i*x_i) - (n+1)*"
+    "sum(x)) / (n*sum(x)) over EXACT integer cents with a deterministic "
+    "total order (spend, then unique custkey), rank-weighted sums "
+    "accumulated as decimal(38,0) (i*x products pass int64 around sf30), "
+    "final division the only doubles. Shape: per-customer pre-aggregate "
+    "(one shuffle on custkey), one rank window partitioned by nation, "
+    "one moment agg — the shuffle after ranking carries 3 exact columns.",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(REGISTRY["q_gini_concentration"].oracle)
