@@ -667,3 +667,173 @@ def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("mom_change"),
     )
+
+
+# average order value in cents, derived from exact integer moments and
+# spelled identically into both engines (see determinism contract)
+_AVG_CENTS = (
+    "SELECT CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / CAST(count(*) AS DOUBLE) FROM orders"
+)
+
+
+@register(
+    "q_subquery_scalar",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(min(({_AVG_CENTS})) AS DOUBLE) AS global_avg_cents
+    FROM orders
+    WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) > ({_AVG_CENTS})
+    GROUP BY o_orderpriority
+    """,
+    doc="Scalar-subquery predicate: orders whose value exceeds the "
+    "GLOBAL average order value, counted per priority. The scalar "
+    "subquery is declared in SQL on both engines; Catalyst executes it "
+    "once as a separate subquery job and folds the result in as a "
+    "literal before the main scan runs — the 100 TB shape is one "
+    "moment-aggregation (map-side combined to a single row) followed "
+    "by a filtered scan + O(priorities) hash-agg, never a join. The "
+    "average itself is a derived double from exact integer cents via "
+    "shared expression text, so the filter threshold is bit-identical "
+    "on both engines.",
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_above,
+               CAST(min(({_AVG_CENTS})) AS DOUBLE) AS global_avg_cents
+        FROM orders
+        WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) > ({_AVG_CENTS})
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_CHURN_SQL = """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_churned
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1995-01-01'
+                    AND o_orderdate < DATE '1996-01-01')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1996-01-01'
+                        AND o_orderdate < DATE '1997-01-01')
+    GROUP BY n_name
+"""
+
+
+@register(
+    "q_subquery_exists",
+    oracle=_CHURN_SQL,
+    doc="Correlated EXISTS / NOT EXISTS: customers who ordered in 1995 "
+    "but not in 1996 (churn), counted per nation. Declared as "
+    "correlated subqueries on both engines; Catalyst rewrites them to "
+    "a left-semi and a left-anti hash join on c_custkey with the date "
+    "filters pushed below the joins into the orders scan (PushedFilters "
+    "on o_orderdate — each EXISTS arm scans only its year). The 100 TB "
+    "shape: two key-partitioned semi/anti joins that AQE can also turn "
+    "into broadcasts when a year's distinct custkey set is small, then "
+    "an O(nations) agg.",
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "nation", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CHURN_SQL)
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(o_orderstatus, 'P') AS k, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(l_linestatus, 'O') AS k, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.k AS status_key, n_orders, n_lines
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="Null-safe equality join (Spark `<=>` / ANSI IS NOT DISTINCT "
+    "FROM): reconcile order-side and line-side counts keyed on a "
+    "nullable status bucket where NULL means 'other' and must match "
+    "NULL — ordinary equi-join semantics would silently drop the NULL "
+    "bucket. Both inputs are pre-aggregated to O(status) rows before "
+    "the join, so the null-safe comparison — which cannot use ordinary "
+    "hash-join null skipping — only ever touches a handful of rows; "
+    "the fact scans shuffle on nothing wider than the status column "
+    "with map-side partial aggregation.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a = (
+        o.groupBy(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    b = (
+        li.groupBy(F.nullif(F.col("l_linestatus"), F.lit("O")).alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(
+        a.k.alias("status_key"), "n_orders", "n_lines"
+    )
+
+
+@register(
+    "q_gaps_islands",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+      FROM orders
+    ),
+    islands AS (
+      SELECT o_custkey,
+             m - CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY m) AS BIGINT) AS isl
+      FROM months
+    ),
+    streaks AS (
+      SELECT o_custkey, isl, CAST(count(*) AS BIGINT) AS streak_len
+      FROM islands GROUP BY o_custkey, isl
+    )
+    SELECT streak_len, CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY streak_len
+    """,
+    doc="Gaps-and-islands: consecutive-month ordering streaks per "
+    "customer via the classic dense_rank difference trick (consecutive "
+    "months share `month_index - dense_rank`), then a histogram of "
+    "streak lengths. All integer arithmetic — exact at any SF. Shape: "
+    "one distinct-agg on (custkey, month) — map-side combined — one "
+    "window sorted within the custkey partition (same shuffle key, no "
+    "second exchange), two tiny count-aggs. Nothing wider than "
+    "(custkey, month) ever shuffles; the streak histogram is "
+    "O(max streak) rows.",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("m"),
+    ).distinct()
+    islands = months.select(
+        "o_custkey",
+        (
+            F.col("m")
+            - F.dense_rank().over(W.partitionBy("o_custkey").orderBy("m")).cast("bigint")
+        ).alias("isl"),
+    )
+    streaks = islands.groupBy("o_custkey", "isl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len")
+    )
+    return streaks.groupBy("streak_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks")
+    )
