@@ -321,3 +321,88 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hop")
     )
+
+
+_EDGE_SQL = """
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle=f"""
+    WITH e0 AS ({_EDGE_SQL}),
+    cd AS (SELECT c, CAST(count(*) AS BIGINT) AS degree FROM e0 GROUP BY c),
+    sd AS (SELECT s, CAST(count(*) AS BIGINT) AS degree FROM e0 GROUP BY s)
+    SELECT 'customer' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM cd GROUP BY degree
+    UNION ALL
+    SELECT 'supplier' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM sd GROUP BY degree
+    """,
+    doc="Degree distribution of the bipartite customer-supplier purchase "
+    "graph, per side — the first profiling query run on any graph "
+    "(power-law check, hub detection, skew estimate for the iterative "
+    "ops). Exact integers end-to-end. Shape: edge dedup is one "
+    "(custkey, suppkey) distinct-agg; each side's degree is a count "
+    "keyed on that side (map-side combined), and the histogram aggs "
+    "operate on O(nodes) then O(distinct degree) rows. Nothing wider "
+    "than the edge pair ever shuffles.",
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cd = e0.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    sd = e0.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    hist = lambda df, side: (  # noqa: E731
+        df.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.lit(side).alias("side"), "degree", "n_nodes")
+    )
+    return hist(cd, "customer").unionAll(hist(sd, "supplier"))
+
+
+_CN_SQL = f"""
+    WITH e AS ({_EDGE_SQL}),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+    pairs AS (
+      SELECT e1.s AS s1, e2.s AS s2, CAST(count(*) AS BIGINT) AS n_common
+      FROM e e1 JOIN e e2 ON e1.c = e2.c AND e1.s < e2.s
+      GROUP BY e1.s, e2.s
+    )
+    SELECT s1, s2, n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(d1.d + d2.d - n_common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN deg d1 ON s1 = d1.s
+    JOIN deg d2 ON s2 = d2.s
+    ORDER BY n_common DESC, s1, s2
+    LIMIT 20
+"""
+
+
+@register(
+    "q_graph_common_neighbors",
+    oracle=_CN_SQL,
+    doc="Common-neighbors link prediction: supplier pairs ranked by how "
+    "many customers they share, with the exact neighborhood-Jaccard "
+    "score (n_common / (d1 + d2 - n_common)) as derived double from "
+    "exact integer counts via shared expression text. Candidate pairs "
+    "come from the within-customer self-join — the same bounded "
+    "fan-out as the market-basket lift query: a customer with k "
+    "suppliers contributes C(k,2) pairs, bounded by purchasing "
+    "behavior (basket size), never by corpus size, and only the "
+    "O(co-purchase pairs) aggregate shuffles after it. Degree join is "
+    "O(suppliers) and AQE broadcasts it; top-20 runs as "
+    "TakeOrderedAndProject, no global sort.",
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CN_SQL)
