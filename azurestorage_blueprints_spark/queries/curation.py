@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azurestorage_blueprints_spark.functions.text import token_count, tokens, word_shingles
+from azurestorage_blueprints_spark.functions.text import (
+    STOPWORDS,
+    token_count,
+    tokens,
+    word_set_occurrences,
+    word_shingles,
+)
 from azurestorage_blueprints_spark.queries import register
 from azurestorage_blueprints_spark.tables import table
 
@@ -372,4 +378,85 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# Gopher-rule derived doubles, spelled once into both engines from the
+# per-document exact integer columns (n_tokens, sum_len, n_alpha,
+# n_symbols, n_stop)
+_G1 = "CAST(greatest(n_tokens, CAST(1 AS BIGINT)) AS DOUBLE)"
+_MWL = f"(CAST(sum_len AS DOUBLE) / {_G1})"
+_ALPHA = f"(CAST(n_alpha AS DOUBLE) / {_G1})"
+_SYMW = f"(CAST(n_symbols AS DOUBLE) / {_G1})"
+_GOPHER_PASS = (
+    f"(n_tokens >= 50 AND n_tokens <= 100000"
+    f" AND {_MWL} >= 3.0 AND {_MWL} <= 10.0"
+    f" AND {_ALPHA} > 0.8 AND {_SYMW} < 0.1 AND n_stop >= 2)"
+)
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH ints AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+               AS n_tokens,
+             CAST(coalesce(list_aggregate(
+               list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                              t -> length(t)), 'sum'), 0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '' AND regexp_matches(t, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (len(string_split(text, '...')) - 1) AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains([{_STOP_LIST}], t))) AS BIGINT)
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stop,
+           {_MWL} AS mean_word_len,
+           {_ALPHA} AS alpha_frac,
+           {_SYMW} AS symbols_per_word,
+           {_GOPHER_PASS} AS passes
+    FROM ints
+    """,
+    doc="Gopher quality rules (Rae et al. 2021, public): word-count "
+    "bounds, mean word length 3-10, >80% words containing an alphabetic "
+    "character, symbol-to-word ratio (# and ...) < 0.1, and a minimum "
+    "stop-word count — the standard rule-based corpus filter next to "
+    "the C4 heuristics (q_text_c4_filters). All signals reduce to "
+    "per-document EXACT integers in one codegen'd pass (no shuffle at "
+    "all — embarrassingly parallel over the corpus at any SF); the "
+    "ratio thresholds are derived doubles from identical integers via "
+    "shared expression text, so the pass/fail booleans hash-match.",
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    ints = d.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.aggregate(tk, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias(
+            "sum_len"
+        ),
+        F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+            + (F.size(F.split(F.col("text"), r"\.\.\.", -1)) - 1)
+        )
+        .cast("bigint")
+        .alias("n_symbols"),
+        word_set_occurrences(F.col("text"), STOPWORDS).cast("bigint").alias("n_stop"),
+    )
+    return ints.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        F.expr(_MWL).alias("mean_word_len"),
+        F.expr(_ALPHA).alias("alpha_frac"),
+        F.expr(_SYMW).alias("symbols_per_word"),
+        F.expr(_GOPHER_PASS).alias("passes"),
     )

@@ -718,3 +718,95 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_quantized"),
         )
     )
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_N_SEEDS}),
+    scored AS (
+      SELECT e.vec_id, seeds.seed_id,
+             list_cosine_similarity(e.v, seeds.sv) AS sim
+      FROM e, seeds),
+    assigned AS (
+      SELECT vec_id, seed_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn
+      FROM scored),
+    mem AS (
+      SELECT a.seed_id AS cluster_id, e.vec_id, e.v
+      FROM assigned a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+    pairs AS (
+      SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id
+      FROM mem a JOIN mem b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    pc AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped
+      FROM pairs GROUP BY cluster_id),
+    mc AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM mem GROUP BY cluster_id)
+    SELECT mc.cluster_id, n_members,
+           coalesce(n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+           coalesce(n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+    FROM mc LEFT JOIN pc ON mc.cluster_id = pc.cluster_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023, public): semantic dedup without "
+    "labels — cluster the corpus by nearest deterministic centroid, "
+    "then find cosine near-dup pairs ONLY within each cluster and drop "
+    "the higher-id member of every pair. The clustering step is the "
+    "broadcast E-step of q_embed_cluster_assign; the pairwise stage is "
+    "per-cluster (the paper's point: k is chosen proportional to corpus "
+    "size so expected cluster size — and the C(m,2) fan-out — stays "
+    "bounded as the corpus grows). Per-pair cosine reuses each vector's "
+    "precomputed norm: N folds, never N^2. Reported per cluster: "
+    "members, near-dup pairs, dropped count — exact integers.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    seeds = e.filter(F.col("vec_id") < _N_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    )
+    # clamped like q_embed_cluster_assign: seeds score themselves 1+2ulp
+    sim = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("embedding"), F.col("sv"))))
+    scored = en.crossJoin(F.broadcast(seeds)).select("vec_id", "seed_id", sim.alias("sim"))
+    rn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id"))
+    assigned = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    )
+    mem = assigned.join(en, "vec_id")
+    a = mem.select(
+        "cluster_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_v"),
+        F.col("nrm").alias("a_n"),
+    )
+    b = mem.select(
+        F.col("cluster_id").alias("cl2"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_v"),
+        F.col("nrm").alias("b_n"),
+    )
+    psim = dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+    pairs = (
+        a.join(b, (F.col("cluster_id") == F.col("cl2")) & (F.col("a_id") < F.col("b_id")))
+        .filter(psim >= 0.4)
+        .select("cluster_id", "a_id", "b_id")
+    )
+    pc = pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("b_id").cast("bigint").alias("n_dropped"),
+    )
+    mc = mem.groupBy("cluster_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return mc.join(pc, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+        F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+    )
