@@ -810,20 +810,26 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer via the classic dense_rank difference trick (consecutive "
     "months share `month_index - dense_rank`), then a histogram of "
     "streak lengths. All integer arithmetic — exact at any SF. Shape: "
-    "one distinct-agg on (custkey, month) — map-side combined — one "
-    "window sorted within the custkey partition (same shuffle key, no "
-    "second exchange), two tiny count-aggs. Nothing wider than "
-    "(custkey, month) ever shuffles; the streak histogram is "
-    "O(max streak) rows.",
+    "ONE custkey shuffle total — the month-set dedup is a collect_set "
+    "agg keyed on o_custkey (map-side combined), and exploding it back "
+    "preserves that partitioning, so the dense_rank window reuses the "
+    "same exchange instead of re-shuffling (a (custkey, month) distinct "
+    "would force a second custkey exchange for the window); then two "
+    "tiny count-aggs. The streak histogram is O(max streak) rows.",
 )
 def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     o = table(spark, sf_dir, "orders")
-    months = o.select(
-        "o_custkey",
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("m"),
-    ).distinct()
+    months = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.collect_set(
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+            ).alias("ms")
+        )
+        .select("o_custkey", F.explode("ms").alias("m"))
+    )
     islands = months.select(
         "o_custkey",
         (

@@ -291,3 +291,81 @@ def test_containment_candidate_postings_are_df_capped(spark, sf_dir):
     assert str(_CONTAIN_DF_CAP) in plan, "df ceiling missing from the candidate plan"
     # exact rescoring happens on the pair arrays, not by counting join rows
     assert "array_intersect" in plan
+
+
+def test_scalar_subquery_folds_to_literal_not_join(spark, sf_dir):
+    plan = _plan(spark, "q_subquery_scalar", sf_dir)
+    # the global average must execute as a scalar subquery (one separate
+    # O(1)-output job whose result folds into the filter), never as a
+    # join of the fact table against itself
+    assert "Subquery" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exists_subqueries_become_semi_and_anti_joins(spark, sf_dir):
+    plan = _plan(spark, "q_subquery_exists", sf_dir)
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti; the year bounds must
+    # be pushed into the orders scans
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    pushed = [s.split("\n")[0] for s in plan.split("PushedFilters:")[1:]]
+    assert sum("GreaterThanOrEqual(o_orderdate" in p for p in pushed) == 2, (
+        "each EXISTS arm's year bounds must reach its orders parquet scan"
+    )
+
+
+def test_gaps_islands_window_shares_the_distinct_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_gaps_islands", sf_dir)
+    # the dense_rank window partitions by o_custkey — the same key the
+    # distinct agg shuffled on, so Catalyst must not add a second
+    # custkey exchange; and the window must never be global
+    assert "SinglePartition" not in plan
+    custkey_exchanges = re.findall(r"hashpartitioning\(o_custkey", plan)
+    assert len(custkey_exchanges) <= 1, "window re-shuffles the custkey partitioning"
+
+
+def test_common_neighbors_is_topk_without_cartesian(spark, sf_dir):
+    plan = _plan(spark, "q_graph_common_neighbors", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-20 must not be a global sort"
+
+
+def test_welch_moments_are_one_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_stats_ttest_welch", sf_dir)
+    # ONE conditional-moment aggregation: a single hash exchange on the
+    # priority key; both arms' moments ride the same partial aggregate
+    assert len(re.findall(r"hashpartitioning\(o_orderpriority", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ks_windows_run_on_the_cell_table_not_the_scan(spark, sf_dir):
+    plan = _plan(spark, "q_stats_ks_test", sf_dir)
+    # the fact scan reduces to the distinct-cents cell table via one
+    # hash-agg BELOW the ECDF window (formatted plans print root-first,
+    # so the agg appears after the Window in the string), keeping the
+    # single-partition window over the bounded cell domain only
+    assert "HashAggregate" in plan.split("Window", 1)[1], (
+        "cell aggregation must feed the ECDF window"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_are_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "q_text_gopher_rules", sf_dir)
+    # every Gopher signal is row-local codegen; a key shuffle means the
+    # token stream is moving (the loader's round-robin spread is keyless)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_semdedup_pairs_join_on_cluster_never_cartesian(spark, sf_dir):
+    plan = _plan(spark, "q_semdedup", sf_dir)
+    # the centroid set broadcasts; the pair stage must be an equi-join
+    # on cluster_id (per-cluster fan-out), never a global cross join
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
