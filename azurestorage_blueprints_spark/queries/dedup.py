@@ -657,3 +657,71 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist").between(1, _ENTITY_MAX_DIST))
         .select("a_key", "b_key", "a_name", "b_name", "dist")
     )
+
+
+#: fixed segment width (tokens) for block-level duplication scoring
+_SEG_W = 20
+_DUP_FRAC = "(CAST(n_dup AS DOUBLE) / CAST(n_segments AS DOUBLE))"
+
+
+@register(
+    "q_dedup_segments",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(toks) // {_SEG_W}),
+                    i -> array_to_string(toks[i * {_SEG_W} + 1 : i * {_SEG_W} + {_SEG_W}],
+                                         ' '))) AS seg
+      FROM toked WHERE len(toks) >= {_SEG_W}
+    ),
+    df AS (SELECT seg, CAST(count(*) AS BIGINT) AS c FROM segs GROUP BY seg)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           {_DUP_FRAC} AS dup_frac
+    FROM segs s JOIN df ON s.seg = df.seg
+    GROUP BY s.doc_id
+    """,
+    doc="Segment-level duplication scoring (the block-aligned form of "
+    "RefinedWeb/C4 repeated-span removal): split every document into "
+    f"consecutive {_SEG_W}-token segments, count each segment's corpus "
+    "frequency, and report per document how many of its segments occur "
+    "2+ times anywhere — the signal that catches boilerplate spans "
+    "inside otherwise-unique documents, which whole-document dedup "
+    "(q_dedup_exact_content) cannot see. Shape: the segment slide is "
+    "in-array (zero positional shuffle); the frequency agg and the "
+    "rejoin shuffle 8-byte xxhash64 fingerprints, never segment text "
+    "(the oracle groups the raw strings — same counts, no hash "
+    "dependence); per-doc rollup keys on doc_id. At 100 TB this is two "
+    "fingerprint-keyed exchanges, both map-side combinable.",
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= _SEG_W
+    )
+    # sequence(0, n-1) is inclusive and descends when n-1 < 0 — the
+    # size filter above guarantees at least one full segment
+    segs = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.size("tk") / _SEG_W).cast("int") - 1),
+                lambda i: F.array_join(F.slice(F.col("tk"), i * _SEG_W + 1, _SEG_W), " "),
+            )
+        ).alias("seg"),
+    ).select("doc_id", F.xxhash64("seg").alias("h"))
+    df_tbl = segs.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        segs.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("bigint").alias("n_dup"),
+        )
+        .select("doc_id", "n_segments", "n_dup", F.expr(_DUP_FRAC).alias("dup_frac"))
+    )
