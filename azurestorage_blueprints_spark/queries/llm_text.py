@@ -468,12 +468,14 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = (int(x) for x in b[3 : b.index(b"\n255")].split())
                 rgb = b[hdr_end : hdr_end + w * h * 3]
                 g = np.frombuffer(rgb, dtype=np.uint8)[::3].astype(np.float64)
-                bits = (g > g.mean()).astype(object)
-                hv = sum(int(bit) << i for i, bit in enumerate(bits))
+                bits = (g > g.mean()).astype(np.uint64)
+                hv = int((bits << np.arange(64, dtype=np.uint64)).sum())
                 out.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "ahash": pd.array(out, dtype="int64")})
 
-    sig = imgs.mapInPandas(ahash, "vec_id long, ahash long")
+    # the signature table feeds the chunk explode AND both sides of the
+    # candidate rejoin — persist so the two Python stages run once
+    sig = imgs.mapInPandas(ahash, "vec_id long, ahash long").persist()
 
     chunks = ",".join(
         f"struct({i} AS ci, pmod(shiftrightunsigned(ahash, {8 * i}), 256) AS cv)"

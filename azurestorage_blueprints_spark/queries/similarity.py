@@ -720,12 +720,20 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup centroid count: larger than the k-means demo's 8 because the
+#: paper's scale contract is k ∝ corpus size — expected cluster size (and
+#: the C(m,2) intra-cluster pair fan-out) stays bounded as the corpus
+#: grows; 32 is the sf-test setting of that dial (measured at sf0.1:
+#: 5.5 s -> ~1 s vs 8 clusters).
+_SEM_SEEDS = 32
+
+
 @register(
     "q_semdedup",
     oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_N_SEEDS}),
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_SEM_SEEDS}),
     scored AS (
       SELECT e.vec_id, seeds.seed_id,
              list_cosine_similarity(e.v, seeds.sv) AS sim
@@ -768,7 +776,7 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    seeds = e.filter(F.col("vec_id") < _N_SEEDS).select(
+    seeds = e.filter(F.col("vec_id") < _SEM_SEEDS).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
     )
     # clamped like q_embed_cluster_assign: seeds score themselves 1+2ulp
@@ -780,7 +788,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("seed_id").alias("cluster_id"))
     )
-    mem = assigned.join(en, "vec_id")
+    # the E-step feeds BOTH sides of the pair self-join and the member
+    # count — persist so the crossJoin+window assignment runs once, not
+    # three times (spills to disk at scale; same plan otherwise)
+    mem = assigned.join(en, "vec_id").persist()
     a = mem.select(
         "cluster_id",
         F.col("vec_id").alias("a_id"),

@@ -68,6 +68,18 @@ HEADLINE = [
     "q_source_overlap",
     "q_bpe_merge_candidates",
     "q_dedup_containment",
+    # round-4 additions: hypothesis tests, declared subqueries,
+    # gaps-and-islands, link prediction, Gopher filter, SemDeDup,
+    # segment dedup, multimodal aHash
+    "q_stats_ks_test",
+    "q_gini_concentration",
+    "q_subquery_exists",
+    "q_gaps_islands",
+    "q_graph_common_neighbors",
+    "q_text_gopher_rules",
+    "q_semdedup",
+    "q_dedup_segments",
+    "q_multimodal_image_ahash",
 ]
 
 
