@@ -391,3 +391,43 @@ def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="CUSTOM stateful streaming operator (applyInPandasWithState), "
+    "oracle-checked: per-user lifetime running totals carried across "
+    "micro-batches in explicit per-key state — the aggregate never "
+    "expires, so no built-in window expresses it. State is exact "
+    "integers (event count + value cents), so the final per-key state "
+    "after the full replay equals the batch GROUP BY bit-for-bit; the "
+    "update-mode sink emits one row per key per touched micro-batch "
+    "and the final state is the (monotone) max-n_events row per key. "
+    "Scale: state is O(distinct users) longs, keys shuffle to stable "
+    "partitions, state snapshots ride the checkpoint — the same "
+    "bounded-state contract as watermarked windows.",
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from azurestorage_blueprints_spark.streaming.stateful import running_user_cent_totals
+
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    out = run_to_memory(
+        running_user_cent_totals(stream),
+        f"t_{uuid.uuid4().hex[:12]}",
+        output_mode="update",
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("n_events")))
+    return (
+        out.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )

@@ -44,3 +44,40 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CENT_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+
+
+def running_user_cent_totals(events: DataFrame) -> DataFrame:
+    """Exact-integer twin of ``running_user_totals``: the running value
+    sum is kept in CENTS (``floor(v*100+0.5)``, the engine-wide exact
+    quantizer), so the per-key state is order-insensitive integers and
+    the final state equals the batch aggregate bit-for-bit — which is
+    what lets the registry oracle-check a custom stateful operator
+    instead of settling for a rows-only smoke test. The closure is
+    self-contained (numpy/pandas only): a plain driver session's Python
+    workers see the pickled closure, not the repo's sys.path."""
+
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(np.int64).sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CENT_TOTALS_SCHEMA,
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
