@@ -292,3 +292,30 @@ def test_png_nearest_neighbor_resize_roundtrips(spark):
     assert (w, h) == (3, 2)
     expect = MM._nn_resize_rgb(rgb, 6, 4, 3, 2)
     assert resized == expect
+
+
+def test_spectral_features_locate_a_pure_tone(spark):
+    """A synthesized 4 kHz sine at 16 kHz sampling must put the spectral
+    centroid near 4 kHz and the dominant band energy in band 2 of 8
+    (bands split [0, 8 kHz] evenly)."""
+    import numpy as np
+
+    from azurestorage_blueprints_spark.operators.multimodal import (
+        encode_wav,
+        extract_spectral_features,
+    )
+
+    rate, dur_s, tone = 16000, 1, 4000
+    t = np.arange(rate * dur_s) / rate
+    wave = (0.5 * 32767 * np.sin(2 * np.pi * tone * t)).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(rate, wave))), (2, bytearray(b"not audio"))],
+        "content_id long, content binary",
+    )
+    rows = {r.content_id: r for r in extract_spectral_features(df).collect()}
+    good, bad = rows[1], rows[2]
+    assert good.ok and not bad.ok
+    assert abs(good.spectral_centroid_hz - tone) < 200, good.spectral_centroid_hz
+    # 129 rfft bins over [0, 8 kHz]; the 4 kHz tone is bin 64, which
+    # array_split(129, 8) places at the tail of band 3
+    assert int(np.argmax(good.band_energies)) == 3
