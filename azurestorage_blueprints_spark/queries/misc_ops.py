@@ -452,3 +452,49 @@ def q_join_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+# bounded quality score x/(1+|x|) from the centered token count —
+# IEEE +-*/ and abs only, so Python (numpy), Spark, and DuckDB all
+# produce bit-identical doubles from the same integer input
+_LOGIT = "(CAST(n_tokens - 100 AS DOUBLE) / 50.0)"
+_SQUASH = f"({_LOGIT} / (1.0 + abs({_LOGIT})))"
+
+
+@register(
+    "q_pandas_scalar_udf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, {_SQUASH} AS length_score FROM t
+    """,
+    doc="Scalar Arrow-vectorized pandas UDF — the remaining rung of the "
+    "UDF matrix next to the grouped UDAF (q_pandas_grouped_agg), "
+    "cogrouped applyInPandas (q_cogroup_reconcile), UDTF "
+    "(q_udtf_sentences) and stateful (q_stream_stateful_totals): a "
+    "length-based quality squash x/(1+|x|) computed in numpy over "
+    "Arrow batches. The function body is rational arithmetic only "
+    "(IEEE +-*/ and abs — no libm), so the Python result is "
+    "bit-identical to the DuckDB oracle and the query hash-checks even "
+    "though the hot loop leaves the JVM. Shape: embarrassingly "
+    "parallel scan-stage projection, zero shuffles; the Arrow transfer "
+    "is the entire overhead, which is the honest cost model for any "
+    "pandas UDF at 100 TB.",
+)
+def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def squash(n: pd.Series) -> pd.Series:
+        x = (n - 100).astype("float64") / 50.0
+        return x / (1.0 + x.abs())
+
+    d = table(spark, sf_dir, "documents")
+    from azurestorage_blueprints_spark.functions.text import tokens
+
+    nt = F.size(tokens(F.col("text"))).cast("bigint")
+    return d.select(
+        "doc_id", nt.alias("n_tokens"), squash(nt).alias("length_score")
+    )
