@@ -204,3 +204,80 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(W.partitionBy("from_type")).cast("double")
         ).alias("p_transition"),
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked),
+    paths AS (
+      SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS seq
+      FROM sess GROUP BY user_id, sid),
+    tri AS (
+      SELECT seq[i] AS e1, seq[i + 1] AS e2, seq[i + 2] AS e3
+      FROM (SELECT seq, unnest(generate_series(1, len(seq) - 2)) AS i
+            FROM paths WHERE len(seq) >= 3))
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM tri GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    doc="Top within-session event-type paths (trigrams): sessionize by "
+    "30-minute gap (lag marker + running sum — q_ts_sessionize_ids), "
+    "collect each session's deterministically-ordered event sequence, "
+    "slide to path trigrams IN-ARRAY (the q_ngram_lm discipline — no "
+    "positional self-join), count and rank. The behavioral n-gram "
+    "table next-event models train on. Shape: sessionize windows and "
+    "the sequence collect all ride ONE user_id partitioning; the "
+    "trigram hash-agg is map-side combined; top-20 is "
+    "TakeOrderedAndProject. A mega-session fans out linearly (its own "
+    "length), never quadratically.",
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ep", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ep") - F.lag("ep").over(w)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn("is_start", is_start).withColumn(
+        "sid", F.sum("is_start").over(wcum)
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias(
+                "evs"
+            )
+        )
+        .select(F.transform("evs", lambda x: x.event_type).alias("seq"))
+        .filter(F.size("seq") >= 3)
+    )
+    tri = paths.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(seq) - 2),"
+                " i -> struct(seq[i - 1] AS e1, seq[i] AS e2, seq[i + 1] AS e3))"
+            )
+        ).alias("t")
+    ).select("t.e1", "t.e2", "t.e3")
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(20)
+    )

@@ -843,3 +843,139 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("streak_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_streaks")
     )
+
+
+# interpolated percentile from the two adjacent order statistics, exact
+# integer inputs -> one shared IEEE expression tree on both engines
+_PC_R = "(CAST(n - 1 AS DOUBLE) * 0.9)"
+_PC_VAL = (
+    f"(CAST(lo AS DOUBLE) + ({_PC_R} - floor({_PC_R}))"
+    " * (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)))"
+)
+
+
+@register(
+    "q_percentile_cont",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY floor(o_totalprice * 100.0 + 0.5))
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+      FROM orders
+    ),
+    picked AS (
+      SELECT grp, n,
+             min(CASE WHEN rn = CAST(floor({_PC_R}) AS BIGINT) + 1 THEN cents END) AS lo,
+             min(CASE WHEN rn = CAST(ceil({_PC_R}) AS BIGINT) + 1 THEN cents END) AS hi
+      FROM ranked GROUP BY grp, n
+    )
+    SELECT grp, n, lo,
+           coalesce(hi, lo) AS hi,
+           (CAST(lo AS DOUBLE) + ({_PC_R} - floor({_PC_R}))
+              * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) AS p90_cents
+    FROM picked
+    """,
+    doc="Interpolated (PERCENTILE_CONT) p90 of order value per priority, "
+    "computed EXACTLY: rank the exact cents within each group, pick "
+    "the two adjacent order statistics around rank (n-1)*0.9 via "
+    "conditional MIN (when the rank index is integral hi falls back to "
+    "lo), and interpolate as a derived double from identical integer "
+    "inputs via shared expression text — the engine-native "
+    "percentile_cont/quantile_cont interpolate in engine-specific "
+    "float paths and do not hash-match across engines, which is "
+    "exactly why the discrete variant (q_percentile_disc) existed "
+    "alone until now. Shape: one rank window per group partition, one "
+    "conditional-MIN agg riding the same partitioning, O(groups) rows "
+    "out.",
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    w = W.partitionBy("o_orderpriority").orderBy(F.expr("floor(o_totalprice * 100.0 + 0.5)"))
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_orderpriority"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    k_lo = F.expr(f"CAST(floor({_PC_R}) AS BIGINT) + 1")
+    k_hi = F.expr(f"CAST(ceil({_PC_R}) AS BIGINT) + 1")
+    picked = ranked.groupBy("grp", "n").agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("hi"),
+    )
+    return picked.select(
+        "grp",
+        "n",
+        "lo",
+        F.coalesce("hi", "lo").alias("hi"),
+        F.expr(
+            f"CAST(lo AS DOUBLE) + ({_PC_R} - floor({_PC_R}))"
+            " * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))"
+        ).alias("p90_cents"),
+    )
+
+
+@register(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT c_nationkey AS nationkey, o_custkey,
+             min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)) AS m
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey
+    ),
+    monthly AS (
+      SELECT nationkey, m, CAST(count(*) AS BIGINT) AS new_customers
+      FROM first_seen GROUP BY nationkey, m
+    )
+    SELECT nationkey, m AS month_index, new_customers,
+           CAST(sum(new_customers) OVER (PARTITION BY nationkey ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_customers
+    FROM monthly
+    """,
+    doc="Running distinct-customer count per nation by month — the "
+    "windowed-COUNT-DISTINCT every growth dashboard needs, computed "
+    "scalably: a distinct-over-window is quadratic state, so the "
+    "engine reduces each customer to its FIRST month (one min-agg on "
+    "the customer key), counts first-appearances per month, and runs "
+    "a plain cumulative sum over the tiny monthly table. Exact "
+    "integers end-to-end. Shape: one custkey-keyed agg (map-side "
+    "combined), one O(nations x months) agg, one window over that "
+    "table — the fact table never enters a window.",
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    first_seen = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(
+            F.min(
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+            ).alias("m")
+        )
+    )
+    monthly = first_seen.groupBy("nationkey", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_customers")
+    )
+    wcum = (
+        W.partitionBy("nationkey").orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return monthly.select(
+        "nationkey",
+        F.col("m").alias("month_index"),
+        "new_customers",
+        F.sum("new_customers").over(wcum).cast("bigint").alias("cum_customers"),
+    )
