@@ -369,3 +369,35 @@ def test_semdedup_pairs_join_on_cluster_never_cartesian(spark, sf_dir):
     # on cluster_id (per-cluster fan-out), never a global cross join
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_event_paths_ride_one_user_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_event_paths", sf_dir)
+    # sessionize windows + the sequence collect must share ONE user_id
+    # exchange; the trigram slide is in-array (no positional shuffle)
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_percentile_cont_windows_share_group_partitioning(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_percentile_cont", sf_dir)
+    # the rank window, count window, and conditional-MIN agg all key on
+    # the group — one priority exchange, never a global window
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"hashpartitioning\(o_orderpriority", plan)) <= 1
+
+
+def test_cumulative_distinct_fact_never_enters_a_window(spark, sf_dir):
+    plan = _plan(spark, "q_cumulative_distinct", sf_dir)
+    # the distinct reduction must be the first-seen min-agg; the only
+    # Window operates on the O(nations x months) monthly table (below
+    # the window in the root-first formatted string: two HashAggregates)
+    below_window = plan.split("Window", 1)[1]
+    assert below_window.count("HashAggregate") >= 2, (
+        "window must sit on the doubly-aggregated monthly table"
+    )
