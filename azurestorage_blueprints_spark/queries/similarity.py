@@ -821,3 +821,80 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
         F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
     )
+
+
+#: product quantization geometry: 64 dims = 8 subspaces x 8 dims, 8
+#: codewords per subspace (the 8 deterministic seed vectors, sliced)
+_PQ_M = 8
+_PQ_D = 8
+
+
+@register(
+    "q_knn_pq",
+    oracle=None,  # ADC sums are float; code argmins are hash-free but the
+    # pipeline is rows-only like the LSH/IVF rungs (recall-gated in tests)
+    doc="Product-quantization ANN (the FAISS-style memory-scale rung "
+    "next to LSH and IVF): every vector compresses to 8 x 3-bit codes "
+    "— per 8-dim subspace, the index of the nearest of 8 deterministic "
+    "sub-codewords (seed vectors sliced per subspace) — and queries "
+    "score candidates with Asymmetric Distance Computation: a "
+    "per-query 8x8 lookup table of exact subspace L2^2 distances, "
+    "summed over each candidate's codes. NOTHING vector-sized touches "
+    "the scoring join: the corpus side is (vec_id, subspace, code) "
+    "triples (3 small ints), the broadcast side is Q x 64 table rows — "
+    "at 100 TB this is why PQ exists: a 256-dim float corpus becomes "
+    "8 bytes/vector plus a broadcast table. Codes are argmin over "
+    "exact IEEE subspace distances with deterministic tie-break, so "
+    "the compression is reproducible at any parallelism; recall vs "
+    "the exact scan is gated in tests/test_ann_recall.py.",
+)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    sub = F.expr(f"slice(embedding, s * {_PQ_D} + 1, {_PQ_D})")
+    # codebook: seed j's subspace-s slice, 64 tiny rows, broadcast
+    codebook = (
+        e.filter(F.col("vec_id") < _PQ_M)
+        .select(F.col("vec_id").alias("j"), "embedding")
+        .select("j", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"), "embedding")
+        .select("j", "s", sub.alias("cw"))
+    )
+    # corpus codes: per (vector, subspace) the nearest codeword index
+    corpus_sub = e.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"), "embedding"
+    ).select("vec_id", "s", sub.alias("sv"))
+    l2sq = F.expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored_codes = corpus_sub.join(F.broadcast(codebook), "s").select(
+        "vec_id", "s", "j", l2sq.alias("d")
+    )
+    rn = F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "j"))
+    codes = (
+        scored_codes.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("j").alias("code"))
+    )
+    # ADC tables: per query the exact subspace distance to every codeword
+    q_sub = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+        .select(
+            "q_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"), "embedding"
+        )
+        .select("q_id", "s", sub.alias("sv"))
+    )
+    adc = q_sub.join(F.broadcast(codebook), "s").select("q_id", "s", "j", l2sq.alias("t"))
+    # scoring join: corpus code triples x broadcast ADC table
+    approx = (
+        codes.join(F.broadcast(adc), (codes.s == adc.s) & (codes.code == adc.j))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("t").alias("approx_l2sq"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = W.partitionBy("q_id").orderBy("approx_l2sq", "vec_id")
+    return (
+        approx.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("n_id"), "approx_l2sq", "rnk")
+    )

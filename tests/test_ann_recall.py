@@ -194,3 +194,44 @@ def test_minhash_catches_short_document_duplicates(spark, tmp_path):
     }
     assert (1, 2) in pairs, f"short duplicate pair missed: {pairs}"
     assert pairs[(1, 2)] == 1.0  # identical spans -> identical signatures
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """PQ codes + ADC scoring must rank genuinely near vectors highly:
+    recall@k against the exact L2 scan. The codebook is untrained
+    (seed-vector slices), so the gate is 'the compression preserves
+    neighborhood signal', not SOTA recall (measured ~0.2 at sf0.001;
+    a trained k-means codebook is the production upgrade)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from azurestorage_blueprints_spark.tables import table
+
+    from azurestorage_blueprints_spark.queries.similarity import _TOP_K
+
+    pq = REGISTRY["q_knn_pq"].fn(spark, sf_dir)
+    approx = {}
+    for r in pq.collect():
+        approx.setdefault(r.q_id, set()).add(r.n_id)
+    assert approx and all(len(v) == _TOP_K for v in approx.values())
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    d = F.expr(
+        "aggregate(zip_with(embedding, qv, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q)).filter("vec_id != q_id").select("q_id", "vec_id", d.alias("d"))
+    )
+    w = W.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = {}
+    for r in (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOP_K).collect()
+    ):
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(exact.get(qid, set()) & ns) for qid, ns in approx.items())
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall > 0.1, f"PQ recall collapsed: {recall}"
