@@ -498,3 +498,48 @@ def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", nt.alias("n_tokens"), squash(nt).alias("length_score")
     )
+
+
+#: count-min geometry: 4 hash rows x 1024 counters
+_CMS_D, _CMS_W = 4, 1024
+
+
+@register(
+    "q_sketch_count_min",
+    oracle=None,  # xxhash64-bucket counters are hash-specific — rows-only
+    doc="Count-min sketch frequency estimation — the third mergeable "
+    "sketch rung next to HLL (distincts) and approx_percentile "
+    "(quantiles): the token stream folds into a 4x1024 counter grid "
+    "(token hashed with 4 seeds, one counter bucket each), and a "
+    "token's estimate is the MIN of its 4 counters — always >= the "
+    "true count, over by at most ~N/w with high probability. The "
+    "sketch build is one hash-agg whose output is 4096 rows at ANY "
+    "corpus size (map-side combined — this is the entire point at "
+    "100 TB: partition sketches merge by addition, raw tokens never "
+    "re-shuffle). The query carries the exact counts of the top-20 "
+    "tokens alongside their estimates so tests/test_sketches.py can "
+    "gate the overcount against the theoretical bound.",
+)
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    cells = toks.select("tok", seeds).select(
+        "d", F.pmod(F.xxhash64("tok", "d"), F.lit(_CMS_W)).alias("h")
+    )
+    sketch = cells.groupBy("d", "h").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(20)
+    probes = top.select("tok", "exact_cnt", seeds).select(
+        "tok",
+        "exact_cnt",
+        "d",
+        F.pmod(F.xxhash64("tok", "d"), F.lit(_CMS_W)).alias("h"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "h"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

@@ -25,3 +25,28 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
             # approx_percentile returns a real element of the group; at
             # accuracy 1000 on these group sizes it is near-exact
             assert abs(approx - exact) / max(exact, 1) < 0.05, r
+
+
+def test_count_min_overcounts_within_bound(spark, sf_dir):
+    """CMS guarantees estimate >= exact, and with w=1024 counters the
+    overcount is ~N/w in expectation per hash row; min over d=4 rows
+    stays well under a few multiples of that."""
+    from azurestorage_blueprints_spark.queries.misc_ops import _CMS_W
+
+    rows = REGISTRY["q_sketch_count_min"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    n_total = sum(r.exact_cnt for r in rows)  # lower bound on stream size
+    from azurestorage_blueprints_spark.tables import table
+    from azurestorage_blueprints_spark.functions.text import tokens
+    from pyspark.sql import functions as F
+
+    n_stream = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    slack = 8 * n_stream / _CMS_W
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt, r
+        assert r.cms_estimate - r.exact_cnt <= slack, (r, slack)
