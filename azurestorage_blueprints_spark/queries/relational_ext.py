@@ -889,7 +889,12 @@ _PC_VAL = (
     "exactly why the discrete variant (q_percentile_disc) existed "
     "alone until now. Shape: one rank window per group partition, one "
     "conditional-MIN agg riding the same partitioning, O(groups) rows "
-    "out.",
+    "out. Scale ceiling (same honesty note as the weighted median): "
+    "the group key is low-cardinality, so each rank window is one "
+    "task's sort — exact interpolation is the small/medium-scale rung; "
+    "at 100 TB the answer comes from the mergeable sketch tier "
+    "(q_approx_percentile_sketch) and this query is its calibration "
+    "oracle.",
 )
 def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
