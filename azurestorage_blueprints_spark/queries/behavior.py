@@ -247,12 +247,15 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # epoch MICROSECONDS: the oracle compares the full-precision
+    # interval, and whole-second truncation would mis-sessionize
+    # sub-second gaps straddling the 30-minute boundary
     ev = table(spark, sf_dir, "events").withColumn(
-        "ep", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        "ep", F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ep") - F.lag("ep").over(w)
-    is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     sess = ev.withColumn("is_start", is_start).withColumn(
         "sid", F.sum("is_start").over(wcum)

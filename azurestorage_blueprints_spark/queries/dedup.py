@@ -725,3 +725,102 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_segments", "n_dup", F.expr(_DUP_FRAC).alias("dup_frac"))
     )
+
+
+@register(
+    "q_multimodal_image_ahash",
+    oracle=None,  # binary decode + numpy aHash — rows-only by design
+    doc="End-to-end multimodal near-dup pipeline over REAL image bytes: "
+    "each 64-dim embedding renders deterministically into an 8x8 "
+    "grayscale PPM (operators/multimodal.encode_ppm), the stored "
+    "binaries are decoded back with the real pure-numpy PPM decoder, "
+    "average-hashed (64-bit: pixel > image mean), and near-duplicate "
+    "image pairs come from the same pigeonhole chunk-blocking the "
+    "SimHash rung uses (8x8-bit chunks: by pigeonhole the blocking is "
+    "recall-COMPLETE for pairs within Hamming 7; the wider <=16 output "
+    "filter is a best-effort tier — the synthetic corpus's nearest "
+    "images sit at Hamming ~15, and candidates that far apart must "
+    "already share a chunk by luck, so tighten to <=7 when the "
+    "guarantee matters. The equi-join on (chunk, value) compares only "
+    "same-bucket images — never |images|^2). Both Python stages are "
+    "Arrow-batched mapInPandas; the pairing stage shuffles (id, chunk) "
+    "longs, and signatures rejoin only the deduped candidate ID pairs. "
+    "This is the image twin of q_dedup_simhash and exercises the full "
+    "binary-column plumbing (encode -> store -> decode -> fingerprint "
+    "-> block -> refine) at any corpus size.",
+)
+def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    # the worker closures are self-contained (no package references):
+    # a plain SparkSession's Python workers have only the driver's
+    # pickled closure, not the repo on sys.path, so the P6 PPM codec —
+    # canonical, fixture-tested implementation in operators/
+    # multimodal.py (encode_ppm/decode_ppm) — is inlined here (P6 is a
+    # 1-line header + raw RGB; the inline decode assumes the comment-
+    # free header this pipeline itself wrote)
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            imgs = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                lo, hi = float(a.min()), float(a.max())
+                if hi <= lo:
+                    g = np.zeros(64, dtype=np.uint8)
+                else:
+                    g = np.round((a - lo) * (255.0 / (hi - lo))).astype(np.uint8)
+                imgs.append(b"P6\n8 8\n255\n" + np.repeat(g, 3).tobytes())
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "img": imgs})
+
+    imgs = e.mapInPandas(enc, "vec_id long, img binary")
+
+    def ahash(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["img"]:
+                b = bytes(b)
+                if b[:2] != b"P6":
+                    raise ValueError("not a P6 PPM")
+                hdr_end = b.index(b"255\n") + 4
+                w, h = (int(x) for x in b[3 : b.index(b"\n255")].split())
+                rgb = b[hdr_end : hdr_end + w * h * 3]
+                g = np.frombuffer(rgb, dtype=np.uint8)[::3].astype(np.float64)
+                bits = (g > g.mean()).astype(np.uint64)
+                hv = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                out.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "ahash": pd.array(out, dtype="int64")})
+
+    # the signature table feeds the chunk explode AND both sides of the
+    # candidate rejoin — persist so the two Python stages run once
+    sig = imgs.mapInPandas(ahash, "vec_id long, ahash long").persist()
+
+    chunks = ",".join(
+        f"struct({i} AS ci, pmod(shiftrightunsigned(ahash, {8 * i}), 256) AS cv)"
+        for i in range(8)
+    )
+    blocked = sig.select("vec_id", F.expr(f"explode(array({chunks})) AS c")).select(
+        "vec_id", "c.ci", "c.cv"
+    )
+    a = blocked.select(F.col("vec_id").alias("a_id"), "ci", "cv")
+    b = blocked.select(F.col("vec_id").alias("b_id"), "ci", "cv")
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sig.select(F.col("vec_id").alias("a_id"), F.col("ahash").alias("a_h"))
+    sb = sig.select(F.col("vec_id").alias("b_id"), F.col("ahash").alias("b_h"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", F.bit_count(F.expr("a_h ^ b_h")).alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+    )

@@ -823,10 +823,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: product quantization geometry: 64 dims = 8 subspaces x 8 dims, 8
-#: codewords per subspace (the 8 deterministic seed vectors, sliced)
-_PQ_M = 8
+#: product quantization geometry: _PQ_DIM dims = _PQ_DIM/_PQ_D
+#: subspaces of _PQ_D dims, _PQ_K codewords per subspace (the first
+#: _PQ_K seed vectors, sliced) — each constant independent so a
+#: geometry change cannot silently truncate the representation
+_PQ_DIM = 64
 _PQ_D = 8
+_PQ_M = _PQ_DIM // _PQ_D  # subspace count
+_PQ_K = 8  # codewords per subspace
 
 
 @register(
@@ -853,7 +857,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = F.expr(f"slice(embedding, s * {_PQ_D} + 1, {_PQ_D})")
     # codebook: seed j's subspace-s slice, 64 tiny rows, broadcast
     codebook = (
-        e.filter(F.col("vec_id") < _PQ_M)
+        e.filter(F.col("vec_id") < _PQ_K)
         .select(F.col("vec_id").alias("j"), "embedding")
         .select("j", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"), "embedding")
         .select("j", "s", sub.alias("cw"))

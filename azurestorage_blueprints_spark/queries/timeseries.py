@@ -135,12 +135,14 @@ def q_ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composition pattern for custom stateful operators in batch.",
 )
 def q_ts_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch MICROSECONDS to match the oracle's full-precision interval
+    # comparison on sub-second timestamps (see q_event_paths)
     ev = table(spark, sf_dir, "events").withColumn(
-        "ep", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        "ep", F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ep") - F.lag("ep").over(w)
-    is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         ev.withColumn("is_start", is_start)

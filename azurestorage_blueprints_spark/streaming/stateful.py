@@ -66,9 +66,12 @@ def running_user_cent_totals(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(
-                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(np.int64).sum()
-            )
+            # mask nulls (NaN) BEFORE the int cast: floor(NaN) stays NaN
+            # and NaN.astype(int64) is undefined garbage — SQL sum()
+            # skips nulls while count(*) counts the row, so match that
+            v = pdf["value"].to_numpy()
+            v = v[~np.isnan(v)]
+            cents += int(np.floor(v * 100.0 + 0.5).astype(np.int64).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -207,7 +207,7 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
 
     from azurestorage_blueprints_spark.tables import table
 
-    from azurestorage_blueprints_spark.queries.similarity import _TOP_K
+    from azurestorage_blueprints_spark.queries.similarity import _N_QUERIES, _TOP_K
 
     pq = REGISTRY["q_knn_pq"].fn(spark, sf_dir)
     approx = {}
@@ -216,7 +216,7 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     assert approx and all(len(v) == _TOP_K for v in approx.values())
 
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     d = F.expr(

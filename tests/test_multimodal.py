@@ -296,8 +296,9 @@ def test_png_nearest_neighbor_resize_roundtrips(spark):
 
 def test_spectral_features_locate_a_pure_tone(spark):
     """A synthesized 4 kHz sine at 16 kHz sampling must put the spectral
-    centroid near 4 kHz and the dominant band energy in band 2 of 8
-    (bands split [0, 8 kHz] evenly)."""
+    centroid near 4 kHz and the dominant band energy in band 3 of 8
+    (129 rfft bins over [0, 8 kHz]; bin 64 lands at the tail of
+    array_split band 3)."""
     import numpy as np
 
     from azurestorage_blueprints_spark.operators.multimodal import (

@@ -35,7 +35,6 @@ def test_count_min_overcounts_within_bound(spark, sf_dir):
 
     rows = REGISTRY["q_sketch_count_min"].fn(spark, sf_dir).collect()
     assert len(rows) == 20
-    n_total = sum(r.exact_cnt for r in rows)  # lower bound on stream size
     from azurestorage_blueprints_spark.tables import table
     from azurestorage_blueprints_spark.functions.text import tokens
     from pyspark.sql import functions as F
