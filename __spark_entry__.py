@@ -9,6 +9,7 @@ oracle twin where the semantics are SQL-expressible.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,14 +19,30 @@ from azurestorage_blueprints_spark.queries import load_all
 _REGISTRY = load_all()
 
 
+def _hygienic(fn: Callable[[SparkSession, str], DataFrame]):
+    """Per-query teardown for shared-session registry runs: start every
+    query from an empty cache so a persisted intermediate from the
+    previous query (e.g. the one PERSIST_THROUGH_RETURN entry, whose
+    unbounded output cannot be finalized eagerly) can never pin
+    unified memory — or steal shuffle headroom — across query
+    boundaries (round-4 verdict "What's wrong" #1)."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    return _hygienic(_REGISTRY["q01_pricing_summary"].fn)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in _REGISTRY.items()}
+    return {name: _hygienic(q.fn) for name, q in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

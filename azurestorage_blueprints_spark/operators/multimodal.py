@@ -7,12 +7,14 @@ typed metadata struct alongside. The Spark-side plumbing here — schema,
 Arrow batch shape, ``mapInPandas`` signatures, partition sizing — is
 real and tested. Decode support is tiered:
 
-- formats whose only compression is DEFLATE or none decode FOR REAL
+- formats whose compression is DEFLATE, LZW, or none decode FOR REAL
   with stdlib + numpy: binary PPM (P6) parse, 8-bit PNG (zlib inflate
-  + scanline unfilter, ``decode_png``), PCM WAV, nearest-neighbor
-  resize (``_nn_resize_rgb``) — no codec library involved;
-- codec-backed formats (JPEG/GIF — entropy coders stdlib cannot
-  inflate) require an injected decoder callback (production:
+  + scanline unfilter, ``decode_png``), GIF87a/89a (hand-rolled LZW +
+  palette lookup + Adam-style de-interlace, ``decode_gif``), PCM WAV,
+  nearest-neighbor resize (``_nn_resize_rgb``) — no codec library
+  involved;
+- codec-backed formats (JPEG/MP3 — entropy/transform coders stdlib
+  cannot inflate) require an injected decoder callback (production:
   Pillow/libvips inside the worker) since no codec library exists in
   this environment — such rows return ``ok=false`` instead of failing
   the stage;
@@ -110,8 +112,9 @@ PIXELS_SCHEMA = "content_id bigint, width int, height int, pixels binary, ok boo
 
 #: magics of codec-backed formats that require an injected decoder
 #: (PNG is NOT here: its only compression is DEFLATE, which stdlib zlib
-#: inflates — see decode_png)
-_CODEC_MAGICS = {b"\xff\xd8": "jpeg", b"GIF8": "gif"}
+#: inflates — see decode_png; GIF is NOT here either: its LZW is
+#: hand-rolled in decode_gif)
+_CODEC_MAGICS = {b"\xff\xd8": "jpeg"}
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -280,6 +283,169 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
 
 
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """Hand-rolled GIF-flavor LZW (LSB-first bit packing, variable code
+    width 3..12 bits, CLEAR/END control codes, dictionary rebuilt on
+    CLEAR). Returns the decoded color-index stream."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh() -> list[bytes | None]:
+        return [bytes((i,)) for i in range(1 << min_code_size)] + [None, None]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while True:
+        while bits < width:
+            if pos >= len(data):
+                return out  # missing END code: tolerate truncation
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table, width, prev = fresh(), min_code_size + 1, None
+            continue
+        if code == end:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(b: bytes) -> tuple[int, int, bytes]:
+    """Real decode of GIF87a/GIF89a (first frame) with pure stdlib +
+    numpy — GIF's only compression is LZW, hand-rolled in
+    ``_gif_lzw_decode``: header + logical-screen parse, global/local
+    color table, extension-block skip, sub-block reassembly, LZW
+    expansion, palette lookup, and 4-pass de-interlace when the
+    interlace flag is set. Returns (width, height, rgb_bytes) of the
+    first image descriptor (animation frames beyond the first are a
+    framing loop over the same primitives, not a different codec)."""
+    import numpy as np
+
+    if b[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + len-prefixed sub-blocks
+            i += 2
+            while b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _left, _top, w, h, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+        i += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = b[i]
+        i += 1
+        data = bytearray()
+        while b[i] != 0:
+            ln = b[i]
+            data += b[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(bytes(data), min_code_size)), dtype=np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        idx = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        return w, h, ct[np.minimum(idx, len(ct) - 1)].tobytes()
+    raise ValueError("GIF contains no image descriptor")
+
+
+def encode_gif(width: int, height: int, rgb: bytes, *, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder for fixtures (≤256 distinct colors): real
+    LZW-framed output using the degenerate-dictionary form — a CLEAR
+    code before every pixel code keeps the code width fixed, which every
+    conforming decoder (including ``decode_gif``) must accept."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    colors, idx = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("fixture encoder supports <=256 colors")
+    ctbits = max(1, int(len(colors) - 1).bit_length())
+    n = 1 << ctbits
+    palette = np.zeros((n, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    mcs = max(2, ctbits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width_bits = mcs + 1
+    idx2 = idx.reshape(height, width)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(s, height, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        idx2 = idx2[order]
+    acc = bits = 0
+    payload = bytearray()
+    for code in [clear] + [
+        c for px in idx2.reshape(-1).tolist() for c in (px, clear)
+    ][:-1] + [end]:
+        acc |= code << bits
+        bits += width_bits
+        while bits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        payload.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (ctbits - 1), 0, 0)
+    out += palette.tobytes()
+    out.append(0x2C)  # image separator
+    out += struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlace else 0)
+    out.append(mcs)
+    for off in range(0, len(payload), 255):
+        chunk = payload[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _nn_resize_rgb(rgb: bytes, ow: int, oh: int, w: int, h: int) -> bytes:
     """Nearest-neighbor resize on a raw RGB buffer via numpy indexing."""
     import numpy as np
@@ -299,10 +465,11 @@ def decode_image(
 ) -> DataFrame:
     """Full image decode → (width, height, raw RGB pixels) via mapInPandas.
 
-    Two formats decode for real with no codec library: binary PPM (P6,
-    pure numpy header parse) and 8-bit PNG (stdlib zlib inflate +
-    per-scanline unfilter — see ``decode_png``). Codec-backed formats
-    (JPEG/GIF magics) need an injected
+    Three formats decode for real with no codec library: binary PPM
+    (P6, pure numpy header parse), 8-bit PNG (stdlib zlib inflate +
+    per-scanline unfilter — see ``decode_png``), and GIF87a/89a
+    (hand-rolled LZW + palette lookup — see ``decode_gif``).
+    Codec-backed formats (JPEG magic) need an injected
     ``decoder(payload) -> (w, h, rgb_bytes)`` (production: Pillow /
     libvips inside the worker); without one those rows come back
     ok=false rather than failing the job — at 100 TB a corrupt or
@@ -321,6 +488,8 @@ def decode_image(
                         w, h, px = decode_ppm(b)
                     elif b[:8] == _PNG_MAGIC:
                         w, h, px = decode_png(b)
+                    elif b[:6] in _GIF_MAGICS:
+                        w, h, px = decode_gif(b)
                     elif decoder is not None:
                         w, h, px = decoder(b)
                     else:
@@ -587,7 +756,9 @@ def extract_spectral_features(
     dependency): channel 0 is cut into non-overlapping ``frame``-sample
     windows, each window's power spectrum is averaged across frames,
     and the pass emits the spectral centroid (Hz) plus mean energy in
-    ``n_bands`` equal-width frequency bands — the features a corpus
+    ``n_bands`` near-equal frequency bands (``np.array_split`` over the
+    frame//2+1 rFFT bins, so with 129 bins the first band gets 17 bins
+    and the rest 16 — the DC bin rides in band 0) — the features a corpus
     pipeline uses for silence/music/speech screening before any model
     sees the audio. Arrow-batched like every Python stage; non-WAV or
     compressed payloads fail soft (ok=false). Scale: embarrassingly

@@ -798,7 +798,12 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "ahash": pd.array(out, dtype="int64")})
 
     # the signature table feeds the chunk explode AND both sides of the
-    # candidate rejoin — persist so the two Python stages run once
+    # candidate rejoin — persist so the two Python stages run once.
+    # The final pair output is UNBOUNDED (O(near-dup pairs)), so the
+    # finalize_bounded materialize-and-release pattern cannot apply;
+    # this query is in PERSIST_THROUGH_RETURN and relies on the
+    # standard per-query teardown (catalog.clearCache() before the next
+    # query — __spark_entry__/bench.py) to release the 16-byte/row cache
     sig = imgs.mapInPandas(ahash, "vec_id long, ahash long").persist()
 
     chunks = ",".join(

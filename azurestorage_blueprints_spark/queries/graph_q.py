@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.queries import finalize_bounded, register
 from azurestorage_blueprints_spark.tables import table
 
 #: rank scale: 1.0 == 10^12 (fixed-point)
@@ -404,6 +404,15 @@ _CN_SQL = f"""
     "runs as TakeOrderedAndProject, no global sort.",
 )
 def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, baskets = build_common_neighbors(spark, sf_dir)
+    # top-20 is bounded: materialize while the basket cache is hot,
+    # then release it (cross-query cache-leak fix, r4 verdict #1)
+    return finalize_bounded(out, baskets)
+
+
+def build_common_neighbors(spark: SparkSession, sf_dir: str):
+    """Plan builder (pre-finalize): returns (result, persisted baskets)
+    so the physical-plan gates can inspect the real join shape."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     e0 = (
@@ -436,10 +445,11 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
     jac = "CAST(n_common AS DOUBLE) / CAST(deg1 + deg2 - n_common AS DOUBLE)"
-    return (
+    out = (
         pairs.join(d1, "s1")
         .join(d2, "s2")
         .select("s1", "s2", "n_common", F.expr(jac).alias("jaccard"))
         .orderBy(F.desc("n_common"), "s1", "s2")
         .limit(20)
     )
+    return out, baskets

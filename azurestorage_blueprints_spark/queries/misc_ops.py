@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.queries import finalize_bounded, register
 from azurestorage_blueprints_spark.tables import table
 
 
@@ -524,7 +524,10 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azurestorage_blueprints_spark.functions.text import tokens
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    # the token stream feeds BOTH the sketch build and the exact top-20
+    # counts — persist so scan+tokenize+explode runs once; released via
+    # finalize_bounded once the 20-row report is materialized
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok")).persist()
     seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
     cells = toks.select("tok", seeds).select(
         "d", F.pmod(F.xxhash64("tok", "d"), F.lit(_CMS_W)).alias("h")
@@ -538,8 +541,9 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.pmod(F.xxhash64("tok", "d"), F.lit(_CMS_W)).alias("h"),
     )
-    return (
+    out = (
         probes.join(F.broadcast(sketch), ["d", "h"])
         .groupBy("tok", "exact_cnt")
         .agg(F.min("c").alias("cms_estimate"))
     )
+    return finalize_bounded(out, toks)

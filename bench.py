@@ -88,6 +88,14 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: timed executions per query; the reported number is the MEDIAN so a
+#: single environmental spike (GC pause, noisy neighbor, page-cache
+#: miss) cannot dominate a round-over-round delta (r4 verdict item 6 —
+#: two 10x "regressions" on unchanged code were single-run artifacts).
+#: The min/max spread is carried in the artifact so outliers are visible.
+RUNS_PER_QUERY = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -96,19 +104,32 @@ def main() -> None:
     registry = load_all()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         # per-query warm-up: whole-stage codegen compiles once per plan
-        # (JIT + parquet footers on the first pass); the timed pass
-        # measures steady-state execution, which is what scales — the
+        # (JIT + parquet footers on the first pass); the timed passes
+        # measure steady-state execution, which is what scales — the
         # one-time compile amortizes to zero on a real workload.
+        # catalog.clearCache() between executions is the per-query
+        # teardown: a query that persists an intermediate must never
+        # leave it pinned into the next query's unified-memory budget
+        # (and re-caching the warm-up's plan is what produced the
+        # CacheManager "already cached" warnings in r4's tail).
         # Failures are isolated per query: one broken plan must not
         # erase the benchmark line for the other queries.
         try:
             run_query(registry[name].fn(spark, sf_dir))
-            t0 = time.perf_counter()
-            run_query(registry[name].fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            samples = []
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.perf_counter()
+                run_query(registry[name].fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -123,6 +144,8 @@ def main() -> None:
         "n_ok": len(timings),
         "n_total": len(HEADLINE),
         "queries": timings,
+        "runs_per_query": RUNS_PER_QUERY,
+        "spread": spread,
         "sf": sf,
     }
     if errors:

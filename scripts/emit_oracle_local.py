@@ -4,7 +4,8 @@ driver uses for CORRECTNESS_r{N}.json.
 
 The driver's per-round check budget (50 queries) means full registry
 coverage takes several rounds of rotation. This artifact closes the gap
-for auditing: each of the 192 registered queries gets a row
+for auditing: every registered query (the count is whatever the
+registry holds — see the final summary line) gets a row
 ``{rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}``
 produced by the repo's own oracle harness (oracle.py mirrors the
 driver's pandas canonicalization bit-for-bit), so the not-yet-rotated
@@ -73,6 +74,9 @@ def main() -> int:
                 )
         except Exception as e:  # noqa: BLE001 — per-query isolation
             row["err"] = f"{type(e).__name__}: {e}"[:300]
+        # per-query teardown: release anything a query persisted so the
+        # shared session never carries cache into the next query
+        spark.catalog.clearCache()
         out[name] = row
         status = "ok" if row["hash_match"] else (row["err"] or "MISMATCH")
         print(f"[{i}/{len(registry)}] {name}: {status}", flush=True)

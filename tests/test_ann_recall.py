@@ -198,10 +198,14 @@ def test_minhash_catches_short_document_duplicates(spark, tmp_path):
 
 def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     """PQ codes + ADC scoring must rank genuinely near vectors highly:
-    recall@k against the exact L2 scan. The codebook is untrained
-    (seed-vector slices), so the gate is 'the compression preserves
-    neighborhood signal', not SOTA recall (measured ~0.2 at sf0.001;
-    a trained k-means codebook is the production upgrade)."""
+    recall@k against the exact L2 scan. The codebook is Lloyd-trained
+    (one exact-quantized recenter pass over seed-slice seeds, 16
+    codewords x 8 subspaces); measured recall@5 at this geometry is
+    0.22 at sf0.001 and 0.32 at sf0.01 (the synthetic embeddings are
+    near-uniform, which caps any 8-byte code at ~0.3 — chance level is
+    TOP_K/N = 0.01). Gate = measured floor minus noise margin: a real
+    scoring bug (wrong ADC cell, transposed code, broken tie-break)
+    lands at chance and fails this 18x-above-chance bar."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -234,4 +238,24 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
         exact.setdefault(r.q_id, set()).add(r.vec_id)
     hits = sum(len(exact.get(qid, set()) & ns) for qid, ns in approx.items())
     recall = hits / sum(len(v) for v in exact.values())
-    assert recall > 0.1, f"PQ recall collapsed: {recall}"
+    assert recall >= 0.18, f"PQ recall below the measured floor (0.22 - margin): {recall}"
+
+
+def test_semdedup_centroid_count_scales_with_corpus():
+    """The SemDeDup scale contract (k ∝ corpus size) is enforced in
+    code, not just stated: the centroid count derives from the corpus
+    row count so expected cluster size — and the intra-cluster C(m,2)
+    pair fan-out — stays bounded at any scale. The driver-SF value is
+    pinned so the r4 oracle hash is unchanged."""
+    from azurestorage_blueprints_spark.queries.similarity import (
+        _SEM_TARGET_CLUSTER,
+        _sem_k,
+    )
+
+    assert _sem_k(500) == 32  # sf0.01/sf0.001 embeddings: the r4 hash
+    assert _sem_k(2000) == 125  # bench SF
+    assert _sem_k(1) == 1
+    n = 10**9
+    assert _sem_k(100 * n) == 100 * _sem_k(n)  # k ∝ N (16 | n)
+    # expected cluster size is the constant target at every scale
+    assert _sem_k(n) * _SEM_TARGET_CLUSTER == n

@@ -320,3 +320,107 @@ def test_spectral_features_locate_a_pure_tone(spark):
     # 129 rfft bins over [0, 8 kHz]; the 4 kHz tone is bin 64, which
     # array_split(129, 8) places at the tail of band 3
     assert int(np.argmax(good.band_energies)) == 3
+
+
+def test_gif_roundtrip_encode_decode():
+    """decode_gif (hand-rolled LZW) inverts the fixture encoder across
+    palette sizes and the interlace flag."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for (w, h), ncol, inter in [
+        ((8, 8), 4, False),
+        ((13, 9), 17, False),
+        ((16, 12), 256, True),
+        ((1, 1), 1, False),
+    ]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        gif = MM.encode_gif(w, h, img.tobytes(), interlace=inter)
+        assert gif[:6] == b"GIF89a"
+        W, H, rgb = MM.decode_gif(gif)
+        assert (W, H) == (w, h)
+        assert rgb == img.tobytes()
+
+
+def test_gif_lzw_handles_dictionary_growth_and_cScSc():
+    """The fixture encoder never grows the LZW dictionary (CLEAR before
+    every code), so this drives the decoder with a REAL greedy LZW
+    compressor: dictionary growth, code-width bumps, the 12-bit cap,
+    and the cScSc (code == next-table-slot) case."""
+    import numpy as np
+
+    def lzw_encode(indices, mcs):
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        table = {bytes((i,)): i for i in range(1 << mcs)}
+        nxt, cur, seq = end + 1, b"", []
+        for px in bytes(indices):
+            cand = cur + bytes((px,))
+            if cand in table:
+                cur = cand
+            else:
+                seq.append(table[cur])
+                if nxt < 4096:
+                    table[cand] = nxt
+                    nxt += 1
+                cur = bytes((px,))
+        if cur:
+            seq.append(table[cur])
+        codes = [clear] + seq + [end]
+        acc = bits = 0
+        out = bytearray()
+        width, size, first = mcs + 1, end + 1, True
+        for c in codes:
+            acc |= c << bits
+            bits += width
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+            if c == clear:
+                width, size, first = mcs + 1, end + 1, True
+            elif c != end:
+                if first:  # decoder adds no entry for the 1st code
+                    first = False
+                elif size < 4095:
+                    size += 1
+                    if size == (1 << width) and width < 12:
+                        width += 1
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(11)
+    for data, mcs in [
+        (rng.integers(0, 4, 5000, dtype=np.uint8).tobytes(), 2),
+        (b"\x01\x01" * 3000, 2),  # runs force the cScSc branch
+        (bytes(rng.integers(0, 256, 30000, dtype=np.uint8)), 8),  # 12-bit cap
+    ]:
+        assert bytes(MM._gif_lzw_decode(lzw_encode(data, mcs), mcs)) == data
+
+
+def test_gif_decodes_for_real_through_spark(spark):
+    """GIF payloads flow through the same decode_image dispatch as
+    PPM/PNG — no injected decoder needed (the codec tier shrank to
+    JPEG/MP3); extension blocks are skipped on the way to the frame."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 8, (6, 5))]
+    gif = MM.encode_gif(5, 6, img.tobytes())
+    # splice in a Graphic Control Extension after the palette to prove
+    # the 0x21 skip path: header(13) + GCT(3*8=24) bytes
+    cut = 13 + 24
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    gif_ext = gif[:cut] + gce + gif[cut:]
+    df = spark.createDataFrame(
+        [(1, gif), (2, gif_ext), (3, b"GIF89atruncated")],
+        "content_id bigint, content binary",
+    )
+    rows = {r.content_id: r for r in MM.decode_image(df).collect()}
+    for cid in (1, 2):
+        r = rows[cid]
+        assert r.ok is True and (r.width, r.height) == (5, 6)
+        assert bytes(r.pixels) == img.tobytes()
+    assert rows[3].ok is False  # corrupt payload fails soft, never the stage

@@ -16,11 +16,14 @@ from azurestorage_blueprints_spark.queries import load_all
 REGISTRY = load_all()
 
 
-def _plan(spark, name: str, sf_dir: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
+def _plan_of(spark, df) -> str:
     qe = df._jdf.queryExecution()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return qe.explainString(mode)
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    return _plan_of(spark, REGISTRY[name].fn(spark, sf_dir))
 
 
 def test_scan_agg_pushes_filters_and_prunes_columns(spark, sf_dir):
@@ -328,7 +331,13 @@ def test_gaps_islands_window_shares_the_distinct_shuffle(spark, sf_dir):
 
 
 def test_common_neighbors_is_topk_without_cartesian(spark, sf_dir):
-    plan = _plan(spark, "q_graph_common_neighbors", sf_dir)
+    # the registered fn finalizes to a bounded LocalRelation (cache
+    # hygiene), so inspect the pre-finalize builder plan
+    from azurestorage_blueprints_spark.queries.graph_q import build_common_neighbors
+
+    out, baskets = build_common_neighbors(spark, sf_dir)
+    plan = _plan_of(spark, out)
+    baskets.unpersist()
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan, "top-20 must not be a global sort"
 
@@ -364,7 +373,11 @@ def test_gopher_rules_are_shuffle_free(spark, sf_dir):
 
 
 def test_semdedup_pairs_join_on_cluster_never_cartesian(spark, sf_dir):
-    plan = _plan(spark, "q_semdedup", sf_dir)
+    from azurestorage_blueprints_spark.queries.similarity import build_semdedup
+
+    out, mem = build_semdedup(spark, sf_dir)
+    plan = _plan_of(spark, out)
+    mem.unpersist()
     # the centroid set broadcasts; the pair stage must be an equi-join
     # on cluster_id (per-cluster fan-out), never a global cross join
     assert "CartesianProduct" not in plan
