@@ -128,6 +128,7 @@ def load_all() -> dict[str, Query]:
         corpus_ops,
         curation,
         dedup,
+        features,
         fileops,
         graph_q,
         llm_text,

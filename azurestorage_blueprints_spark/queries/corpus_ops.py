@@ -591,3 +591,56 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: temperature-resampling budget (documents selected across sources)
+_TEMP_BUDGET = 100000
+
+# temperature-scaled mixture weights: w_i = sqrt(c_i) / sum(sqrt(c_j)).
+# sqrt outputs are quantized to integer micro-units BEFORE the global
+# sum so the reduction is exact bigint arithmetic (a raw double sum
+# would be partition-order sensitive); shares ride one tiny cross join.
+_TEMP_MIX_SQL = f"""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    wq AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_q
+      FROM src
+    ),
+    t AS (
+      SELECT CAST(sum(w_q) AS BIGINT) AS w_tot,
+             CAST(sum(n_docs) AS BIGINT) AS n_tot
+      FROM wq
+    )
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS natural_share,
+           CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE) AS temperature_share,
+           CAST(floor(CAST(w_q AS DOUBLE) * {_TEMP_BUDGET}.0
+                      / CAST(w_tot AS DOUBLE)) AS BIGINT) AS alloc_docs
+    FROM wq, t
+"""
+
+
+@register(
+    "q_mixture_temperature_resample",
+    oracle=_TEMP_MIX_SQL,
+    doc="Temperature-scaled source mixture (alpha = 0.5): the "
+    "multilingual/multi-source rebalancing rule — sampling weight "
+    "proportional to count^alpha — that upsamples small sources "
+    "relative to their natural share when composing a training mix. "
+    "Per-source counts ride one hash-agg; sqrt(count) (IEEE-correctly-"
+    "rounded on every engine) is quantized to integer micro-units "
+    "BEFORE the global normalization sum, so the reduction is exact "
+    "bigint arithmetic rather than an order-sensitive double sum; "
+    "shares and the deterministic floor allocation against a 100k-doc "
+    "budget derive via shared expression text. Complements "
+    "q_mixture_token_budget (hard token caps) and q_interleave_weighted "
+    "(row-level deterministic sampling): this is the allocation-"
+    "planning step those two execute. O(sources) rows move at any SF.",
+)
+def q_mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_TEMP_MIX_SQL)

@@ -765,15 +765,21 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            imgs = []
-            for vec in pdf["embedding"]:
-                a = np.asarray(vec, dtype=np.float64)
-                lo, hi = float(a.min()), float(a.max())
-                if hi <= lo:
-                    g = np.zeros(64, dtype=np.uint8)
-                else:
-                    g = np.round((a - lo) * (255.0 / (hi - lo))).astype(np.uint8)
-                imgs.append(b"P6\n8 8\n255\n" + np.repeat(g, 3).tobytes())
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "img": []})
+                continue
+            # whole-batch vectorized quantization (same per-row formula
+            # as the scalar loop: round((a - lo) * (255 / (hi - lo))),
+            # zeros for flat vectors) — the batch IS the unit of work in
+            # a Pandas UDF; a per-row Python loop wastes the Arrow batch
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            lo = a.min(axis=1, keepdims=True)
+            hi = a.max(axis=1, keepdims=True)
+            rng = np.where(hi > lo, hi - lo, 1.0)
+            g = np.round((a - lo) * (255.0 / rng)).astype(np.uint8)
+            hdr = b"P6\n8 8\n255\n"
+            rgb = np.repeat(g, 3, axis=1)
+            imgs = [hdr + row.tobytes() for row in rgb]
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "img": imgs})
 
     imgs = e.mapInPandas(enc, "vec_id long, img binary")
@@ -783,7 +789,14 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = []
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "ahash": pd.array([], dtype="int64")}
+                )
+                continue
+            # header parse stays per-row (variable-length PPM headers);
+            # the numeric hashing is whole-batch vectorized
+            grays = []
             for b in pdf["img"]:
                 b = bytes(b)
                 if b[:2] != b"P6":
@@ -791,10 +804,11 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hdr_end = b.index(b"255\n") + 4
                 w, h = (int(x) for x in b[3 : b.index(b"\n255")].split())
                 rgb = b[hdr_end : hdr_end + w * h * 3]
-                g = np.frombuffer(rgb, dtype=np.uint8)[::3].astype(np.float64)
-                bits = (g > g.mean()).astype(np.uint64)
-                hv = int((bits << np.arange(64, dtype=np.uint64)).sum())
-                out.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+                grays.append(np.frombuffer(rgb, dtype=np.uint8)[::3])
+            g = np.stack(grays).astype(np.float64)  # (B, 64)
+            bits = (g > g.mean(axis=1, keepdims=True)).astype(np.uint64)
+            hv = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+            out = hv.view(np.int64)  # two's-complement reinterpret
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "ahash": pd.array(out, dtype="int64")})
 
     # the signature table feeds the chunk explode AND both sides of the
@@ -828,4 +842,122 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "b_id")
         .select("a_id", "b_id", F.bit_count(F.expr("a_h ^ b_h")).alias("hamming"))
         .filter(F.col("hamming") <= 16)
+    )
+
+
+#: TF-IDF near-dup scoring subset bound (the q_dedup_jaccard
+#: discipline: the pairwise stage runs on a deterministic doc subset at
+#: test scale; at 100 TB the MinHash/LSH candidates feed this scorer)
+_TFIDF_DOC_BOUND = 200
+#: idf scale: integer weights wq = tf * floor(N * 1000 / df)
+_TFIDF_IDF_SCALE = 1000
+#: minimum cosine for a reported near-dup pair
+_TFIDF_MIN_COS = 0.9
+
+_TFIDF_COS_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_TFIDF_DOC_BOUND}
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM d
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf * CAST(floor(CAST(n.n_docs AS DOUBLE) * {_TFIDF_IDF_SCALE}.0
+                                     / CAST(dfreq.df AS DOUBLE)) AS BIGINT) AS BIGINT) AS wq
+      FROM tf JOIN dfreq ON tf.token = dfreq.token, n
+    ),
+    norm2 AS (
+      SELECT doc_id,
+             CAST(sum(CAST(wq AS DECIMAL(19,0)) * wq) AS DECIMAL(38,0)) AS n2
+      FROM w GROUP BY doc_id
+    ),
+    num AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(sum(CAST(a.wq AS DECIMAL(19,0)) * b.wq) AS DECIMAL(38,0)) AS nm
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT num.a_id, num.b_id, num.n_shared,
+           CAST(num.nm AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+    FROM num
+    JOIN norm2 na ON num.a_id = na.doc_id
+    JOIN norm2 nb ON num.b_id = nb.doc_id
+    WHERE CAST(num.nm AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= {_TFIDF_MIN_COS}
+"""
+
+
+@register(
+    "q_dedup_tfidf_cosine",
+    oracle=_TFIDF_COS_ORACLE,
+    doc="TF-IDF-weighted cosine near-dup scoring — the weighted rung "
+    "between set-based Jaccard (which ignores term frequency) and "
+    "embedding cosine (which needs a model): documents become sparse "
+    "integer vectors tf * floor(N*1000/df) (an UNLOGGED rational idf — "
+    "engine log() is not cross-engine stable; same monotone rare-term "
+    "emphasis), norms and dot products accumulate as EXACT decimal "
+    "sums of integer products, and only the final cosine divides to "
+    "double via shared expression text, so the scorer is value-hash "
+    "checkable. The pairwise stage runs on the inverted-index join "
+    "(postings on tokens), bounded to a deterministic doc subset at "
+    "test scale exactly like q_dedup_jaccard; at 100 TB the "
+    "MinHash/LSH band candidates feed this same scorer, so the "
+    "quadratic stage never materializes. Pairs at cosine >= 0.9 are "
+    "reported with their shared-token counts.",
+)
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _TFIDF_DOC_BOUND)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.expr(
+                f"CAST(tf * CAST(floor(CAST(n_docs AS DOUBLE) * {_TFIDF_IDF_SCALE}.0"
+                " / CAST(df AS DOUBLE)) AS BIGINT) AS BIGINT)"
+            ).alias("wq"),
+        )
+    )
+    norm2 = w.groupBy("doc_id").agg(
+        F.expr("CAST(sum(CAST(wq AS DECIMAL(19,0)) * wq) AS DECIMAL(38,0))").alias("n2")
+    )
+    a = w.select(F.col("doc_id").alias("a_id"), "token", F.col("wq").alias("wq_a"))
+    b = w.select(F.col("doc_id").alias("b_id"), "token", F.col("wq").alias("wq_b"))
+    num = (
+        a.join(b, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.expr("CAST(sum(CAST(wq_a AS DECIMAL(19,0)) * wq_b) AS DECIMAL(38,0))").alias(
+                "nm"
+            ),
+        )
+    )
+    na = norm2.select(F.col("doc_id").alias("a_id"), F.col("n2").alias("n2a"))
+    nb = norm2.select(F.col("doc_id").alias("b_id"), F.col("n2").alias("n2b"))
+    cos = "CAST(nm AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))"
+    return (
+        num.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", "n_shared", F.expr(cos).alias("cosine"))
+        .filter(F.col("cosine") >= _TFIDF_MIN_COS)
     )

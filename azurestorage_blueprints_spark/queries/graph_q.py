@@ -453,3 +453,59 @@ def build_common_neighbors(spark: SparkSession, sf_dir: str):
         .limit(20)
     )
     return out, baskets
+
+
+# degree assortativity: Pearson correlation between endpoint degrees
+# over edges, from exact integer/decimal moments
+_ASSORT_R = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+_ASSORT_SQL = f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dx FROM e GROUP BY c),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS dy FROM e GROUP BY s),
+    j AS (
+      SELECT dx, dy FROM e
+      JOIN dc ON e.c = dc.c
+      JOIN ds ON e.s = ds.s
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(dx AS DECIMAL(19,0)) * dy) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(dx AS DECIMAL(19,0)) * dx) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(dy AS DECIMAL(19,0)) * dy) AS DECIMAL(38,0)) AS syy
+      FROM j
+    )
+    SELECT n AS n_edges, {_ASSORT_R} AS assortativity
+    FROM m
+"""
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=_ASSORT_SQL,
+    doc="Degree assortativity of the bipartite customer-supplier "
+    "purchase graph: the Pearson correlation between the two endpoint "
+    "degrees across edges (do high-degree customers buy from high-"
+    "degree suppliers?) — the one-number mixing diagnostic that "
+    "complements q_graph_degree_dist's marginals. Edges dedup in one "
+    "hash-agg; per-side degrees are two further aggs whose outputs "
+    "join back to the edge list (AQE broadcasts the smaller degree "
+    "side); the five Pearson moments accumulate as exact decimals "
+    "(row-level degree products in decimal(19,0) — hub degrees up to "
+    "1e9 stay exact), so the final correlation is a derived double "
+    "from identical exact inputs via shared expression text. At 100 TB "
+    "only degree tables and moment rows shuffle beyond the edge dedup.",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ASSORT_SQL)

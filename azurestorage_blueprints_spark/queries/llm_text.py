@@ -405,3 +405,165 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@register(
+    "q_naive_bayes_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY source, tok
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_source FROM cnt GROUP BY source
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tok),
+    ranked AS (
+      SELECT source, tok, n,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rnk
+      FROM cnt
+    )
+    SELECT r.source, r.tok AS token, r.n AS n_token, t.n_source, vocab.v AS vocab_size,
+           CAST(r.n + 1 AS DOUBLE) / CAST(t.n_source + vocab.v AS DOUBLE) AS p_laplace
+    FROM ranked r JOIN tot t ON r.source = t.source, vocab
+    WHERE r.rnk <= 10
+    """,
+    doc="Naive-Bayes token model training (the classifier a curation "
+    "pipeline fits to route documents by source/domain): per-(source, "
+    "token) counts, per-source totals, corpus vocabulary size, and the "
+    "Laplace-smoothed class-conditional probability (n+1)/(N_c + V) for "
+    "each source's top-10 tokens (ties broken by token). All model "
+    "parameters are EXACT integers — the smoothed probability is the "
+    "only derived double, from identical exact inputs via a shared "
+    "formula; log-space conversion belongs to the consumer (engine libm "
+    "logs are not cross-engine stable — determinism contract). Shape: "
+    "one token hash-agg (map-side combined — the count table, not the "
+    "token stream, shuffles), per-source totals fold from the count "
+    "table, vocabulary is one distinct count, and the top-10 window "
+    "partitions by source. At 100 TB nothing larger than the "
+    "(source x token) count table ever moves.",
+)
+def q_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").cast("bigint").alias("n_source"))
+    vocab = tok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    w = W.partitionBy("source").orderBy(F.desc("n"), "tok")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.col("tok").alias("token"),
+            F.col("n").alias("n_token"),
+            "n_source",
+            F.col("v").alias("vocab_size"),
+            (
+                (F.col("n") + F.lit(1)).cast("double")
+                / (F.col("n_source") + F.col("v")).cast("double")
+            ).alias("p_laplace"),
+        )
+    )
+
+
+@register(
+    "q_multimodal_gif_roundtrip",
+    oracle="""
+    WITH g AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT vec_id, v,
+             list_min(v) AS lo, list_max(v) AS hi
+      FROM g
+    )
+    SELECT vec_id, 8 AS width, 8 AS height,
+           CAST(3 * list_sum(list_transform(v, x ->
+                 CASE WHEN hi > lo
+                      THEN CAST(floor((x - lo) * (255.0 / (hi - lo)) + 0.5) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS px_checksum
+    FROM stats
+    """,
+    doc="End-to-end GIF codec round-trip as an ORACLE-CHECKED query — "
+    "the multimodal tier's proof that a compressed binary column "
+    "survives encode -> store -> decode bit-exactly: embeddings "
+    "quantize to 8x8 grayscale (floor(x+0.5) half-up — the repo's "
+    "portable quantizer, NOT numpy banker's rounding), compress "
+    "through the real hand-rolled GIF LZW encoder, decode back through "
+    "the decode_image dispatch (operators/multimodal.py decode_gif), "
+    "and report per-image RGB checksums that DuckDB reproduces "
+    "ARITHMETICALLY from the embeddings — any codec bug (palette "
+    "order, LZW width bump, sub-block framing) breaks the hash. All "
+    "three Python stages are Arrow-batched mapInPandas; the codec "
+    "module ships to workers by value (cloudpickle "
+    "register_pickle_by_value) exactly as a production job ships its "
+    "UDF library. Per-image work is O(pixels); no shuffle anywhere — "
+    "embarrassingly parallel over payload partitions at 100 TB.",
+)
+def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+
+    # plain driver sessions don't ship the repo to Python workers; the
+    # codec module rides the closure by value instead (standard way to
+    # ship a small UDF library without an sc.addPyFile deployment step)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    encode_gif = MM.encode_gif
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                lo, hi = float(a.min()), float(a.max())
+                if hi > lo:
+                    g = np.floor((a - lo) * (255.0 / (hi - lo)) + 0.5).astype(np.uint8)
+                else:
+                    g = np.zeros(len(a), dtype=np.uint8)
+                out.append(encode_gif(8, 8, np.repeat(g, 3).tobytes()))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "content": out})
+
+    gifs = e.mapInPandas(enc, "vec_id long, content binary")
+    decoded = MM.decode_image(gifs, id_col="vec_id")
+
+    def checksum(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            s = [
+                int(np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64).sum())
+                if ok
+                else None
+                for px, ok in zip(pdf["pixels"], pdf["ok"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["content_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "px_checksum": pd.array(s, dtype="Int64"),
+                }
+            )
+
+    return decoded.mapInPandas(
+        checksum, "vec_id long, width int, height int, px_checksum long"
+    )

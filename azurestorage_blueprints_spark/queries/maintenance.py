@@ -271,3 +271,76 @@ def q_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matching",
         scan_class.alias("scan_class"),
     )
+
+
+#: bloom-filter geometry: m bits, k hash functions, simulated file count
+_BF_BITS = 1024
+_BF_K = 3
+_BF_FILES = 16
+#: probe keys: three present in every realistic layout, two impossible
+_BF_PROBES = [1, 2, 3, 99999991, 99999992]
+
+_BF_HASHES = ", ".join(f"({j})" for j in range(_BF_K))
+_BF_PROBE_VALUES = ", ".join(f"({p})" for p in _BF_PROBES)
+
+_BLOOM_SQL = f"""
+    WITH f AS (
+      SELECT l_orderkey % {_BF_FILES} AS file_id, l_partkey AS k
+      FROM lineitem
+    ),
+    positions AS (
+      SELECT DISTINCT file_id,
+             (k * 2654435761 + j * 40503) % {_BF_BITS} AS pos
+      FROM f, (VALUES {_BF_HASHES}) AS h(j)
+    ),
+    probe_pos AS (
+      SELECT pk, (pk * 2654435761 + j * 40503) % {_BF_BITS} AS pos
+      FROM (VALUES {_BF_PROBE_VALUES}) AS p(pk),
+           (VALUES {_BF_HASHES}) AS h(j)
+    ),
+    files AS (SELECT DISTINCT file_id FROM f),
+    chk AS (
+      SELECT files.file_id, pp.pk,
+             CAST(count(pos2.pos) AS BIGINT) AS n_bits_set
+      FROM files
+      CROSS JOIN probe_pos pp
+      LEFT JOIN positions pos2
+        ON pos2.file_id = files.file_id AND pos2.pos = pp.pos
+      GROUP BY files.file_id, pp.pk
+    ),
+    actual AS (
+      SELECT file_id, k AS pk, CAST(count(*) AS BIGINT) AS n_rows
+      FROM f GROUP BY file_id, k
+    )
+    SELECT chk.file_id, CAST(chk.pk AS BIGINT) AS probe_key,
+           chk.n_bits_set = {_BF_K} AS bloom_maybe,
+           coalesce(actual.n_rows, CAST(0 AS BIGINT)) > 0 AS actually_present,
+           coalesce(actual.n_rows, CAST(0 AS BIGINT)) AS n_matching_rows
+    FROM chk LEFT JOIN actual
+      ON chk.file_id = actual.file_id AND chk.pk = actual.pk
+"""
+
+
+@register(
+    "q_bloom_pruning",
+    oracle=_BLOOM_SQL,
+    doc="Bloom-filter file-skipping report — the point-lookup twin of "
+    "q_zonemap_pruning (zone maps prune ranges; Blooms prune equality "
+    "probes on high-cardinality keys where min/max is useless): per "
+    "simulated file (orderkey mod 16), a 1024-bit/3-hash Bloom set over "
+    "l_partkey is built as a DISTINCT (file, bit-position) table — "
+    "map-side combined, bounded by m bits per file at ANY row count — "
+    "then each probe key checks its 3 positions per file; a file reads "
+    "only if all 3 are set. The hash is the repo's portable Knuth "
+    "multiplicative form, so both engines build bit-identical filters. "
+    "The report carries the EXACT matched-row count per (file, probe) "
+    "so the gate property is visible in the result itself: bloom_maybe "
+    "is true for every actually_present file (no false negatives — "
+    "asserted in tests), while false positives are the expected "
+    "~(1-e^(-kn/m))^k tax. At 100 TB this is the DataSourceV2 "
+    "aggregate-pushdown shape: the filter table is O(files x m/64) "
+    "longs, the probe join is a broadcast.",
+)
+def q_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_BLOOM_SQL)

@@ -226,3 +226,50 @@ def q_forget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(manifest("lineitem", li, "l_orderkey"))
         .unionByName(manifest("events", ev, "event_id"))
     )
+
+
+# daily-volume anomaly screen: |today - trailing-7 mean| > 3 sigma as an
+# EXACT integer inequality (cross-multiplied, no float mean/stddev)
+_DQ_ANOMALY_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT d, c,
+             CAST(sum(c) OVER
+               (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS m7,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c) OVER
+               (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DECIMAL(38,0)) AS s7,
+             CAST(count(c) OVER
+               (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS k7
+      FROM daily
+    )
+    SELECT d AS day, c AS n_events, k7 AS window_days,
+           CASE WHEN k7 = 7 THEN CAST(m7 AS DOUBLE) / 7.0 END AS trailing_mean,
+           (k7 = 7 AND
+            CAST(7 * c - m7 AS DECIMAL(38,0)) * (7 * c - m7)
+              > 9 * (7 * s7 - CAST(m7 AS DECIMAL(38,0)) * m7)) AS is_anomaly
+    FROM w
+"""
+
+
+@register(
+    "q_dq_anomaly_rules",
+    oracle=_DQ_ANOMALY_SQL,
+    doc="Data-quality volume-anomaly screen: flag any ingest day whose "
+    "event count deviates from the trailing 7-day mean by more than 3 "
+    "population sigmas — the freshness/volume monitor that runs beside "
+    "the q_dq_constraints suite in a production pipeline. The trailing "
+    "moments ride ONE window over the DAILY count table (bounded by the "
+    "calendar at any SF), and the 3-sigma test is an EXACT cross-"
+    "multiplied integer inequality — (7c - m7)^2 > 9(7*s7 - m7^2) — so "
+    "no float mean/stddev ever enters the decision; per-day squared "
+    "counts accumulate as decimal(38,0), safe past 1e18 events/day. "
+    "Every day is emitted with its boolean verdict (first 7 days: "
+    "false, insufficient window), keeping the result a full audit "
+    "report rather than a possibly-empty exception list.",
+)
+def q_dq_anomaly_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_DQ_ANOMALY_SQL)

@@ -984,3 +984,45 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_customers",
         F.sum("new_customers").over(wcum).cast("bigint").alias("cum_customers"),
     )
+
+
+@register(
+    "q_histogram_equidepth_approx",
+    oracle=None,  # fences come from Spark's KLL-style quantile sketch —
+    # engine-specific by design; bucket-mass accuracy is gated in
+    # tests/test_sketches.py against the exact ntile histogram
+    doc="Approximate equi-depth histogram — the documented sketch-tier "
+    "escalation of q_histogram_equidepth (whose global ntile sort is "
+    "the honest cost ceiling at ~sf100): bucket fences come from "
+    "approx_percentile's mergeable quantile sketch (one map-side-"
+    "combined aggregation, no global sort — the only shuffle carries "
+    "O(sketch) bytes per partition), then ONE more scan assigns rows "
+    "to fence intervals and counts them exactly. Reported per bucket: "
+    "fence bounds and the EXACT row count inside them, so the sketch "
+    "error is visible in the result itself (gated <5% mass deviation "
+    "in tests/test_sketches.py, the q_approx_percentile_sketch "
+    "pairing). This is how a profiler actually computes equi-depth "
+    "stats at 100 TB.",
+)
+def q_histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    probs = [i / _EQUIDEPTH_BUCKETS for i in range(1, _EQUIDEPTH_BUCKETS)]
+    fences = o.agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array({', '.join(map(str, probs))}), 10000)"
+        ).alias("f")
+    )
+    # bucket of a row = 1 + number of fences strictly below its value;
+    # fence arrays are tiny (buckets-1 doubles) and ride a broadcast
+    bucketed = o.crossJoin(F.broadcast(fences)).select(
+        F.expr(
+            "CAST(1 + aggregate(f, 0, (acc, x) ->"
+            " acc + CASE WHEN o_totalprice > x THEN 1 ELSE 0 END) AS INT)"
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

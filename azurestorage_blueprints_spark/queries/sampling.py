@@ -416,3 +416,63 @@ def q_sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF thresholds scaled to 2^32 (floor(cdf * 2^32),
+#: precomputed literals — no exp/factorial on data, per the determinism
+#: contract); a uniform 32-bit hash draw u maps to the count of the
+#: first threshold above it. P(X > 9) < 2^-32 truncates to 9.
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+           4292415291, 4294609777, 4294923276, 4294962463]
+
+#: bootstrap replicates
+_BOOT_B = 32
+
+_POIS_CASE = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+) + " ELSE 9 END"
+
+_BOOT_VALUES = ", ".join(f"({b})" for b in range(_BOOT_B))
+
+_BOOT_SQL = f"""
+    WITH draws AS (
+      SELECT b, o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             (o_orderkey * 2654435761 + b * 40503) % 4294967296 AS u
+      FROM orders, (VALUES {_BOOT_VALUES}) AS reps(b)
+    ),
+    counted AS (
+      SELECT b, cents, {_POIS_CASE} AS w
+      FROM draws
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(sum(CAST(w AS BIGINT)) AS BIGINT) AS n_resampled,
+           CAST(sum(CAST(w * cents AS DECIMAL(38,0))) AS BIGINT) AS est_total_cents
+    FROM counted GROUP BY b
+"""
+
+
+@register(
+    "q_sample_poisson_bootstrap",
+    oracle=_BOOT_SQL,
+    doc="Deterministic Poisson bootstrap of total order revenue: 32 "
+    "resampling replicates where every row's multiplicity in replicate "
+    "b is a Poisson(1) draw — the standard single-pass bootstrap for "
+    "distributed data (Chamandy et al.: resample without materializing "
+    "resamples). The draw is fully deterministic and engine-portable: "
+    "a Knuth multiplicative hash of (orderkey, replicate) gives a "
+    "32-bit uniform, mapped through precomputed integer CDF thresholds "
+    "(floor(cdf*2^32) literals — no libm on data), so retries and "
+    "repartitions reproduce bit-identical replicates. Each replicate "
+    "total accumulates exact decimal cents; the replicate spread IS the "
+    "sampling distribution of the estimator (CI = quantiles over 32 "
+    "values, consumer-side). Shape: one scan fans out x32 inside the "
+    "map stage (codegen cross join with a 32-row VALUES literal), one "
+    "map-side-combined agg moves 32 rows total at ANY corpus size. "
+    "Hash ceiling: orderkey*2654435761 must stay inside int64 "
+    "(orderkey < ~3.5e9, same bound as every multiplicative-hash "
+    "sampler in this module); salt the key into 32-bit halves past it.",
+)
+def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BOOT_SQL)

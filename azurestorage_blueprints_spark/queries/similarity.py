@@ -896,7 +896,37 @@ _PQ_QZ = 1_000_000_000
 )
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    sub = F.expr(f"slice(embedding, s * {_PQ_D} + 1, {_PQ_D})")
+    codebook, codes = _pq_train(e)
+    adc = _pq_adc(e, codebook)
+    # scoring join: corpus code triples x broadcast ADC table
+    approx = (
+        codes.join(F.broadcast(adc), (codes.s == adc.s) & (codes.code == adc.j))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("t").alias("approx_l2sq"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = W.partitionBy("q_id").orderBy("approx_l2sq", "vec_id")
+    return (
+        approx.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("n_id"), "approx_l2sq", "rnk")
+    )
+
+
+#: shared subspace slice / distance expressions for the PQ helpers
+_PQ_SUB = f"slice(embedding, s * {_PQ_D} + 1, {_PQ_D})"
+_PQ_L2SQ = (
+    "aggregate(zip_with(sv, cw, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the PQ codebook (seed slices + one exact-quantized Lloyd
+    recenter pass) and encode the corpus against it. Returns
+    (codebook (j, s, cw), codes (vec_id, s, code)) — shared by the flat
+    PQ rung (q_knn_pq) and the IVF-PQ composite (q_knn_ivf_pq)."""
+    sub = F.expr(_PQ_SUB)
     # initial codebook: seed j's subspace-s slice, M*K tiny rows
     codebook0 = (
         e.filter(F.col("vec_id") < _PQ_K)
@@ -951,7 +981,13 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus codes: per (vector, subspace) the nearest TRAINED codeword
     codes = assign(codebook).select("vec_id", "s", F.col("j").alias("code"))
-    # ADC tables: per query the exact subspace distance to every codeword
+    return codebook, codes
+
+
+def _pq_adc(e: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: the exact L2^2 distance from each
+    query's subspace slice to every codeword (q_id, s, j, t)."""
+    sub = F.expr(_PQ_SUB)
     q_sub = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), "embedding")
@@ -960,17 +996,75 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "s", sub.alias("sv"))
     )
-    adc = q_sub.join(F.broadcast(codebook), "s").select("q_id", "s", "j", l2sq.alias("t"))
-    # scoring join: corpus code triples x broadcast ADC table
-    approx = (
-        codes.join(F.broadcast(adc), (codes.s == adc.s) & (codes.code == adc.j))
+    return q_sub.join(F.broadcast(codebook), "s").select(
+        "q_id", "s", "j", F.expr(_PQ_L2SQ).alias("t")
+    )
+
+
+#: IVF-PQ probe width (coarse lists visited per query)
+_IVFPQ_NPROBE = 2
+
+
+@register(
+    "q_knn_ivf_pq",
+    oracle=None,  # composes two rows-only rungs (IVF lists + PQ codes);
+    # recall vs the exact scan is gated in tests/test_ann_recall.py
+    doc="IVF-PQ composite ANN — the production-standard pairing (FAISS "
+    "IVFPQ): the coarse inverted-file stage bounds WHICH vectors are "
+    "scored (each query visits nprobe=2 per-label lists instead of the "
+    "corpus) and product quantization bounds WHAT moves per scored "
+    "vector (8 codes + a broadcast per-query ADC table instead of the "
+    "float array). Both stages reuse their single-rung implementations "
+    "unchanged: the per-label mean centroids of q_knn_ivf, the Lloyd-"
+    "trained 16-codeword codebook and corpus codes of q_knn_pq "
+    "(_pq_train), and the per-query ADC tables (_pq_adc). The scoring "
+    "join is candidate (q_id, vec_id) pairs x code triples x broadcast "
+    "ADC — at 100 TB nothing vector-sized appears after the coarse "
+    "assignment, which is exactly why this is the only ANN shape that "
+    "holds at memory scale.",
+)
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    codebook, codes = _pq_train(e)
+    adc = _pq_adc(e, codebook)
+    # coarse stage (q_knn_ivf shape): per-label mean centroids, queries
+    # probe their nprobe nearest lists
+    comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    centroids = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "label", cosine(F.col("qv"), F.col("centroid")).alias("csim"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("csim"), "label"))
+        )
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("q_id", "label")
+    )
+    cand = (
+        e.select("vec_id", "label")
+        .join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(adc), ["q_id", "s"])
+        .filter(F.col("code") == F.col("j"))
         .groupBy("q_id", "vec_id")
         .agg(F.sum("t").alias("approx_l2sq"))
-        .filter(F.col("vec_id") != F.col("q_id"))
     )
     w = W.partitionBy("q_id").orderBy("approx_l2sq", "vec_id")
     return (
-        approx.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", F.col("vec_id").alias("n_id"), "approx_l2sq", "rnk")
     )

@@ -529,3 +529,140 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(REGISTRY["q_gini_concentration"].oracle)
+
+
+# one-way ANOVA over milli-cent-quantized group means: group moments are
+# exact decimals, the quantized mean keeps dev^2 inside bigint, and the
+# SSB/SSW accumulations are single decimal products — order-insensitive
+# at any parallelism; only the final F divides to double
+_ANOVA_SQL = """
+    WITH x AS (
+      SELECT c_nationkey AS g,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v
+      FROM customer
+    ),
+    m AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(v * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+      FROM x GROUP BY g
+    ),
+    mq AS (
+      SELECT g, n, s, ss,
+             CAST(floor(CAST(s AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS mu_q
+      FROM m
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS ntot,
+             CAST(sum(s) AS DECIMAL(38,0)) AS stot
+      FROM mq
+    ),
+    g2 AS (
+      SELECT mq.g, mq.n, mq.ss, mq.mu_q, t.k, t.ntot,
+             CAST(floor(CAST(t.stot AS DOUBLE) * 1000.0 / CAST(t.ntot AS DOUBLE)) AS BIGINT) AS mu_all_q
+      FROM mq, t
+    ),
+    parts AS (
+      SELECT k, ntot,
+             CAST(sum(CAST(n AS DECIMAL(38,0))
+                      * ((mu_q - mu_all_q) * (mu_q - mu_all_q))) AS DECIMAL(38,0)) AS ssb_q,
+             CAST(sum(CAST(ss AS DECIMAL(38,0)) * 1000000
+                      - CAST(n AS DECIMAL(38,0)) * (mu_q * mu_q)) AS DECIMAL(38,0)) AS ssw_q
+      FROM g2 GROUP BY k, ntot
+    )
+    SELECT k AS n_groups, ntot AS n_rows,
+           CAST(ssb_q AS DOUBLE) / 1000000.0 AS ss_between_cents2,
+           CAST(ssw_q AS DOUBLE) / 1000000.0 AS ss_within_cents2,
+           (CAST(ssb_q AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+             / (CAST(ssw_q AS DOUBLE) / CAST(ntot - k AS DOUBLE)) AS f_stat
+    FROM parts
+"""
+
+
+@register(
+    "q_stats_anova_oneway",
+    oracle=_ANOVA_SQL,
+    doc="One-way ANOVA F-statistic of customer account balance (cents) "
+    "across nations — the k-group generalization of the Welch A/B "
+    "primitive (does a partition/source assignment explain variance?). "
+    "All accumulation is EXACT: per-group n / sum / sum-of-squares ride "
+    "one hash-agg as decimal(38,0); the group mean is quantized to "
+    "milli-cents with an IEEE-identical floor expression so every "
+    "squared deviation is a bigint and SSB = sum(n*dev^2) / SSW = "
+    "sum(ss*1e6 - n*mu^2) are single decimal products per group — "
+    "order-insensitive at any parallelism (quantization bias ~1e-9 "
+    "relative, identical on both engines). Only the final F divides to "
+    "double via shared expression text. Shape: one map-side-combined "
+    "hash-agg to k moment rows, then O(k) arithmetic; the shuffle "
+    "carries 3 numbers per nation at 100 TB.",
+)
+def q_stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_ANOVA_SQL)
+
+
+# Pearson autocorrelation of the daily-revenue series at lags 1 and 7,
+# from exact integer/decimal moments over lag pairs
+_ACF_R = (
+    "(CAST(n{L} AS DOUBLE) * CAST(sxy{L} AS DOUBLE)"
+    " - CAST(sx{L} AS DOUBLE) * CAST(sy{L} AS DOUBLE))"
+    " / sqrt((CAST(n{L} AS DOUBLE) * CAST(sxx{L} AS DOUBLE)"
+    "         - CAST(sx{L} AS DOUBLE) * CAST(sx{L} AS DOUBLE))"
+    "        * (CAST(n{L} AS DOUBLE) * CAST(syy{L} AS DOUBLE)"
+    "           - CAST(sy{L} AS DOUBLE) * CAST(sy{L} AS DOUBLE)))"
+)
+
+_ACF_SQL = f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    lagged AS (
+      SELECT v AS x,
+             lag(v, 1) OVER (ORDER BY d) AS y1,
+             lag(v, 7) OVER (ORDER BY d) AS y7
+      FROM daily
+    ),
+    m AS (
+      SELECT
+        CAST(count(y1) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN y1 IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS sx1,
+        CAST(sum(CAST(y1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy1,
+        CAST(sum(CAST(x AS DECIMAL(19,0)) * y1) AS DECIMAL(38,0)) AS sxy1,
+        CAST(sum(CASE WHEN y1 IS NOT NULL THEN CAST(x AS DECIMAL(19,0)) * x END) AS DECIMAL(38,0)) AS sxx1,
+        CAST(sum(CAST(y1 AS DECIMAL(19,0)) * y1) AS DECIMAL(38,0)) AS syy1,
+        CAST(count(y7) AS BIGINT) AS n7,
+        CAST(sum(CASE WHEN y7 IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS sx7,
+        CAST(sum(CAST(y7 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy7,
+        CAST(sum(CAST(x AS DECIMAL(19,0)) * y7) AS DECIMAL(38,0)) AS sxy7,
+        CAST(sum(CASE WHEN y7 IS NOT NULL THEN CAST(x AS DECIMAL(19,0)) * x END) AS DECIMAL(38,0)) AS sxx7,
+        CAST(sum(CAST(y7 AS DECIMAL(19,0)) * y7) AS DECIMAL(38,0)) AS syy7
+      FROM lagged
+    )
+    SELECT n1 AS n_pairs_lag1, n7 AS n_pairs_lag7,
+           {_ACF_R.format(L=1)} AS acf_lag1,
+           {_ACF_R.format(L=7)} AS acf_lag7
+    FROM m
+"""
+
+
+@register(
+    "q_stats_autocorr",
+    oracle=_ACF_SQL,
+    doc="Autocorrelation of the daily order-revenue series at lags 1 and "
+    "7 (the seasonality/persistence diagnostic a forecasting feature "
+    "pipeline computes before choosing lag features): daily totals are "
+    "exact cents (one date-keyed hash-agg), the lag alignment is one "
+    "window over the DAILY table — whose row count is bounded by the "
+    "calendar, not the fact table, so the single-partition sort is "
+    "O(days) at any SF — and the Pearson moments per lag accumulate as "
+    "exact decimals (row-level products in decimal(19,0)x bigint, so "
+    "day totals up to ~1e13 cents at 100 TB stay exact). r derives from "
+    "identical exact moments via shared expression text; sqrt is "
+    "IEEE-correctly-rounded on both engines.",
+)
+def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ACF_SQL)

@@ -623,3 +623,52 @@ def q_conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_lag_us"),
     )
+
+
+# seasonal-naive backtest: forecast(t) = v(t-7); per-month exact error sums
+_SNAIVE_SQL = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    pred AS (
+      SELECT d, v, lag(v, 7) OVER (ORDER BY d) AS yhat
+      FROM daily
+    ),
+    err AS (
+      SELECT CAST(year(d) AS BIGINT) AS y, CAST(month(d) AS BIGINT) AS m,
+             v, yhat, abs(v - yhat) AS ae
+      FROM pred WHERE yhat IS NOT NULL
+    )
+    SELECT y, m,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CAST(ae AS DECIMAL(38,0))) AS BIGINT) AS sum_abs_err,
+           CAST(sum(CAST(v AS DECIMAL(38,0))) AS BIGINT) AS sum_actual,
+           CAST(CAST(sum(CAST(ae AS DECIMAL(38,0))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS mae_cents,
+           CAST(sum(CAST(ae AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS wmape
+    FROM err GROUP BY y, m
+"""
+
+
+@register(
+    "q_ts_seasonal_naive_forecast",
+    oracle=_SNAIVE_SQL,
+    doc="Seasonal-naive forecast backtest (forecast = the value one "
+    "season — 7 days — earlier) of the daily order-revenue series, with "
+    "per-month MAE and weighted-MAPE: the standard baseline every "
+    "forecasting pipeline must beat, and the accuracy-report shape used "
+    "to monitor it. Daily totals are exact cents from one date-keyed "
+    "hash-agg; the lag-7 alignment is ONE window over the daily table "
+    "(bounded by the calendar, not the fact table — the sort is O(days) "
+    "at any SF); absolute errors stay integers and the monthly MAE / "
+    "wMAPE divide exact decimal sums to double via shared expression "
+    "text; monthly sums re-cast to bigint for the driver's pandas path "
+    "(DuckDB decimals render as float64 there), exact past 1e16 "
+    "cents/month.",
+)
+def q_ts_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SNAIVE_SQL)

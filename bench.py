@@ -80,6 +80,17 @@ HEADLINE = [
     "q_semdedup",
     "q_dedup_segments",
     "q_multimodal_image_ahash",
+    # round-5 additions: k-group ANOVA, Poisson bootstrap, degree
+    # assortativity, Bloom pruning, TF-IDF cosine dedup, IVF-PQ ANN,
+    # GIF codec round-trip, naive-Bayes token model
+    "q_stats_anova_oneway",
+    "q_sample_poisson_bootstrap",
+    "q_graph_assortativity",
+    "q_bloom_pruning",
+    "q_dedup_tfidf_cosine",
+    "q_knn_ivf_pq",
+    "q_multimodal_gif_roundtrip",
+    "q_naive_bayes_tokens",
 ]
 
 

@@ -259,3 +259,46 @@ def test_semdedup_centroid_count_scales_with_corpus():
     assert _sem_k(100 * n) == 100 * _sem_k(n)  # k ∝ N (16 | n)
     # expected cluster size is the constant target at every scale
     assert _sem_k(n) * _SEM_TARGET_CLUSTER == n
+
+
+def test_ivf_pq_composite_recall_vs_exact(spark, sf_dir):
+    """IVF-PQ composes two approximations (probed lists drop candidates,
+    codes blur distances), so its recall sits below flat PQ by design —
+    measured recall@5 is 0.18 at sf0.001 / 0.16 at sf0.01 against a
+    0.01 chance level (near-uniform synthetic embeddings; per-label
+    lists partition the corpus, nprobe=2 of 8 lists visits ~25%). The
+    gate is the measured floor minus noise margin: a scoring bug (wrong
+    list routing, ADC mis-join) collapses to chance and fails."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from azurestorage_blueprints_spark.queries.similarity import _N_QUERIES, _TOP_K
+    from azurestorage_blueprints_spark.tables import table
+
+    res = REGISTRY["q_knn_ivf_pq"].fn(spark, sf_dir)
+    approx = {}
+    for r in res.collect():
+        approx.setdefault(r.q_id, set()).add(r.n_id)
+    assert len(approx) == _N_QUERIES  # every query answered
+    assert all(len(v) == _TOP_K for v in approx.values())
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    d = F.expr(
+        "aggregate(zip_with(embedding, qv, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q)).filter("vec_id != q_id").select("q_id", "vec_id", d.alias("d"))
+    )
+    w = W.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = {}
+    for r in (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOP_K).collect()
+    ):
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(exact.get(qid, set()) & ns) for qid, ns in approx.items())
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.12, f"IVF-PQ recall below measured floor (0.18 - margin): {recall}"

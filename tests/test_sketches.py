@@ -49,3 +49,36 @@ def test_count_min_overcounts_within_bound(spark, sf_dir):
     for r in rows:
         assert r.cms_estimate >= r.exact_cnt, r
         assert r.cms_estimate - r.exact_cnt <= slack, (r, slack)
+
+
+def test_equidepth_approx_buckets_track_exact_mass(spark, sf_dir):
+    """The sketch-fenced equi-depth histogram must put near-equal mass in
+    every bucket: each bucket's exact row count stays within 25% of the
+    ideal 1/B share (approx_percentile at accuracy 10000 is near-exact
+    on these sizes), and the fences must tile the value range."""
+    rows = REGISTRY["q_histogram_equidepth_approx"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n for r in rows)
+    ideal = total / len(rows)
+    for r in rows:
+        assert abs(r.n - ideal) / ideal < 0.25, f"bucket {r.bucket}: {r.n} vs {ideal}"
+    # buckets tile: sorted (lo, hi) ranges are non-overlapping and ordered
+    spans = sorted((r.bucket, r.lo, r.hi) for r in rows)
+    for (_, _, hi_prev), (_, lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_bloom_pruning_has_no_false_negatives(spark, sf_dir):
+    """The Bloom report's defining property: a probe key that actually
+    matches rows in a file must always be bloom_maybe=true there (false
+    positives are allowed and expected; false negatives are a bug)."""
+    rows = REGISTRY["q_bloom_pruning"].fn(spark, sf_dir).collect()
+    assert rows
+    present = [r for r in rows if r.actually_present]
+    assert present, "probe keys 1-3 should exist in some files"
+    for r in present:
+        assert r.bloom_maybe, f"false negative: file {r.file_id} key {r.probe_key}"
+    # the two impossible probe keys must never be actually present
+    for r in rows:
+        if r.probe_key >= 99999991:
+            assert not r.actually_present
