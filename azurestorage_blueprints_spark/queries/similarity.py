@@ -807,11 +807,23 @@ def build_semdedup(spark: SparkSession, sf_dir: str):
     # gets 100× clusters and the per-cluster pair fan-out stays constant
     k = _sem_k(e.count())
     en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    # seed norms hoisted like the brute-force kNN fix: the E-step fold
+    # count drops from 3 per pair to 1 (dot only); dot/(nrm*snrm) is the
+    # exact expression cosine() expands to, so the IEEE values — and the
+    # oracle hash — are unchanged
     seeds = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("sv"),
+        norm(F.col("embedding")).alias("snrm"),
     )
     # clamped like q_embed_cluster_assign: seeds score themselves 1+2ulp
-    sim = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("embedding"), F.col("sv"))))
+    sim = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(-1.0),
+            dot(F.col("embedding"), F.col("sv")) / (F.col("nrm") * F.col("snrm")),
+        ),
+    )
     scored = en.crossJoin(F.broadcast(seeds)).select("vec_id", "seed_id", sim.alias("sim"))
     rn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id"))
     assigned = (

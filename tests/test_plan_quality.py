@@ -414,3 +414,61 @@ def test_cumulative_distinct_fact_never_enters_a_window(spark, sf_dir):
     assert below_window.count("HashAggregate") >= 2, (
         "window must sit on the doubly-aggregated monthly table"
     )
+
+
+def test_anova_is_one_moment_exchange(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_stats_anova_oneway", sf_dir)
+    # the fact table is reduced by ONE map-side-combined moment agg on
+    # the group key; everything downstream (global row, SSB/SSW combine)
+    # rides O(k) rows — tiny exchanges/broadcasts, but never a sort-
+    # merge join or a second fact-scale shuffle
+    assert len(re.findall(r"hashpartitioning\(", plan)) <= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lag_features_share_one_window_sort(spark, sf_dir):
+    plan = _plan(spark, "q_ts_lag_features", sf_dir)
+    # every lag/frame must ride ONE Window operator over the daily
+    # table (one sort), not one window per feature column
+    assert plan.count("Window") <= 2  # node + its detail block
+    assert "CartesianProduct" not in plan
+
+
+def test_poisson_bootstrap_never_shuffles_the_fanout(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_sample_poisson_bootstrap", sf_dir)
+    # the x32 replicate fan-out is a broadcast nested-loop over a VALUES
+    # literal INSIDE the scan stage; the only key exchange carries the
+    # 32 aggregated replicate rows (map-side combined partials)
+    assert len(re.findall(r"hashpartitioning\(b#", plan)) == 1
+    assert "partial_sum" in plan
+
+
+def test_bloom_probe_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "q_bloom_pruning", sf_dir)
+    # probe positions are a literal VALUES table: the probe join and the
+    # final report join must broadcast, never SMJ the filter table
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gif_roundtrip_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "q_multimodal_gif_roundtrip", sf_dir)
+    # encode -> decode -> checksum is a straight-line Arrow pipeline:
+    # embarrassingly parallel — no KEY shuffle anywhere (the loader's
+    # keyless round-robin spread of the single-file test table is the
+    # only allowed Exchange, as in test_chunking)
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ivf_pq_scoring_join_moves_no_vectors(spark, sf_dir):
+    plan = _plan(spark, "q_knn_ivf_pq", sf_dir)
+    # the ADC table and probed candidate lists broadcast; after the
+    # coarse stage the scored rows are (q_id, vec_id, s, code) ints
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
