@@ -1080,3 +1080,170 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", F.col("vec_id").alias("n_id"), "approx_l2sq", "rnk")
     )
+
+
+#: hierarchical SemDeDup routing fan-out: s = ceil(sqrt(k)) super-seeds
+def _sem_super(k: int) -> int:
+    s = 1
+    while s * s < k:
+        s += 1
+    return s
+
+
+@register(
+    "q_semdedup_hier",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    params AS (
+      SELECT CAST(CEIL(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+                       / {_SEM_TARGET_CLUSTER}) AS BIGINT) AS k,
+             CAST(CEIL(SQRT(CEIL(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+                                 / {_SEM_TARGET_CLUSTER}))) AS BIGINT) AS s
+    ),
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e, params WHERE vec_id < k),
+    supers AS (SELECT vec_id AS super_id, v AS uv FROM e, params WHERE vec_id < s),
+    seed_route AS (
+      SELECT seed_id, super_id,
+             row_number() OVER (PARTITION BY seed_id ORDER BY
+               LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(-1.0 AS DOUBLE),
+                     list_cosine_similarity(sv, uv))) DESC, super_id) AS rn
+      FROM seeds, supers
+    ),
+    seed_group AS (SELECT seed_id, super_id FROM seed_route WHERE rn = 1),
+    vec_route AS (
+      SELECT e.vec_id, supers.super_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(-1.0 AS DOUBLE),
+                     list_cosine_similarity(e.v, supers.uv))) DESC, supers.super_id) AS rn
+      FROM e, supers
+    ),
+    vec_group AS (SELECT vec_id, super_id FROM vec_route WHERE rn = 1),
+    assigned0 AS (
+      SELECT vg.vec_id, sg.seed_id,
+             row_number() OVER (PARTITION BY vg.vec_id ORDER BY
+               LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(-1.0 AS DOUBLE),
+                     list_cosine_similarity(e.v, seeds.sv))) DESC, sg.seed_id) AS rn
+      FROM vec_group vg
+      JOIN seed_group sg ON vg.super_id = sg.super_id
+      JOIN e ON e.vec_id = vg.vec_id
+      JOIN seeds ON seeds.seed_id = sg.seed_id
+    ),
+    mem AS (
+      SELECT a.seed_id AS cluster_id, e.vec_id, e.v
+      FROM assigned0 a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+    pairs AS (
+      SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id
+      FROM mem a JOIN mem b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    pc AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped
+      FROM pairs GROUP BY cluster_id),
+    mc AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM mem GROUP BY cluster_id)
+    SELECT mc.cluster_id, n_members,
+           coalesce(n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+           coalesce(n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+    FROM mc LEFT JOIN pc ON mc.cluster_id = pc.cluster_id
+    """,
+    doc="Hierarchical SemDeDup — the subquadratic E-step that replaces "
+    "q_semdedup's flat assignment at extreme scale: with k ∝ N "
+    "centroids, a flat E-step costs N*k = O(N^2/target) similarity "
+    "folds; routing through s = ceil(sqrt(k)) super-seeds (assign each "
+    "seed AND each vector to its nearest super-seed, then score a "
+    "vector only against the seeds sharing its super-group) costs "
+    "N*(sqrt(k) + E[k/sqrt(k)]) = O(N*sqrt(k)) — the IVF coarse-"
+    "quantizer trick applied to the clustering step itself. Routing is "
+    "an approximation of the flat assignment (a vector's true nearest "
+    "seed can live in another super-group — the same boundary effect "
+    "nprobe addresses in IVF), which is acceptable because SemDeDup's "
+    "clustering is itself a blocking heuristic; the pair stage, "
+    "threshold, and report are identical to q_semdedup. Every step is "
+    "deterministic (clamped cosine, id tie-breaks), so even this "
+    "routed variant is fully oracle-checked. The flat rung stays "
+    "registered as the small-scale/exactness baseline.",
+)
+def q_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    k = _sem_k(e.count())
+    s = _sem_super(k)
+    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    seeds = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("sv"),
+        norm(F.col("embedding")).alias("snrm"),
+    )
+    supers = e.filter(F.col("vec_id") < s).select(
+        F.col("vec_id").alias("super_id"),
+        F.col("embedding").alias("uv"),
+        norm(F.col("embedding")).alias("unrm"),
+    )
+
+    def clamp(c):
+        return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))
+
+    # route the SEEDS (k x s tiny)
+    ssim = clamp(dot(F.col("sv"), F.col("uv")) / (F.col("snrm") * F.col("unrm")))
+    srn = F.row_number().over(W.partitionBy("seed_id").orderBy(F.desc("ssim"), "super_id"))
+    seed_group = (
+        seeds.crossJoin(F.broadcast(supers))
+        .select("seed_id", "sv", "snrm", "super_id", ssim.alias("ssim"))
+        .withColumn("rn", srn)
+        .filter(F.col("rn") == 1)
+        .select("seed_id", "sv", "snrm", "super_id")
+    )
+    # route the VECTORS (N x s — the sqrt(k)-wide broadcast pass)
+    vsim = clamp(dot(F.col("embedding"), F.col("uv")) / (F.col("nrm") * F.col("unrm")))
+    vrn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.desc("vsim"), "super_id"))
+    vec_group = (
+        en.crossJoin(F.broadcast(supers))
+        .select("vec_id", "embedding", "nrm", "super_id", vsim.alias("vsim"))
+        .withColumn("rn", vrn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "super_id")
+    )
+    # fine assignment: only the seeds in the vector's super-group
+    # (N x E[k/s] — broadcast equi-join on super_id, never a cross join)
+    fsim = clamp(dot(F.col("embedding"), F.col("sv")) / (F.col("nrm") * F.col("snrm")))
+    frn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.desc("fsim"), "seed_id"))
+    assigned = (
+        vec_group.join(F.broadcast(seed_group), "super_id")
+        .select("vec_id", "seed_id", fsim.alias("fsim"))
+        .withColumn("rn", frn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    )
+    mem = assigned.join(en, "vec_id").persist()
+    a = mem.select(
+        "cluster_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_v"),
+        F.col("nrm").alias("a_n"),
+    )
+    b = mem.select(
+        F.col("cluster_id").alias("cl2"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_v"),
+        F.col("nrm").alias("b_n"),
+    )
+    psim = dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+    pairs = (
+        a.join(b, (F.col("cluster_id") == F.col("cl2")) & (F.col("a_id") < F.col("b_id")))
+        .filter(psim >= 0.4)
+        .select("cluster_id", "a_id", "b_id")
+    )
+    pc = pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("b_id").cast("bigint").alias("n_dropped"),
+    )
+    mc = mem.groupBy("cluster_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    out = mc.join(pc, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+        F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+    )
+    return finalize_bounded(out, mem)

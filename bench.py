@@ -91,6 +91,7 @@ HEADLINE = [
     "q_knn_ivf_pq",
     "q_multimodal_gif_roundtrip",
     "q_naive_bayes_tokens",
+    "q_semdedup_hier",
 ]
 
 
