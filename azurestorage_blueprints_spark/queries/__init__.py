@@ -80,6 +80,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+#: names registered in the CURRENT round (update each round): these sort
+#: after every older never-checked name so the driver's fixed check
+#: budget always closes the oldest coverage tail first.
+_NEWEST_ROUND: frozenset[str] = frozenset({
+    "q_stats_anova_oneway", "q_stats_autocorr", "q_ts_seasonal_naive_forecast",
+    "q_dq_anomaly_rules", "q_target_encode", "q_ts_lag_features",
+    "q_naive_bayes_tokens", "q_mixture_temperature_resample",
+    "q_sample_poisson_bootstrap", "q_graph_assortativity", "q_bloom_pruning",
+    "q_dedup_tfidf_cosine", "q_histogram_equidepth_approx", "q_knn_ivf_pq",
+    "q_multimodal_gif_roundtrip", "q_semdedup_hier", "q_text_langid_confusion",
+    "q_ts_changepoint_cusum", "q_text_rake_keywords", "q_embed_outliers",
+})
+
+
 def _check_history() -> tuple[set[str], set[str]]:
     """Read every ``CORRECTNESS_r*.json`` the driver has written so far
     and split the names it has checked into (needs-recheck, settled).
@@ -149,18 +163,27 @@ def load_all() -> dict[str, Query]:
     recheck, settled = _check_history()
     head = [n for n in REGISTRY if n in recheck]
     middle = [n for n in REGISTRY if n not in recheck and n not in settled]
-    # Round-robin the never-checked entries by module so a fixed check
-    # budget samples every query family, not just the first modules.
-    by_module: dict[str, list[str]] = {}
-    for n in middle:
-        by_module.setdefault(REGISTRY[n].fn.__module__, []).append(n)
-    buckets = [by_module[m] for m in sorted(by_module)]
-    interleaved = [
-        bucket[i]
-        for i in range(max(map(len, buckets), default=0))
-        for bucket in buckets
-        if i < len(bucket)
-    ]
-    ordered = head + interleaved + [n for n in REGISTRY if n in settled]
+
+    def interleave(names: list[str]) -> list[str]:
+        # Round-robin never-checked entries by module so a fixed check
+        # budget samples every query family, not just the first modules.
+        by_module: dict[str, list[str]] = {}
+        for n in names:
+            by_module.setdefault(REGISTRY[n].fn.__module__, []).append(n)
+        buckets = [by_module[m] for m in sorted(by_module)]
+        return [
+            bucket[i]
+            for i in range(max(map(len, buckets), default=0))
+            for bucket in buckets
+            if i < len(bucket)
+        ]
+
+    # Within the never-checked tier, queries registered in EARLIER
+    # rounds come first: the driver's budget must close the oldest
+    # coverage tail before it reaches names added this round (which
+    # can wait one rotation without ever having shown a red row).
+    older = interleave([n for n in middle if n not in _NEWEST_ROUND])
+    newest = interleave([n for n in middle if n in _NEWEST_ROUND])
+    ordered = head + older + newest + [n for n in REGISTRY if n in settled]
     assert len(ordered) == len(REGISTRY)
     return {n: REGISTRY[n] for n in ordered}

@@ -460,3 +460,93 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SYMW).alias("symbols_per_word"),
         F.expr(_GOPHER_PASS).alias("passes"),
     )
+
+
+#: RAKE keyword extraction: stopword-delimited phrases, word score =
+#: degree / frequency (Rose et al. 2010, public)
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_RAKE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(tk))) AS BIGINT) AS pos,
+             unnest(tk) AS tok
+      FROM toks
+    ),
+    seg AS (
+      SELECT doc_id, pos, tok,
+             CAST(sum(CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS phrase_id
+      FROM pos
+    ),
+    words AS (
+      SELECT doc_id, phrase_id, tok FROM seg WHERE tok NOT IN ({_RAKE_STOP_SQL})
+    ),
+    sized AS (
+      SELECT doc_id, phrase_id, tok,
+             CAST(count(*) OVER (PARTITION BY doc_id, phrase_id) AS BIGINT) AS psize
+      FROM words
+    ),
+    scored AS (
+      SELECT tok AS word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(psize) AS BIGINT) AS degree
+      FROM sized GROUP BY tok
+    )
+    SELECT word, freq, degree,
+           CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS rake_score
+    FROM scored
+    ORDER BY CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) DESC, word
+    LIMIT 20
+"""
+
+
+@register(
+    "q_text_rake_keywords",
+    oracle=_RAKE_ORACLE,
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases "
+    "are the maximal stopword-free token runs (segmentation = running "
+    "stopword count per document — the gaps-and-islands move on token "
+    "positions), a word's degree sums the sizes of the phrases it "
+    "occurs in, and score = degree / frequency rewards words that "
+    "live in long phrases — the unsupervised keyword tagger a corpus "
+    "pipeline runs for topical routing. All signals are exact "
+    "integers (freq, degree); the score divides once via shared "
+    "expression text and top-20 breaks ties on the word itself. "
+    "Shape: posexplode runs in the scan stage, the phrase windows ride "
+    "ONE doc_id partitioning, and the word agg shuffles the small "
+    "(word, counts) table — never raw text.",
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from azurestorage_blueprints_spark.functions.text import tokens as _tokens
+
+    d = table(spark, sf_dir, "documents")
+    pos = d.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+    is_stop = F.col("tok").isin(*STOPWORDS)
+    seg = pos.withColumn(
+        "phrase_id",
+        F.sum(F.when(is_stop, 1).otherwise(0))
+        .over(W.partitionBy("doc_id").orderBy("pos"))
+        .cast("bigint"),
+    )
+    words = seg.filter(~is_stop)
+    sized = words.withColumn(
+        "psize",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id", "phrase_id")).cast("bigint"),
+    )
+    scored = sized.groupBy(F.col("tok").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("psize").cast("bigint").alias("degree"),
+    )
+    score = F.col("degree").cast("double") / F.col("freq").cast("double")
+    return (
+        scored.select("word", "freq", "degree", score.alias("rake_score"))
+        .orderBy(F.desc("rake_score"), "word")
+        .limit(20)
+    )

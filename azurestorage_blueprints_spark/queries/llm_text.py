@@ -567,3 +567,49 @@ def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.mapInPandas(
         checksum, "vec_id long, width int, height int, px_checksum long"
     )
+
+
+@register(
+    "q_text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS labeled_lang, {_sql_lang_guess()} AS guessed_lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT labeled_lang, guessed_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY labeled_lang, guessed_lang
+    )
+    SELECT labeled_lang, guessed_lang, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE) AS row_share
+    FROM cells
+    """,
+    doc="Language-ID confusion matrix: the evaluation harness for "
+    "q_text_langid run as a query — per (labeled, guessed) language "
+    "cell, document counts and the row-normalized share (per-label "
+    "recall lives on the diagonal). This is how a curation pipeline "
+    "audits its router before trusting it to split a corpus. One "
+    "hash-agg to O(|langs|^2) cells; the share window runs over those "
+    "cells, not the corpus; exact integers everywhere but the final "
+    "shared-text division.",
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            X.lang_guess(F.col("text")).alias("guessed_lang"),
+        )
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(W.partitionBy("labeled_lang"))
+    return cells.select(
+        "labeled_lang",
+        "guessed_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / tot.cast("double")).alias("row_share"),
+    )

@@ -1247,3 +1247,98 @@ def q_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
     )
     return finalize_bounded(out, mem)
+
+
+#: outlier rule: squared distance to the label centroid exceeds 4x the
+#: label's mean squared distance (i.e. distance > 2x RMS distance)
+_OUT_FACTOR = 4
+#: squared-deviation quantization (per-dim, 1e12 = picounits)
+_OUT_QZ = 1_000_000_000_000
+
+
+@register(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    comp AS (
+      SELECT label, vec_id, unnest(v) AS x,
+             generate_subscripts(v, 1) - 1 AS dim
+      FROM e),
+    cent AS (
+      SELECT label, dim,
+             CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT)) AS BIGINT) AS qs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM comp GROUP BY label, dim),
+    centm AS (
+      SELECT label, dim,
+             CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0) AS m
+      FROM cent),
+    dev AS (
+      SELECT c.label, c.vec_id,
+             CAST(round((c.x - cm.m) * (c.x - cm.m) * {_OUT_QZ}.0) AS BIGINT) AS dev2q
+      FROM comp c JOIN centm cm ON c.label = cm.label AND c.dim = cm.dim),
+    dist AS (
+      SELECT label, vec_id, CAST(sum(dev2q) AS BIGINT) AS d2q
+      FROM dev GROUP BY label, vec_id),
+    lbl AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CAST(d2q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_d2q
+      FROM dist GROUP BY label)
+    SELECT l.label, l.n_vecs,
+           CAST(sum(CASE WHEN CAST(d.d2q AS DECIMAL(38,0)) * l.n_vecs
+                              > {_OUT_FACTOR} * l.s_d2q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(l.s_d2q AS DOUBLE)
+             / (CAST(l.n_vecs AS DOUBLE) * {_OUT_QZ}.0) AS mean_sq_dist
+    FROM dist d JOIN lbl l ON d.label = l.label
+    GROUP BY l.label, l.n_vecs, l.s_d2q
+    """,
+    doc="Embedding outlier screen (the prototypicality filter from the "
+    "SemDeDup/SSL-curation family): per label, the exact nano-quantized "
+    "centroid (the q_embed_centroid_update accumulation — "
+    "order-insensitive bigint sums, so the centroid is bit-identical at "
+    "any parallelism), each vector's squared distance to it with "
+    "per-dim squared deviations quantized to integers BEFORE the "
+    "per-vector sum (a raw double sum over grouped rows would be "
+    "engine-order sensitive), and an outlier verdict by the exact "
+    "cross-multiplied rule d2*n > 4*sum(d2) — squared distance beyond "
+    "4x the label mean, i.e. 2x the RMS radius. A curation pipeline "
+    "drops or down-weights these as mislabeled/noise candidates. "
+    "Shape: centroid stats are O(labels x dims) and broadcast back; "
+    "the only fact-scale exchanges are the component agg and the "
+    "per-vector distance agg.",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("label", "vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum(F.expr("cast(round(x * 1000000000.0) as bigint)")).alias("qs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    centm = cent.select(
+        "label",
+        "dim",
+        (F.col("qs").cast("double") / (F.col("n").cast("double") * 1e9)).alias("m"),
+    )
+    dev = comp.join(F.broadcast(centm), ["label", "dim"]).select(
+        "label",
+        "vec_id",
+        F.expr(f"cast(round((x - m) * (x - m) * {_OUT_QZ}.0) as bigint)").alias("dev2q"),
+    )
+    dist = dev.groupBy("label", "vec_id").agg(F.sum("dev2q").cast("bigint").alias("d2q"))
+    lbl = dist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.expr("CAST(sum(CAST(d2q AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("s_d2q"),
+    )
+    joined = dist.join(F.broadcast(lbl), "label")
+    is_out = F.expr(f"CAST(d2q AS DECIMAL(38,0)) * n_vecs > {_OUT_FACTOR} * s_d2q")
+    return joined.groupBy("label", "n_vecs", "s_d2q").agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.expr(f"CAST(s_d2q AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * {_OUT_QZ}.0)").alias(
+            "mean_sq_dist"
+        ),
+    ).select("label", "n_vecs", "n_outliers", "mean_sq_dist")

@@ -672,3 +672,56 @@ _SNAIVE_SQL = """
 def q_ts_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SNAIVE_SQL)
+
+
+# CUSUM changepoint: argmax of the exact integer cumulative deviation
+_CUSUM_SQL = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+      FROM daily
+    ),
+    base AS (
+      SELECT d, v, n,
+             CAST(floor(CAST(s AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS mu_q
+      FROM daily, g
+    ),
+    cusum AS (
+      SELECT d, v, n, mu_q,
+             CAST(sum(v * 1000 - mu_q) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s_t
+      FROM base
+    )
+    SELECT d AS changepoint_day, v AS day_revenue_cents, n AS n_days,
+           s_t AS cusum_milli_cents,
+           CAST(s_t AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE)) AS mean_shift_cents
+    FROM cusum
+    ORDER BY abs(s_t) DESC, d
+    LIMIT 1
+"""
+
+
+@register(
+    "q_ts_changepoint_cusum",
+    oracle=_CUSUM_SQL,
+    doc="CUSUM changepoint detection on the daily revenue series: the "
+    "cumulative sum of deviations from the series mean peaks (in "
+    "absolute value) at the most likely level-shift point — the "
+    "classic distribution-drift locator a pipeline runs before "
+    "trusting a trend model or a data-source switch. EXACT integer "
+    "arithmetic end-to-end: the global mean quantizes to milli-cents "
+    "(IEEE-identical floor expression), deviations and their running "
+    "sum are bigints on the calendar-bounded daily table (one window, "
+    "O(days) at any SF), and the argmax is an exact integer "
+    "comparison with a date tie-break. Only the reported mean-shift "
+    "estimate divides to double via shared expression text.",
+)
+def q_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CUSUM_SQL)

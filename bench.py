@@ -92,6 +92,8 @@ HEADLINE = [
     "q_multimodal_gif_roundtrip",
     "q_naive_bayes_tokens",
     "q_semdedup_hier",
+    "q_text_rake_keywords",
+    "q_embed_outliers",
 ]
 
 

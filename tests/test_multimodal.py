@@ -424,3 +424,30 @@ def test_gif_decodes_for_real_through_spark(spark):
         assert r.ok is True and (r.width, r.height) == (5, 6)
         assert bytes(r.pixels) == img.tobytes()
     assert rows[3].ok is False  # corrupt payload fails soft, never the stage
+
+
+def test_gif_roundtrip_property():
+    """Property fuzz over the codec pair: any image with <=256 distinct
+    colors survives encode->decode bit-exactly, interlaced or not."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        ncol=st.integers(1, 256),
+        inter=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(w, h, ncol, inter, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        gif = MM.encode_gif(w, h, img.tobytes(), interlace=inter)
+        W, H, rgb = MM.decode_gif(gif)
+        assert (W, H) == (w, h)
+        assert rgb == img.tobytes()
+
+    roundtrip()
