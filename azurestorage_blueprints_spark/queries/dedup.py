@@ -11,7 +11,7 @@ The dedup ladder a training-data pipeline runs, cheapest first:
 1, 2 and 5 are fully deterministic and oracle-checked. 3 and 4 depend
 on the engine's hash function (Spark murmur3 vs DuckDB's) so they are
 declared rows-only — their *candidate recall* is instead validated in
-tests/test_dedup.py against the exact Jaccard computation.
+tests/test_ann_recall.py against the exact Jaccard computation.
 
 Scale notes: exact dedup is one shuffle on the key. Jaccard uses an
 inverted-index (explode → equi-join on token) so work is bounded by

@@ -4,7 +4,7 @@
   pairwise scores + per-query ranking window. Exact and oracle-checked.
 - random-hyperplane LSH ANN: the scale path — sign-pattern bucket as
   the blocking key, candidates scored only within buckets. Recall vs
-  the brute-force baseline is asserted in tests/test_similarity.py
+  the brute-force baseline is asserted in tests/test_ann_recall.py
   (hash-dependent, so rows-only for the driver gate).
 - IVF (inverted-file) ANN: coarse quantization by nearest centroid,
   probe the closest list(s). Centroids here are per-label means
@@ -93,7 +93,7 @@ def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from murmur3 of (dim_index, plane_index)), bucket = sign bit-pattern of "
     "the 8 projections; candidates are scored only within the query's bucket. "
     "Turns the O(QxN) cross join into an equi-join on bucket — the shape that "
-    "scales. Recall vs brute force asserted in tests/test_similarity.py.",
+    "scales. Recall vs brute force asserted in tests/test_ann_recall.py.",
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -880,6 +880,11 @@ _PQ_K = 16  # codewords per subspace (r4 verdict item 4: 8 -> 16)
 #: deterministic at any parallelism (the q_embed_centroid_update
 #: pattern); overflows only past ~9e9 assigned rows per codeword cell
 _PQ_QZ = 1_000_000_000
+#: codebook-training sample budget: the Lloyd pass sees ~this many
+#: vectors at any corpus size (deterministic multiplicative-hash
+#: sample); below the cap the whole corpus trains, so test-SF results
+#: are identical to full training
+_PQ_TRAIN_CAP = 4096
 
 
 @register(
@@ -901,10 +906,12 @@ _PQ_QZ = 1_000_000_000
     "code) triples (3 small ints), the broadcast side is Q x 128 "
     "table rows — at 100 TB this is why PQ exists: a 256-dim float "
     "corpus becomes 8 bytes/vector plus a broadcast table. The Lloyd "
-    "pass here trains on the full corpus (one scalar-posting shuffle, "
-    "the q_embed_centroid_update shape); production trains the "
-    "codebook on a bounded hash-sample and encodes the corpus once. "
-    "Recall vs the exact scan is gated in tests/test_ann_recall.py.",
+    "pass trains on a bounded deterministic hash-sample (~4096 "
+    "vectors at ANY corpus size — the production recipe: train on a "
+    "sample, encode the corpus exactly once); below the cap the "
+    "sample is the whole corpus, so test-SF results are identical to "
+    "full training. Recall vs the exact scan is gated in "
+    "tests/test_ann_recall.py.",
 )
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -955,19 +962,29 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     rn = F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "j"))
 
-    def assign(cb):
+    def assign(cb, src=None):
         """Per (vector, subspace): the nearest codeword index, argmin
         over exact IEEE distances with deterministic tie-break."""
-        scored = corpus_sub.join(F.broadcast(cb), "s").select(
-            "vec_id", "s", "j", "sv", l2sq.alias("d")
-        )
+        scored = (src if src is not None else corpus_sub).join(
+            F.broadcast(cb), "s"
+        ).select("vec_id", "s", "j", "sv", l2sq.alias("d"))
         return scored.withColumn("rn", rn).filter(F.col("rn") == 1)
 
+    # codebook TRAINING runs on a bounded deterministic hash-sample
+    # (the production PQ recipe: train on a sample, encode the corpus
+    # once). The sample rate keeps ~_PQ_TRAIN_CAP vectors at any corpus
+    # size; below the cap the sample is the whole corpus, so the
+    # test-SF results (and the recall-gate floors) are unchanged.
+    n_vecs = e.count()
+    train_mod = max(1, n_vecs // _PQ_TRAIN_CAP)
+    train_sub = corpus_sub.filter(
+        (F.col("vec_id") * 2654435761) % train_mod == 0
+    )
     # one Lloyd iteration: recenter each codeword on the exact
     # nano-quantized mean of its assigned sub-vectors (bigint sums per
     # (s, code, dim) cell — 64*K cells at any corpus size), keeping the
     # seed codeword for cells that attracted no members
-    a0 = assign(codebook0).select("s", F.col("j").alias("code"), "sv")
+    a0 = assign(codebook0, src=train_sub).select("s", F.col("j").alias("code"), "sv")
     cell = a0.select(
         "s", "code", F.posexplode(F.col("sv")).alias("dim", "x")
     ).groupBy("s", "code", "dim").agg(
