@@ -682,14 +682,15 @@ _CUSUM_SQL = """
       FROM orders GROUP BY o_orderdate
     ),
     g AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+      SELECT d, v,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,0))) OVER () AS DECIMAL(38,0)) AS s
       FROM daily
     ),
     base AS (
       SELECT d, v, n,
              CAST(floor(CAST(s AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS mu_q
-      FROM daily, g
+      FROM g
     ),
     cusum AS (
       SELECT d, v, n, mu_q,
@@ -715,10 +716,13 @@ _CUSUM_SQL = """
     "absolute value) at the most likely level-shift point — the "
     "classic distribution-drift locator a pipeline runs before "
     "trusting a trend model or a data-source switch. EXACT integer "
-    "arithmetic end-to-end: the global mean quantizes to milli-cents "
-    "(IEEE-identical floor expression), deviations and their running "
-    "sum are bigints on the calendar-bounded daily table (one window, "
-    "O(days) at any SF), and the argmax is an exact integer "
+    "arithmetic end-to-end: the global mean comes from an unbounded "
+    "window over the daily table (exact decimal sum — and the fact "
+    "table is aggregated exactly ONCE; a separate global-agg CTE "
+    "would be inlined twice by Catalyst), quantizes to milli-cents "
+    "via an IEEE-identical floor expression, deviations and their "
+    "running sum are bigints on the calendar-bounded daily table, "
+    "and the argmax is an exact integer "
     "comparison with a date tie-break. Only the reported mean-shift "
     "estimate divides to double via shared expression text.",
 )

@@ -472,3 +472,42 @@ def test_ivf_pq_scoring_join_moves_no_vectors(spark, sf_dir):
     # coarse stage the scored rows are (q_id, vec_id, s, code) ints
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rake_windows_ride_one_doc_exchange(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_text_rake_keywords", sf_dir)
+    # phrase-id cumsum and phrase-size count share ONE doc_id
+    # partitioning; beyond it only the (word, counts) agg shuffles
+    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) <= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_window_runs_on_the_daily_table(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_ts_changepoint_cusum", sf_dir)
+    # one date-keyed agg reduces the fact table; the cumsum window and
+    # argmax run over O(days) rows (single-partition there is by design
+    # — the daily table is calendar-bounded at any SF)
+    assert len(re.findall(r"hashpartitioning\(o_orderdate", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_langid_confusion_window_is_on_cells(spark, sf_dir):
+    plan = _plan(spark, "q_text_langid_confusion", sf_dir)
+    # the share window must partition by labeled_lang over the tiny
+    # cell table — never a global single-partition window
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_outliers_centroids_broadcast(spark, sf_dir):
+    plan = _plan(spark, "q_embed_outliers", sf_dir)
+    # centroid stats (labels x dims) and label summaries broadcast back
+    # onto the fact-scale side; no sort-merge join anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
