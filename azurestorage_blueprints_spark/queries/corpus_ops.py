@@ -611,8 +611,9 @@ _TEMP_MIX_SQL = f"""
       FROM src
     ),
     t AS (
-      SELECT CAST(sum(w_q) AS BIGINT) AS w_tot,
-             CAST(sum(n_docs) AS BIGINT) AS n_tot
+      SELECT source, n_docs, w_q,
+             CAST(sum(w_q) OVER () AS BIGINT) AS w_tot,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS n_tot
       FROM wq
     )
     SELECT source, n_docs,
@@ -620,7 +621,7 @@ _TEMP_MIX_SQL = f"""
            CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE) AS temperature_share,
            CAST(floor(CAST(w_q AS DOUBLE) * {_TEMP_BUDGET}.0
                       / CAST(w_tot AS DOUBLE)) AS BIGINT) AS alloc_docs
-    FROM wq, t
+    FROM t
 """
 
 

@@ -38,8 +38,9 @@ _TARGET_ENCODE_SQL = f"""
       GROUP BY p_brand
     ),
     g AS (
-      SELECT CAST(sum(n) AS BIGINT) AS n_tot,
-             CAST(sum(s) AS DECIMAL(38,0)) AS s_tot
+      SELECT category, n, s,
+             CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+             CAST(sum(s) OVER () AS DECIMAL(38,0)) AS s_tot
       FROM enc
     )
     SELECT category, n,
@@ -47,7 +48,7 @@ _TARGET_ENCODE_SQL = f"""
            (CAST(s AS DOUBLE)
             + {_TE_PRIOR_WEIGHT} * (CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)))
              / (CAST(n AS DOUBLE) + {_TE_PRIOR_WEIGHT}) AS encoded_cents
-    FROM enc, g
+    FROM g
 """
 
 
@@ -59,8 +60,10 @@ _TARGET_ENCODE_SQL = f"""
     "pseudo-count prior of 20): the standard leakage-safe categorical "
     "encoder a feature pipeline materializes before training. Per-"
     "category n and exact decimal cent sums ride one map-side-combined "
-    "hash-agg (O(categories) rows shuffle at 100 TB); the single global "
-    "row joins back by broadcast; raw and encoded means derive as "
+    "hash-agg (O(categories) rows shuffle at 100 TB); the global totals "
+    "ride an unbounded window over those category rows — the fact join "
+    "is scanned exactly once (a separate global-agg CTE would be "
+    "inlined twice by Catalyst); raw and encoded means derive as "
     "doubles from identical exact inputs via shared expression text.",
 )
 def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

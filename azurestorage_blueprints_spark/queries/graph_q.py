@@ -499,13 +499,32 @@ _ASSORT_SQL = f"""
     "complements q_graph_degree_dist's marginals. Edges dedup in one "
     "hash-agg; per-side degrees are two further aggs whose outputs "
     "join back to the edge list (AQE broadcasts the smaller degree "
-    "side); the five Pearson moments accumulate as exact decimals "
+    "side). The edge list is built ONCE and persisted across its "
+    "three consumers — a CTE would be inlined and recomputed per "
+    "reference — and the cache is released after the single-row "
+    "result materializes (finalize_bounded); the five Pearson "
+    "moments accumulate as exact decimals "
     "(row-level degree products in decimal(19,0) — hub degrees up to "
     "1e9 stay exact), so the final correlation is a derived double "
     "from identical exact inputs via shared expression text. At 100 TB "
     "only degree tables and moment rows shuffle beyond the edge dedup.",
 )
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("lineitem", "orders"):
-        table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_ASSORT_SQL)
+    # the deduped edge list feeds three consumers (both degree aggs and
+    # the moment join); as a SQL CTE Catalyst would inline it and run
+    # the lineitem-orders join + distinct three times. Build it once as
+    # a persisted DataFrame, run the same shared SQL on top, and
+    # release the cache after materializing the single-row result
+    # (finalize_bounded — cache-hygiene contract).
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    e.createOrReplaceTempView("assort_edges")
+    body = _ASSORT_SQL.split("),", 1)[1]  # drop the e CTE, keep dc onward
+    out = spark.sql("WITH e AS (SELECT c, s FROM assort_edges)," + body)
+    return finalize_bounded(out, e)

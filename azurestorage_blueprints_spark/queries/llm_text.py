@@ -444,7 +444,9 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "logs are not cross-engine stable — determinism contract). Shape: "
     "one token hash-agg (map-side combined — the count table, not the "
     "token stream, shuffles), per-source totals fold from the count "
-    "table, vocabulary is one distinct count, and the top-10 window "
+    "table — which persists across its three consumers and is released "
+    "by finalize_bounded once the bounded report materializes — "
+    "vocabulary is one distinct count over it, and the top-10 window "
     "partitions by source. At 100 TB nothing larger than the "
     "(source x token) count table ever moves.",
 )
@@ -453,11 +455,20 @@ def q_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
-    cnt = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # the (source, token) count table feeds THREE consumers (totals,
+    # vocabulary, ranking); persist it so the scan+tokenize+explode
+    # runs once — it is the map-side-combined reduction of the token
+    # stream, O(sources x vocab) rows at any corpus size — and release
+    # it once the bounded top-10-per-source report materializes
+    cnt = (
+        tok.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
     tot = cnt.groupBy("source").agg(F.sum("n").cast("bigint").alias("n_source"))
-    vocab = tok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    vocab = cnt.select("tok").distinct().agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     w = W.partitionBy("source").orderBy(F.desc("n"), "tok")
-    return (
+    out = (
         cnt.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .join(F.broadcast(tot), "source")
@@ -474,6 +485,9 @@ def q_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_laplace"),
         )
     )
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
+    return finalize_bounded(out, cnt)
 
 
 @register(

@@ -1328,6 +1328,13 @@ _OUT_QZ = 1_000_000_000_000
     "per-vector distance agg.",
 )
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, dist = build_embed_outliers(spark, sf_dir)
+    return finalize_bounded(out, dist)
+
+
+def build_embed_outliers(spark: SparkSession, sf_dir: str):
+    """Plan builder (pre-finalize): returns (result, persisted distance
+    table) so the physical-plan gates can inspect the join shape."""
     e = table(spark, sf_dir, "embeddings")
     comp = e.select(
         "label", "vec_id", F.posexplode("embedding").alias("dim", "xf")
@@ -1346,16 +1353,25 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr(f"cast(round((x - m) * (x - m) * {_OUT_QZ}.0) as bigint)").alias("dev2q"),
     )
-    dist = dev.groupBy("label", "vec_id").agg(F.sum("dev2q").cast("bigint").alias("d2q"))
+    # the per-vector distance table feeds the label summary AND the
+    # verdict join; persist it (3 small columns per vector) so the
+    # component explode + centroid join runs once, released by
+    # finalize_bounded once the per-label report materializes
+    dist = (
+        dev.groupBy("label", "vec_id")
+        .agg(F.sum("dev2q").cast("bigint").alias("d2q"))
+        .persist()
+    )
     lbl = dist.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.expr("CAST(sum(CAST(d2q AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("s_d2q"),
     )
     joined = dist.join(F.broadcast(lbl), "label")
     is_out = F.expr(f"CAST(d2q AS DECIMAL(38,0)) * n_vecs > {_OUT_FACTOR} * s_d2q")
-    return joined.groupBy("label", "n_vecs", "s_d2q").agg(
+    out = joined.groupBy("label", "n_vecs", "s_d2q").agg(
         F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
         F.expr(f"CAST(s_d2q AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * {_OUT_QZ}.0)").alias(
             "mean_sq_dist"
         ),
     ).select("label", "n_vecs", "n_outliers", "mean_sq_dist")
+    return out, dist

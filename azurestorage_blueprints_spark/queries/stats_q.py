@@ -549,19 +549,16 @@ _ANOVA_SQL = """
     ),
     mq AS (
       SELECT g, n, s, ss,
-             CAST(floor(CAST(s AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS mu_q
+             CAST(floor(CAST(s AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS mu_q,
+             CAST(count(*) OVER () AS BIGINT) AS k,
+             CAST(sum(n) OVER () AS BIGINT) AS ntot,
+             CAST(sum(s) OVER () AS DECIMAL(38,0)) AS stot
       FROM m
     ),
-    t AS (
-      SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(n) AS BIGINT) AS ntot,
-             CAST(sum(s) AS DECIMAL(38,0)) AS stot
-      FROM mq
-    ),
     g2 AS (
-      SELECT mq.g, mq.n, mq.ss, mq.mu_q, t.k, t.ntot,
-             CAST(floor(CAST(t.stot AS DOUBLE) * 1000.0 / CAST(t.ntot AS DOUBLE)) AS BIGINT) AS mu_all_q
-      FROM mq, t
+      SELECT g, n, ss, mu_q, k, ntot,
+             CAST(floor(CAST(stot AS DOUBLE) * 1000.0 / CAST(ntot AS DOUBLE)) AS BIGINT) AS mu_all_q
+      FROM mq
     ),
     parts AS (
       SELECT k, ntot,

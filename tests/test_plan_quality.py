@@ -505,7 +505,11 @@ def test_langid_confusion_window_is_on_cells(spark, sf_dir):
 
 
 def test_embed_outliers_centroids_broadcast(spark, sf_dir):
-    plan = _plan(spark, "q_embed_outliers", sf_dir)
+    from azurestorage_blueprints_spark.queries.similarity import build_embed_outliers
+
+    out, dist = build_embed_outliers(spark, sf_dir)
+    plan = _plan_of(spark, out)
+    dist.unpersist()
     # centroid stats (labels x dims) and label summaries broadcast back
     # onto the fact-scale side; no sort-merge join anywhere
     assert "BroadcastHashJoin" in plan
