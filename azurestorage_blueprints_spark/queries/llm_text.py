@@ -627,3 +627,76 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / tot.cast("double")).alias("row_share"),
     )
+
+
+@register(
+    "q_multimodal_wav_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(greatest(-32768.0, least(32767.0,
+                    floor(CAST(x AS DOUBLE) * 10000.0 + 0.5))) AS BIGINT)) AS pcm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           CAST(len(pcm) AS BIGINT) AS n_samples,
+           CAST(len(pcm) AS DOUBLE) / 8000.0 AS duration_s,
+           sqrt(CAST(list_sum(list_transform(pcm, v -> v * v)) AS DOUBLE)
+                / CAST(len(pcm) AS DOUBLE)) AS rms,
+           CAST(len(list_filter(range(1, len(pcm)),
+                    i -> (pcm[i] < 0) <> (pcm[i + 1] < 0))) AS BIGINT) AS zero_crossings
+    FROM s
+    """,
+    doc="End-to-end WAV codec round-trip as an ORACLE-CHECKED query — "
+    "the audio sibling of q_multimodal_gif_roundtrip, completing the "
+    "image/GIF/audio trio: embeddings quantize to 16-bit PCM "
+    "(floor(x*1e4+0.5), clamped — the portable half-up quantizer, not "
+    "numpy banker's rounding), pack through the real RIFF/WAVE "
+    "encoder, decode back through extract_audio_features' chunk walk, "
+    "and the reported waveform features (sample count, duration, RMS, "
+    "zero crossings) are reproduced ARITHMETICALLY by DuckDB from the "
+    "embeddings. RMS hash-matches because the squared samples are "
+    "integers below 2^53 — their float64 sum is exact in ANY "
+    "accumulation order — and sqrt is correctly rounded on both "
+    "engines. Any RIFF framing or PCM byte-order bug breaks the hash. "
+    "Both Python stages are Arrow-batched mapInPandas; no shuffle "
+    "anywhere — embarrassingly parallel over payload partitions.",
+)
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+
+    # ship the codec module to workers by value (plain driver sessions
+    # have no repo on worker sys.path — same route as the GIF twin)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    encode_wav = MM.encode_wav
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                pcm = np.clip(np.floor(a * 10000.0 + 0.5), -32768, 32767).astype("<i2")
+                out.append(encode_wav(8000, pcm))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "content": out})
+
+    wavs = e.mapInPandas(enc, "vec_id long, content binary")
+    feats = MM.extract_audio_features(wavs, id_col="vec_id")
+    return feats.select(
+        F.col("content_id").alias("vec_id"),
+        "sample_rate",
+        "n_channels",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        "duration_s",
+        "rms",
+        F.col("zero_crossings").cast("bigint").alias("zero_crossings"),
+    )

@@ -547,3 +547,46 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_estimate"))
     )
     return finalize_bounded(out, toks)
+
+
+_SKEW_SQL = """
+    WITH cnt AS (
+      SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_partkey
+    ),
+    g AS (
+      SELECT key, n_rows,
+             CAST(count(*) OVER () AS BIGINT) AS n_keys,
+             CAST(sum(n_rows) OVER () AS BIGINT) AS total_rows
+      FROM cnt
+    )
+    SELECT key, n_rows, n_keys, total_rows,
+           CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(total_rows AS DOUBLE) AS skew_ratio,
+           CAST(ceil(CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                     / CAST(total_rows AS DOUBLE)) AS BIGINT) AS recommended_salt
+    FROM g
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+"""
+
+
+@register(
+    "q_skew_diagnose",
+    oracle=_SKEW_SQL,
+    doc="Join-key skew profiler — the planning step that sizes the salt "
+    "factor for operators/skew.py's salted join: per-key row counts "
+    "(one map-side-combined hash-agg), the global key count and row "
+    "total riding an unbounded window over the ALREADY-AGGREGATED "
+    "count table (single fact scan — the Catalyst CTE-inlining "
+    "discipline), and for the top-10 heaviest keys the skew ratio "
+    "n_rows/avg and the integer salt factor ceil(ratio) that would "
+    "level that key across partitions. All integers exact; the ratio "
+    "is the only derived double (ceil over an exact-integer-derived "
+    "double is engine-identical); top-10 runs as TakeOrderedAndProject "
+    "with key tie-breaks. At 100 TB this is the query you run BEFORE "
+    "the big join, on the count table, never the fact table.",
+)
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SKEW_SQL)
