@@ -91,7 +91,9 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_dedup_tfidf_cosine", "q_histogram_equidepth_approx", "q_knn_ivf_pq",
     "q_multimodal_gif_roundtrip", "q_semdedup_hier", "q_text_langid_confusion",
     "q_ts_changepoint_cusum", "q_text_rake_keywords", "q_embed_outliers",
-    "q_multimodal_wav_roundtrip", "q_skew_diagnose",
+    "q_multimodal_wav_roundtrip", "q_skew_diagnose", "q_ngram_novelty",
+    "q_join_interval_overlap", "q_compression_ratio_profile",
+    "q_funnel_time_bounded",
 })
 
 

@@ -284,3 +284,78 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+#: conversion deadline for the time-bounded funnel (microseconds)
+_FUNNEL_WINDOW_US = 72 * 3600 * 1_000_000
+
+
+@register(
+    "q_funnel_time_bounded",
+    oracle=f"""
+    WITH fc AS (
+      SELECT user_id, min(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    fp AS (
+      SELECT f.user_id,
+             min(e.ts) AS first_purchase_after
+      FROM fc f JOIN events e
+        ON e.user_id = f.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= f.first_click
+      GROUP BY f.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users_clicked,
+           CAST(sum(CASE WHEN fp.first_purchase_after IS NOT NULL
+                          AND date_diff('microsecond', fc.first_click,
+                                        fp.first_purchase_after)
+                              <= {_FUNNEL_WINDOW_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_72h,
+           CAST(sum(CASE WHEN fp.first_purchase_after IS NOT NULL
+                          AND date_diff('microsecond', fc.first_click,
+                                        fp.first_purchase_after)
+                              <= {_FUNNEL_WINDOW_US}
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS BIGINT) AS conversion_rate_72h
+    FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id
+    """,
+    doc="Time-bounded conversion funnel: of users whose journey starts "
+    "with a click, how many reach a purchase within 72 hours of that "
+    "FIRST click — the deadline-constrained variant of "
+    "q_funnel_sequence (unbounded ordered funnel), which is how "
+    "attribution windows are actually defined in practice. Exact "
+    "microsecond arithmetic on timestamp_ntz decides the deadline; "
+    "counts are exact integers and only the final rate divides to "
+    "double. Shape: both reductions key on user_id — the first-click "
+    "agg, a co-partitioned purchase rejoin (first purchase AT/after "
+    "first click via one conditional min), and a final single-row "
+    "combine; no windows over the fact table, no self-join fan-out "
+    "beyond the per-user purchase list.",
+)
+def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        fc.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_purchase_after"))
+    )
+    j = fc.join(fp, "user_id", "left")
+    lag_us = F.expr("timestampdiff(MICROSECOND, first_click, first_purchase_after)")
+    conv = F.when(
+        F.col("first_purchase_after").isNotNull() & (lag_us <= _FUNNEL_WINDOW_US), 1
+    ).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_clicked"),
+        F.sum(conv).cast("bigint").alias("n_converted_72h"),
+        (F.sum(conv).cast("double") / F.count(F.lit(1))).alias("conversion_rate_72h"),
+    )

@@ -645,3 +645,66 @@ _TEMP_MIX_SQL = f"""
 def q_mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_TEMP_MIX_SQL)
+
+
+@register(
+    "q_ngram_novelty",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents),
+    docs AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        THEN list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        ELSE [list_aggregate(tk, 'string_agg', ' ')] END) AS shingles
+      FROM toked),
+    posting AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+    first_seen AS (
+      SELECT sh, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM posting GROUP BY sh)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty_frac
+    FROM posting p JOIN first_seen f ON p.sh = f.sh
+    GROUP BY p.doc_id
+    """,
+    doc="Cross-document n-gram novelty scoring: per document, the "
+    "fraction of its DISTINCT 3-gram shingles whose corpus-wide first "
+    "occurrence (min doc_id — in a real pipeline, earliest crawl "
+    "timestamp) is the document itself. Low-novelty documents are "
+    "recombinations of already-seen text — the corpus-level redundancy "
+    "signal that complements q_dedup_segments' within-document spans "
+    "and the pairwise dedup ladder (no pair enumeration at all here). "
+    "Shape: the first-seen reduction is ONE map-side-combined min-agg "
+    "on the shingle key (the q_cumulative_distinct first-seen trick), "
+    "and the rejoin is keyed on the same shingle column so the agg "
+    "output stays co-partitioned with the posting side. At 100 TB the "
+    "shingle key is the 8-byte xxhash64 of the shingle, never the "
+    "string (string form kept here for the cross-engine oracle).",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    docs = toked.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("tk"), k=3)).alias("shingles")
+    )
+    posting = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    first_seen = posting.groupBy("sh").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        posting.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "novelty_frac"
+            ),
+        )
+    )

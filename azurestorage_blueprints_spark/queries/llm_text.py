@@ -700,3 +700,48 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rms",
         F.col("zero_crossings").cast("bigint").alias("zero_crossings"),
     )
+
+
+@register(
+    "q_compression_ratio_profile",
+    oracle=None,  # zlib output sizes are library-version specific —
+    # rows-only; determinism + ordering sanity gated in tests/test_sketches.py
+    doc="Compression-ratio quality profile per source: DEFLATE "
+    "(stdlib zlib, level 9) each document in an Arrow-batched "
+    "mapInPandas pass and aggregate exact byte totals per source — "
+    "compressibility is the classic redundancy/boilerplate signal "
+    "(highly compressible sources are template farms; incompressible "
+    "ones are often binary junk or high-entropy spam), used alongside "
+    "the Gopher/C4 rule filters. Everything after the per-document "
+    "compressed size is exact integer arithmetic (byte sums, doc "
+    "counts), so the result is deterministic for a fixed zlib — but "
+    "zlib output is library-version specific, hence rows-only. Shape: "
+    "one Python pass over payload partitions (compressed sizes are "
+    "8-byte ints, text never shuffles), one map-side-combined agg.",
+)
+def q_compression_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+
+    def comp(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [len(t.encode("utf-8")) for t in pdf["text"]]
+            comp_n = [len(zlib.compress(t.encode("utf-8"), 9)) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {"source": pdf["source"], "raw_bytes": raw, "comp_bytes": comp_n}
+            )
+
+    sized = d.select("source", "text").mapInPandas(
+        comp, "source string, raw_bytes long, comp_bytes long"
+    )
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("raw_bytes").cast("bigint").alias("total_raw_bytes"),
+        F.sum("comp_bytes").cast("bigint").alias("total_comp_bytes"),
+        (
+            F.sum("comp_bytes").cast("double") / F.sum("raw_bytes").cast("double")
+        ).alias("compression_ratio"),
+    )

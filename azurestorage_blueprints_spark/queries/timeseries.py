@@ -729,3 +729,92 @@ _CUSUM_SQL = """
 def q_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_CUSUM_SQL)
+
+
+#: fixed campaign windows for the interval-overlap join (the events
+#: table spans 2024-01-01..2024-01-30)
+_PROMOS = [
+    ("P1", "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+    ("P2", "2024-01-12 00:00:00", "2024-01-15 12:00:00"),
+    ("P3", "2024-01-20 00:00:00", "2024-01-21 00:00:00"),
+]
+_PROMO_VALUES = ", ".join(
+    f"('{p}', TIMESTAMP '{a}', TIMESTAMP '{b}')" for p, a, b in _PROMOS
+)
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked),
+    sessions AS (
+      SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end
+      FROM numbered GROUP BY user_id, sid),
+    promos AS (SELECT * FROM (VALUES {_PROMO_VALUES}) AS p(promo_id, p_start, p_end)),
+    ovl AS (
+      SELECT p.promo_id,
+             date_diff('microsecond',
+                       greatest(s.s_start, p.p_start),
+                       least(s.s_end, p.p_end)) AS ov_us
+      FROM sessions s JOIN promos p
+        ON s.s_start < p.p_end AND p.p_start < s.s_end)
+    SELECT promo_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+    FROM ovl GROUP BY promo_id
+    """,
+    doc="Interval-overlap join — the missing join primitive between "
+    "point-in-range (q_ts_range_join) and as-of: user activity "
+    "SESSIONS (30-minute-gap intervals, the q_ts_session_window "
+    "derivation) against campaign windows, matched on the canonical "
+    "overlap predicate s.start < p.end AND p.start < s.end, reporting "
+    "per campaign the overlapping-session count and the EXACT total "
+    "overlap in microseconds (least(end) - greatest(start) on "
+    "timestamp_ntz — integer arithmetic on both engines). Shape: the "
+    "campaign side is tiny and broadcasts, so the join never shuffles "
+    "the session table; at 100 TB with a large interval table both "
+    "sides bucket by coarse time so candidates meet only within "
+    "overlapping buckets (the range-join discipline applied to "
+    "intervals).",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
+    )
+    promos = spark.createDataFrame(
+        [(p, a, b) for p, a, b in _PROMOS],
+        "promo_id string, p_start_s string, p_end_s string",
+    ).select(
+        "promo_id",
+        F.col("p_start_s").cast("timestamp_ntz").alias("p_start"),
+        F.col("p_end_s").cast("timestamp_ntz").alias("p_end"),
+    )
+    ov_us = F.expr(
+        "timestampdiff(MICROSECOND, greatest(s_start, p_start), least(s_end, p_end))"
+    )
+    return (
+        sessions.join(
+            F.broadcast(promos),
+            (F.col("s_start") < F.col("p_end")) & (F.col("p_start") < F.col("s_end")),
+        )
+        .select("promo_id", ov_us.alias("ov_us"))
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("ov_us").cast("bigint").alias("total_overlap_us"),
+        )
+    )

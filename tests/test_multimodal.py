@@ -451,3 +451,28 @@ def test_gif_roundtrip_property():
         assert rgb == img.tobytes()
 
     roundtrip()
+
+
+def test_wav_roundtrip_property():
+    """Property fuzz over the RIFF/PCM pair: any int16 sample block (1-2
+    channels) survives encode->decode bit-exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+        wav = MM.encode_wav(rate, samples)
+        r, c, out = MM.decode_wav(wav)
+        assert (r, c) == (rate, ch)
+        assert np.array_equal(out, samples)
+
+    roundtrip()

@@ -82,3 +82,17 @@ def test_bloom_pruning_has_no_false_negatives(spark, sf_dir):
     for r in rows:
         if r.probe_key >= 99999991:
             assert not r.actually_present
+
+
+def test_compression_profile_is_deterministic_and_sane(spark, sf_dir):
+    """rows-only gate for the zlib profile: two runs agree exactly
+    (fixed library, deterministic inputs), ratios live in (0, 1.2]
+    (tiny docs can exceed 1.0 by header overhead but never wildly),
+    and byte totals are positive."""
+    r1 = {r.source: r for r in REGISTRY["q_compression_ratio_profile"].fn(spark, sf_dir).collect()}
+    r2 = {r.source: r for r in REGISTRY["q_compression_ratio_profile"].fn(spark, sf_dir).collect()}
+    assert r1.keys() == r2.keys() and r1
+    for src, row in r1.items():
+        assert row.total_raw_bytes > 0 and row.total_comp_bytes > 0
+        assert 0.0 < row.compression_ratio <= 1.2, (src, row.compression_ratio)
+        assert r2[src].total_comp_bytes == row.total_comp_bytes
