@@ -93,7 +93,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_ts_changepoint_cusum", "q_text_rake_keywords", "q_embed_outliers",
     "q_multimodal_wav_roundtrip", "q_skew_diagnose", "q_ngram_novelty",
     "q_join_interval_overlap", "q_compression_ratio_profile",
-    "q_funnel_time_bounded",
+    "q_funnel_time_bounded", "q_multimodal_video_frames",
 })
 
 

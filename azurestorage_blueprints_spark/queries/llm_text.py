@@ -745,3 +745,128 @@ def q_compression_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("comp_bytes").cast("double") / F.sum("raw_bytes").cast("double")
         ).alias("compression_ratio"),
     )
+
+
+@register(
+    "q_multimodal_video_frames",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    frames AS (
+      SELECT vec_id, CAST(unnest([0, 2]) AS BIGINT) AS frame_idx, v
+      FROM e
+    ),
+    sliced AS (
+      SELECT vec_id, frame_idx, v[frame_idx * 16 + 1 : frame_idx * 16 + 16] AS fv
+      FROM frames
+    ),
+    quant AS (
+      SELECT vec_id, frame_idx,
+             CASE WHEN list_max(fv) > list_min(fv)
+                  THEN list_transform(fv, x -> CAST(floor(
+                         (x - list_min(fv)) * (255.0 / (list_max(fv) - list_min(fv)))
+                         + 0.5) AS BIGINT))
+                  ELSE list_transform(fv, x -> CAST(0 AS BIGINT)) END AS g
+      FROM sliced
+    ),
+    hashed AS (
+      SELECT vec_id, frame_idx, g,
+             CAST(list_sum(g) AS DOUBLE) / 16.0 AS mu
+      FROM quant
+    )
+    SELECT vec_id, frame_idx, 4 AS width, 4 AS height,
+           CAST(list_sum(list_transform(range(1, 17),
+                i -> CASE WHEN g[i] > mu THEN CAST(2 AS BIGINT) ** (i - 1)
+                          ELSE 0 END)) AS BIGINT) AS frame_ahash
+    FROM hashed
+    """,
+    doc="End-to-end VIDEO frame pipeline as an ORACLE-CHECKED query — "
+    "the fourth multimodal tier next to the image/GIF/audio "
+    "round-trips: each embedding packs into a length-prefixed "
+    "container of four 4x4 grayscale PPM frames (16 dims per frame, "
+    "per-frame min-max quantization with the portable half-up "
+    "formula), the sampling stage extracts every 2nd frame (the "
+    "one-row-to-many mapInPandas shape a real frame extractor uses), "
+    "each sampled frame decodes through the P6 parser and hashes to a "
+    "16-bit average-hash — and DuckDB reproduces every hash "
+    "ARITHMETICALLY from the embeddings (integer bit sums; the g > "
+    "mean comparison is exact-int vs an exactly-representable "
+    "/16 mean). Any container-framing, sampling-stride, or decode bug "
+    "breaks the value hash. Zero shuffles: both Python stages are "
+    "Arrow-batched and partition-local at any corpus size.",
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def pack(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                payload = bytearray(b"VID0" + len(a).to_bytes(4, "big"))
+                frames = []
+                for f in range(4):
+                    fv = a[f * 16 : (f + 1) * 16]
+                    lo, hi = float(fv.min()), float(fv.max())
+                    if hi > lo:
+                        g = np.floor((fv - lo) * (255.0 / (hi - lo)) + 0.5).astype(
+                            np.uint8
+                        )
+                    else:
+                        g = np.zeros(16, dtype=np.uint8)
+                    frames.append(b"P6\n4 4\n255\n" + np.repeat(g, 3).tobytes())
+                payload += len(frames).to_bytes(4, "big")
+                for fr in frames:
+                    payload += len(fr).to_bytes(4, "big") + fr
+                out.append(bytes(payload))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "content": out})
+
+    vids = e.mapInPandas(pack, "vec_id long, content binary")
+
+    def sample_and_hash(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for vid, b in zip(pdf["vec_id"], pdf["content"]):
+                b = bytes(b)
+                if b[:4] != b"VID0":
+                    continue
+                n_frames = int.from_bytes(b[8:12], "big")
+                off = 12
+                for f in range(n_frames):
+                    ln = int.from_bytes(b[off : off + 4], "big")
+                    frame = b[off + 4 : off + 4 + ln]
+                    off += 4 + ln
+                    if f % 2 != 0:  # sample every 2nd frame
+                        continue
+                    if frame[:2] != b"P6":
+                        raise ValueError("not a P6 frame")
+                    hdr_end = frame.index(b"255\n") + 4
+                    g = np.frombuffer(
+                        frame[hdr_end : hdr_end + 48], dtype=np.uint8
+                    )[::3].astype(np.float64)
+                    bits = (g > g.mean()).astype(np.uint64)
+                    ids.append(vid)
+                    idxs.append(f)
+                    hashes.append(int((bits << np.arange(16, dtype=np.uint64)).sum()))
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "frame_idx": idxs,
+                    "width": [4] * len(ids),
+                    "height": [4] * len(ids),
+                    "frame_ahash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return vids.mapInPandas(
+        sample_and_hash,
+        "vec_id long, frame_idx long, width int, height int, frame_ahash long",
+    )
