@@ -94,6 +94,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_multimodal_wav_roundtrip", "q_skew_diagnose", "q_ngram_novelty",
     "q_join_interval_overlap", "q_compression_ratio_profile",
     "q_funnel_time_bounded", "q_multimodal_video_frames",
+    "q_json_quarantine", "q_stats_trimmed_mean", "q_curation_waterfall",
 })
 
 

@@ -550,3 +550,144 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "word")
         .limit(20)
     )
+
+
+_WATERFALL_ORACLE = f"""
+    WITH ints AS (
+      SELECT lang, text, n_chars,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+               AS n_tokens,
+             CAST(coalesce(list_max(list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               x -> len(x))), 0) AS BIGINT) AS max_tok_len,
+             CAST(coalesce(list_aggregate(
+               list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                              t -> length(t)), 'sum'), 0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '' AND regexp_matches(t, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (len(string_split(text, '...')) - 1) AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains([{_STOP_LIST}], t))) AS BIGINT)
+               AS n_stop
+      FROM documents
+    ),
+    flags AS (
+      SELECT (n_tokens >= {{C4_MIN}} AND max_tok_len <= {{C4_MAXTOK}}
+              AND n_chars <= {{C4_RATIO}} * n_tokens) AS c4,
+             {_GOPHER_PASS} AS gopher,
+             ({{LANG_GUESS}}) = lang AS lang_ok
+      FROM ints
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_all,
+           CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_c4,
+           CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_gopher,
+           CAST(sum(CASE WHEN c4 AND gopher AND lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_langid,
+           CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS BIGINT) AS c4_retention,
+           CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE) AS gopher_retention,
+           CAST(sum(CASE WHEN c4 AND gopher AND lang_ok THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS DOUBLE)
+             AS langid_retention
+    FROM flags
+"""
+
+
+@register(
+    "q_curation_waterfall",
+    oracle=None,  # bound below after the sibling-module constants load
+    doc="Curation-pipeline waterfall report: the survival counts a "
+    "corpus team watches as filters stack — all documents, then C4 "
+    "rule survivors, then C4+Gopher survivors, then C4+Gopher+"
+    "language-routing-agreement survivors — with per-stage retention "
+    "rates. Every per-document verdict is the EXACT rule expression "
+    "of its standalone query (q_text_c4_filters, q_text_gopher_rules, "
+    "q_text_langid shared SQL texts), so the waterfall cannot drift "
+    "from the filters it summarizes. ONE codegen scan computes all "
+    "three verdicts row-locally and a single map-side-combined "
+    "aggregate emits the one-row report — at 100 TB this costs "
+    "exactly one pass over the corpus, which is why waterfalls are "
+    "reported this way rather than by materializing each stage.",
+)
+def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions import text as X
+    from azurestorage_blueprints_spark.functions.text import word_set_occurrences
+    from azurestorage_blueprints_spark.queries.corpus_ops import (
+        _MAX_CHARS_PER_TOK,
+        _MAX_TOK_LEN,
+        _MIN_TOKENS,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    ints = d.select(
+        "lang",
+        "text",
+        "n_chars",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.array_max(F.transform(tk, F.length)).cast("bigint").alias("max_tok_len"),
+        F.aggregate(tk, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias(
+            "sum_len"
+        ),
+        F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+            + (F.size(F.split(F.col("text"), r"\.\.\.", -1)) - 1)
+        )
+        .cast("bigint")
+        .alias("n_symbols"),
+        word_set_occurrences(F.col("text"), STOPWORDS).cast("bigint").alias("n_stop"),
+    )
+    c4_ok = F.expr(
+        f"n_tokens >= {_MIN_TOKENS} AND max_tok_len <= {_MAX_TOK_LEN}"
+        f" AND n_chars <= {_MAX_CHARS_PER_TOK} * n_tokens"
+    )
+    gopher_ok = F.expr(_GOPHER_PASS)
+    lang_ok = X.lang_guess(F.col("text")) == F.col("lang")
+    flags = ints.select(
+        c4_ok.alias("c4"), gopher_ok.alias("gopher"), lang_ok.alias("lang_ok")
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    s1 = F.sum(F.when(F.col("c4"), 1).otherwise(0)).cast("bigint")
+    s2 = F.sum(F.when(F.col("c4") & F.col("gopher"), 1).otherwise(0)).cast("bigint")
+    s3 = F.sum(
+        F.when(F.col("c4") & F.col("gopher") & F.col("lang_ok"), 1).otherwise(0)
+    ).cast("bigint")
+    return flags.agg(
+        n.alias("n_all"),
+        s1.alias("n_after_c4"),
+        s2.alias("n_after_gopher"),
+        s3.alias("n_after_langid"),
+        (s1.cast("double") / n).alias("c4_retention"),
+        (s2.cast("double") / s1.cast("double")).alias("gopher_retention"),
+        (s3.cast("double") / s2.cast("double")).alias("langid_retention"),
+    )
+
+
+def _bind_waterfall_oracle() -> None:
+    """Fill the waterfall oracle with the sibling modules' constants and
+    the shared langid SQL, then swap it into the registry entry (the
+    Query dataclass is frozen, so replace the entry)."""
+    from azurestorage_blueprints_spark.queries import REGISTRY, Query
+    from azurestorage_blueprints_spark.queries.corpus_ops import (
+        _MAX_CHARS_PER_TOK,
+        _MAX_TOK_LEN,
+        _MIN_TOKENS,
+    )
+    from azurestorage_blueprints_spark.queries.llm_text import _sql_lang_guess
+
+    sql = _WATERFALL_ORACLE.replace("{C4_MIN}", str(_MIN_TOKENS))
+    sql = sql.replace("{C4_MAXTOK}", str(_MAX_TOK_LEN))
+    sql = sql.replace("{C4_RATIO}", str(_MAX_CHARS_PER_TOK))
+    sql = sql.replace("{LANG_GUESS}", _sql_lang_guess())
+    q = REGISTRY["q_curation_waterfall"]
+    REGISTRY["q_curation_waterfall"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+_bind_waterfall_oracle()

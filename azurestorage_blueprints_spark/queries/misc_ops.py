@@ -590,3 +590,70 @@ _SKEW_SQL = """
 def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SKEW_SQL)
+
+
+_JSONQ_SQL_ORACLE = """
+    WITH staged AS (
+      SELECT event_type,
+             CASE WHEN event_id % 97 = 0
+                  THEN substr(props, 1, len(props) - 2)
+                  ELSE props END AS raw
+      FROM events
+    ),
+    classified AS (
+      SELECT event_type, raw,
+             json_valid(raw) AS is_parsed,
+             CASE WHEN json_valid(raw)
+                  THEN CAST(raw->>'k' AS BIGINT) END AS k_val
+      FROM staged
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN is_parsed THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN is_parsed THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN is_parsed THEN k_val ELSE 0 END) AS BIGINT) AS sum_k
+    FROM classified GROUP BY event_type
+"""
+
+
+@register(
+    "q_json_quarantine",
+    oracle=_JSONQ_SQL_ORACLE,
+    doc="Corrupt-record quarantine — the PERMISSIVE-mode ingestion "
+    "pattern: malformed JSON payloads must never kill the job, they "
+    "route to a quarantine count (and in production a quarantine sink) "
+    "while valid rows parse and aggregate. The corpus's props are all "
+    "well-formed, so the query deterministically truncates every 97th "
+    "event's payload upstream to exercise the path end-to-end; "
+    "classification is from_json-null on the Spark side and json_valid "
+    "on DuckDB — both engines agree that a truncated object is "
+    "unparseable, and the recovered k-sum over surviving rows is exact "
+    "integer arithmetic. Shape: row-local parse + one map-side-"
+    "combined agg; at 100 TB the quarantined rows write to a dead-"
+    "letter path from the same pass (foreachPartition side channel).",
+)
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 97 == 0,
+        F.expr("substr(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    m = F.from_json(raw, "map<string,int>")
+    parsed = m.isNotNull()
+    k_val = m.getItem("k").cast("bigint")
+    return (
+        ev.select("event_type", parsed.alias("is_parsed"), k_val.alias("k_val"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("is_parsed"), 0).otherwise(1)).cast("bigint").alias(
+                "n_quarantined"
+            ),
+            F.sum(F.when(F.col("is_parsed"), 1).otherwise(0)).cast("bigint").alias(
+                "n_parsed"
+            ),
+            F.sum(
+                F.when(F.col("is_parsed"), F.coalesce(F.col("k_val"), F.lit(0))).otherwise(0)
+            ).cast("bigint").alias("sum_k"),
+        )
+    )

@@ -663,3 +663,55 @@ _ACF_SQL = f"""
 def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ACF_SQL)
+
+
+# trimmed mean: drop the exact top/bottom 5% by deterministic rank
+_TRIM_SQL = """
+    WITH x AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM x
+    ),
+    kept AS (
+      SELECT grp, cents, n,
+             CAST(floor(CAST(n AS DOUBLE) * 0.05) AS BIGINT) AS cut
+      FROM ranked
+      WHERE rn > CAST(floor(CAST(n AS DOUBLE) * 0.05) AS BIGINT)
+        AND rn <= n - CAST(floor(CAST(n AS DOUBLE) * 0.05) AS BIGINT)
+    )
+    SELECT grp AS o_orderpriority,
+           max(n) AS n_rows,
+           max(cut) AS n_trimmed_each_side,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS trimmed_mean_cents
+    FROM kept GROUP BY grp
+"""
+
+
+@register(
+    "q_stats_trimmed_mean",
+    oracle=_TRIM_SQL,
+    doc="5% trimmed mean of order value per priority — the robust "
+    "location estimate a metrics pipeline reports when heavy tails "
+    "make the plain mean jumpy (the practical sibling of the exact "
+    "median/MAD rungs). The trim boundary is an EXACT deterministic "
+    "rank (row_number over value with the unique key as tie-break; "
+    "cut = floor(n * 0.05) computed by an IEEE-identical expression), "
+    "so both engines drop precisely the same rows, and the kept-row "
+    "mean divides an exact decimal cent sum. Shape: one rank window "
+    "per priority partition plus one hash-agg — the same partition "
+    "sort the exact-percentile family already pays; at extreme group "
+    "sizes the trim fences graduate to the quantile-sketch tier like "
+    "percentile_cont does.",
+)
+def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_TRIM_SQL)
