@@ -515,3 +515,52 @@ def test_embed_outliers_centroids_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_novelty_shuffles_shingles_not_text(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_ngram_novelty", sf_dir)
+    # the first-seen min-agg and the rejoin key on the shingle column;
+    # the raw text column must never cross an exchange
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan) or re.findall(
+        r"hashpartitioning\(([^)]*)\)", plan
+    ):
+        assert "text#" not in m
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_broadcasts_the_campaign_side(spark, sf_dir):
+    plan = _plan(spark, "q_join_interval_overlap", sf_dir)
+    # a non-equi overlap predicate needs a nested-loop join; the tiny
+    # campaign side must be the broadcast side, never a cartesian
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waterfall_is_one_scan_no_key_shuffle(spark, sf_dir):
+    plan = _plan(spark, "q_curation_waterfall", sf_dir)
+    # all three verdicts are row-local; the only exchange is the tiny
+    # single-partition combine of the global aggregate partials
+    assert "hashpartitioning" not in plan.lower()
+    assert "Join" not in plan
+
+
+def test_quarantine_parses_jvm_side(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_json_quarantine", sf_dir)
+    # from_json is a native expression: no Python evaluation anywhere,
+    # and one map-side-combined agg on event_type
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"hashpartitioning\(event_type", plan)) == 1
+
+
+def test_trimmed_mean_window_and_agg_share_group_partitioning(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_stats_trimmed_mean", sf_dir)
+    # the rank window partitions by group; the final agg reuses that
+    # partitioning — one group exchange total, no global sort
+    assert len(re.findall(r"hashpartitioning\(grp", plan)) <= 1
+    assert "SinglePartition" not in plan
