@@ -431,3 +431,60 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+@register(
+    "q_stream_json_quarantine",
+    oracle="""
+    WITH staged AS (
+      SELECT event_type,
+             CASE WHEN event_id % 97 = 0
+                  THEN substr(props, 1, len(props) - 2)
+                  ELSE props END AS raw
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(CASE WHEN json_valid(raw)
+                         THEN CAST(raw->>'k' AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS sum_k
+    FROM staged GROUP BY event_type
+    """,
+    doc="STREAMING corrupt-record quarantine — the in-flight twin of "
+    "q_json_quarantine: the event stream replays through readStream, "
+    "every 97th payload is deterministically truncated upstream, and "
+    "the running per-type quarantine/parse counters aggregate in "
+    "complete mode — a finite replay must equal the batch "
+    "classification, so the streaming dead-letter counter is "
+    "value-hash checked against the same oracle rather than smoke-"
+    "tested. In production the quarantined rows also fork to a "
+    "dead-letter sink via foreachBatch; the counts here are the "
+    "monitoring surface. Parse stays JVM-side (from_json) inside the "
+    "micro-batch; state is O(event types).",
+)
+def q_stream_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events(spark, sf_dir)
+    stream = _events_stream(spark, staged)
+    raw = F.when(
+        F.col("event_id") % 97 == 0,
+        F.expr("substr(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    m = F.from_json(raw, "map<string,int>")
+    parsed = m.isNotNull()
+    agg = (
+        stream.select("event_type", parsed.alias("is_parsed"), m.getItem("k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("is_parsed"), 0).otherwise(1)).cast("bigint").alias(
+                "n_quarantined"
+            ),
+            F.sum(
+                F.when(F.col("is_parsed"), F.coalesce(F.col("k"), F.lit(0))).otherwise(0)
+            ).cast("bigint").alias("sum_k"),
+        )
+    )
+    out = run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+    return out
