@@ -95,7 +95,8 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_join_interval_overlap", "q_compression_ratio_profile",
     "q_funnel_time_bounded", "q_multimodal_video_frames",
     "q_json_quarantine", "q_stats_trimmed_mean", "q_curation_waterfall",
-    "q_stream_json_quarantine",
+    "q_stream_json_quarantine", "q_agg_mode_deterministic",
+    "q_ts_moving_median",
 })
 
 

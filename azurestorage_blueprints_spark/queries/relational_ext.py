@@ -1026,3 +1026,39 @@ def q_histogram_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+_MODE_SQL = """
+    WITH cnt AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    ranked AS (
+      SELECT grp, v, n,
+             row_number() OVER (PARTITION BY grp ORDER BY n DESC, v) AS rn
+      FROM cnt
+    )
+    SELECT grp AS l_returnflag, v AS mode_quantity, n AS mode_count
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "q_agg_mode_deterministic",
+    oracle=_MODE_SQL,
+    doc="Deterministic MODE aggregate: engine-native mode() is "
+    "tie-arbitrary (Spark and DuckDB may pick different members of a "
+    "tied class, and Spark's own answer can vary across partitionings) "
+    "— the reproducible formulation is the count table plus a "
+    "row_number with an explicit (count DESC, value) tie-break, which "
+    "is also exactly how mode is computed at scale: one map-side-"
+    "combined (group, value) count agg — the shuffle carries the "
+    "bounded distinct-value cell table, not the fact rows — then a "
+    "tiny per-group top-1 window. The determinism-contract twin of "
+    "q_arg_max for the most-frequent-value question.",
+)
+def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_MODE_SQL)

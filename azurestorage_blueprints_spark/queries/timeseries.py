@@ -818,3 +818,65 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ov_us").cast("bigint").alias("total_overlap_us"),
         )
     )
+
+
+# trailing 7-day exact moving median over the daily table: both engines
+# sort the explicit 7-value frame and take the middle element
+_MOVMED_SPARK = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    framed AS (
+      SELECT d, v,
+             sort_array(collect_list(v) OVER
+               (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win,
+             CAST(count(*) OVER
+               (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS k
+      FROM daily
+    )
+    SELECT d AS day, v AS revenue_cents,
+           element_at(win, 4) AS moving_median_cents
+    FROM framed WHERE k = 7
+"""
+
+_MOVMED_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    framed AS (
+      SELECT d, v,
+             list_sort(list(v) OVER
+               (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win,
+             CAST(count(*) OVER
+               (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS k
+      FROM daily
+    )
+    SELECT d AS day, v AS revenue_cents,
+           win[4] AS moving_median_cents
+    FROM framed WHERE k = 7
+"""
+
+
+@register(
+    "q_ts_moving_median",
+    oracle=_MOVMED_ORACLE,
+    doc="Trailing 7-day EXACT moving median of daily revenue — the "
+    "robust smoother that survives the single-day spikes a moving "
+    "average chases (the windowed sibling of q_agg_median / "
+    "q_stats_trimmed_mean). The frame's 7 values are materialized, "
+    "sorted, and the middle element taken — an exact bigint, no "
+    "interpolation, bit-identical on both engines; warm-up rows with "
+    "fewer than 7 days are excluded rather than emitting a "
+    "different-width median. O(k log k) per row is the honest cost of "
+    "windowed medians — affordable because the window rides the "
+    "calendar-bounded DAILY table, never the fact table; at fact "
+    "scale the answer is the sketch tier (approx_percentile per "
+    "window bucket).",
+)
+def q_ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MOVMED_SPARK)
