@@ -96,7 +96,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_funnel_time_bounded", "q_multimodal_video_frames",
     "q_json_quarantine", "q_stats_trimmed_mean", "q_curation_waterfall",
     "q_stream_json_quarantine", "q_agg_mode_deterministic",
-    "q_ts_moving_median",
+    "q_ts_moving_median", "q_session_bounce_rate", "q_vocab_growth",
 })
 
 

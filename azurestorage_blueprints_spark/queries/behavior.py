@@ -359,3 +359,66 @@ def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(conv).cast("bigint").alias("n_converted_72h"),
         (F.sum(conv).cast("double") / F.count(F.lit(1))).alias("conversion_rate_72h"),
     )
+
+
+_BOUNCE_SQL_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked),
+    per_session AS (
+      SELECT user_id, sid,
+             CAST(min(ts) AS DATE) AS session_day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid)
+    SELECT session_day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS BIGINT) AS bounce_rate
+    FROM per_session GROUP BY session_day
+"""
+
+
+@register(
+    "q_session_bounce_rate",
+    oracle=_BOUNCE_SQL_ORACLE,
+    doc="Daily bounce rate: the share of 30-minute-gap sessions that "
+    "contain exactly one event, keyed by the session's start day — the "
+    "engagement-quality staple next to the funnel and retention "
+    "entries. Sessionization is the lag-gap/cumulative-sum pattern on "
+    "ONE user_id partitioning (shared by both windows), the per-"
+    "session reduction collapses events to one row per session before "
+    "anything groups by day, and counts stay exact integers with a "
+    "single final divide. At 100 TB the day-keyed agg sees only "
+    "session rows — orders of magnitude fewer than events.",
+)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ep", F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ep") - F.lag("ep").over(w)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn("sid", F.sum(is_start).over(wcum))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").cast("date").alias("session_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per_session.groupBy("session_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(bounce).cast("bigint").alias("n_bounces"),
+        (F.sum(bounce).cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )

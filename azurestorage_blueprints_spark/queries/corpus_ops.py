@@ -708,3 +708,88 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Heaps-law curve resolution: documents bucket into this many ingestion
+#: slices; the cumulative windows run over the BUCKET table (bounded),
+#: never a corpus-ordered single partition
+_HEAPS_BUCKETS = 50
+
+
+@register(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+      FROM documents
+    ),
+    per_tok AS (
+      SELECT t, CAST(min(doc_id) AS BIGINT) AS first_doc,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM tok GROUP BY t
+    ),
+    max_doc AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_docs FROM documents),
+    new_per_bucket AS (
+      SELECT CAST(first_doc * {_HEAPS_BUCKETS} // n_docs AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS new_types
+      FROM per_tok, max_doc GROUP BY 1
+    ),
+    tok_per_bucket AS (
+      SELECT CAST(doc_id * {_HEAPS_BUCKETS} // n_docs AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok, max_doc GROUP BY 1
+    )
+    SELECT t.bucket,
+           CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+             AS cum_vocab
+    FROM tok_per_bucket t LEFT JOIN new_per_bucket n ON t.bucket = n.bucket
+    """,
+    doc="Vocabulary-growth (Heaps' law) curve: cumulative distinct "
+    "token types against cumulative token count across 50 ingestion "
+    "slices of the corpus — the diminishing-returns diagnostic that "
+    "tells a data team whether more of the same source still buys new "
+    "vocabulary. A type's arrival slice is its FIRST occurrence "
+    "(min doc_id — the first-seen reduction again, one map-side-"
+    "combined agg on the token key), per-slice token and new-type "
+    "counts are exact integers, and the cumulative windows run over "
+    "the 50-row BUCKET table — never a corpus-ordered single "
+    "partition, which is what makes the curve computable at 100 TB. "
+    "Integer bucket math (doc_id * B / N with bigint division) is "
+    "engine-identical.",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from azurestorage_blueprints_spark.functions.text import tokens as _tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    per_tok = tok.groupBy("t").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+    )
+    n_docs = d.agg((F.max("doc_id") + 1).cast("bigint").alias("n_docs"))
+    bucket_of = lambda c: F.expr(f"CAST({c} * {_HEAPS_BUCKETS} div n_docs AS BIGINT)")
+    new_per_bucket = (
+        per_tok.crossJoin(F.broadcast(n_docs))
+        .groupBy(bucket_of("first_doc").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    tok_per_bucket = (
+        tok.crossJoin(F.broadcast(n_docs))
+        .groupBy(bucket_of("doc_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    joined = tok_per_bucket.join(
+        new_per_bucket.withColumnRenamed("bucket", "b2"),
+        F.col("bucket") == F.col("b2"),
+        "left",
+    )
+    return joined.select(
+        "bucket",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum(F.coalesce("new_types", F.lit(0))).over(w).cast("bigint").alias("cum_vocab"),
+    )
