@@ -344,3 +344,86 @@ _BLOOM_SQL = f"""
 def q_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_BLOOM_SQL)
+
+
+_PIT_SQL = """
+    WITH hist AS (
+      SELECT s_suppkey,
+             CAST('1992-01-01' AS DATE) AS valid_from,
+             CAST('1994-01-01' AS DATE) + CAST(s_suppkey % 1000 AS INTEGER) AS valid_to,
+             'standard' AS tier
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey,
+             CAST('1994-01-01' AS DATE) + CAST(s_suppkey % 1000 AS INTEGER) AS valid_from,
+             CAST('2999-12-31' AS DATE) AS valid_to,
+             'premium' AS tier
+      FROM supplier
+    ),
+    fact AS (
+      SELECT l_suppkey, o_orderdate,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT h.tier,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(f.cents AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
+    FROM fact f JOIN hist h
+      ON f.l_suppkey = h.s_suppkey
+     AND f.o_orderdate >= h.valid_from
+     AND f.o_orderdate < h.valid_to
+    GROUP BY h.tier
+"""
+
+
+@register(
+    "q_scd2_point_in_time_join",
+    oracle=_PIT_SQL,
+    doc="Point-in-time (PIT) join against SCD2 validity intervals — the "
+    "consumption side of q_scd2_intervals: every fact row joins the "
+    "dimension VERSION that was valid at the fact's own date "
+    "(equi-join on the entity key plus the half-open interval "
+    "predicate valid_from <= t < valid_to), the only join that makes "
+    "historical reports non-revisionist. The version history here is "
+    "a deterministic two-version synthesis (each supplier upgrades on "
+    "a key-derived date) so the oracle is exact; counts and decimal "
+    "cent sums per tier prove the interval routing. Shape: the join "
+    "is keyed on the ENTITY (the interval predicate is a residual "
+    "filter after the hash match), so it shuffles like a plain "
+    "dim join and AQE broadcasts the version side while it fits — "
+    "versions per entity are few, so the residual scan is O(1) per "
+    "fact row at any scale.",
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier")
+    flip = F.expr("date_add(CAST('1994-01-01' AS DATE), CAST(s_suppkey % 1000 AS INT))")
+    hist = sup.select(
+        "s_suppkey",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        flip.alias("valid_to"),
+        F.lit("standard").alias("tier"),
+    ).unionByName(
+        sup.select(
+            "s_suppkey",
+            flip.alias("valid_from"),
+            F.lit("2999-12-31").cast("date").alias("valid_to"),
+            F.lit("premium").alias("tier"),
+        )
+    )
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        "o_orderdate",
+        F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    joined = fact.join(
+        F.broadcast(hist),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").alias("revenue_cents"),
+    )
