@@ -350,12 +350,12 @@ _PIT_SQL = """
     WITH hist AS (
       SELECT s_suppkey,
              CAST('1992-01-01' AS DATE) AS valid_from,
-             CAST('1994-01-01' AS DATE) + CAST(s_suppkey % 1000 AS INTEGER) AS valid_to,
+             CAST('1997-01-01' AS DATE) + CAST(s_suppkey % 1000 AS INTEGER) AS valid_to,
              'standard' AS tier
       FROM supplier
       UNION ALL
       SELECT s_suppkey,
-             CAST('1994-01-01' AS DATE) + CAST(s_suppkey % 1000 AS INTEGER) AS valid_from,
+             CAST('1997-01-01' AS DATE) + CAST(s_suppkey % 1000 AS INTEGER) AS valid_from,
              CAST('2999-12-31' AS DATE) AS valid_to,
              'premium' AS tier
       FROM supplier
@@ -386,7 +386,8 @@ _PIT_SQL = """
     "predicate valid_from <= t < valid_to), the only join that makes "
     "historical reports non-revisionist. The version history here is "
     "a deterministic two-version synthesis (each supplier upgrades on "
-    "a key-derived date) so the oracle is exact; counts and decimal "
+    "a key-derived date inside the fact date range, so both versions "
+    "route real rows) so the oracle is exact; counts and decimal "
     "cent sums per tier prove the interval routing. Shape: the join "
     "is keyed on the ENTITY (the interval predicate is a residual "
     "filter after the hash match), so it shuffles like a plain "
@@ -396,7 +397,7 @@ _PIT_SQL = """
 )
 def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = table(spark, sf_dir, "supplier")
-    flip = F.expr("date_add(CAST('1994-01-01' AS DATE), CAST(s_suppkey % 1000 AS INT))")
+    flip = F.expr("date_add(CAST('1997-01-01' AS DATE), CAST(s_suppkey % 1000 AS INT))")
     hist = sup.select(
         "s_suppkey",
         F.lit("1992-01-01").cast("date").alias("valid_from"),
