@@ -658,7 +658,7 @@ def q_mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFram
         THEN list_transform(range(1, len(tk) - 1),
              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
         ELSE [list_aggregate(tk, 'string_agg', ' ')] END) AS shingles
-      FROM toked),
+      FROM toked WHERE len(tk) > 0),
     posting AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
     first_seen AS (
       SELECT sh, CAST(min(doc_id) AS BIGINT) AS first_doc
@@ -691,7 +691,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
-    docs = toked.select(
+    # zero-token documents are excluded on BOTH sides: Spark's
+    # whole-span fallback shingles them to [""] while DuckDB's
+    # string_agg yields [NULL] (dropped by list_distinct) — an
+    # empty doc would otherwise be a row-count divergence
+    docs = toked.filter(F.size("tk") > 0).select(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"), k=3)).alias("shingles")
     )
     posting = docs.select("doc_id", F.explode("shingles").alias("sh"))

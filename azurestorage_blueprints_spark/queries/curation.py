@@ -463,8 +463,9 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: RAKE keyword extraction: stopword-delimited phrases, word score =
-#: degree / frequency (Rose et al. 2010, public)
-_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+#: degree / frequency (Rose et al. 2010, public); reuses the module's
+#: _STOP_LIST SQL literal
+_RAKE_STOP_SQL = _STOP_LIST
 
 _RAKE_ORACLE = f"""
     WITH toks AS (

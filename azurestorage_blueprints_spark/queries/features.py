@@ -106,7 +106,10 @@ _LAG_FEATURES_SQL = """
     "whose cardinality is bounded by the calendar — not the fact table "
     "— so the single-partition window is O(days) at any SF. Trailing "
     "sums stay bigint; only wow_change divides to double, null-guarded "
-    "for the warm-up week and zero-revenue days.",
+    "for the warm-up week and zero-revenue days. Row frames equal "
+    "day frames only on a DENSE daily series (true for this corpus); "
+    "join q_calendar_spine's densification first when days can be "
+    "missing, or lag-7 silently becomes 7-rows-ago.",
 )
 def q_ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")

@@ -463,11 +463,9 @@ _ASSORT_R = (
     "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
 )
 
-_ASSORT_SQL = f"""
-    WITH e AS (
-      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
+#: everything downstream of the deduped edge list, shared verbatim by
+#: the oracle (over a CTE) and the Spark side (over a persisted view)
+_ASSORT_TAIL = f"""
     dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dx FROM e GROUP BY c),
     ds AS (SELECT s, CAST(count(*) AS BIGINT) AS dy FROM e GROUP BY s),
     j AS (
@@ -487,6 +485,15 @@ _ASSORT_SQL = f"""
     SELECT n AS n_edges, {_ASSORT_R} AS assortativity
     FROM m
 """
+
+_ASSORT_SQL = (
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),"""
+    + _ASSORT_TAIL
+)
 
 
 @register(
@@ -525,6 +532,5 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     e.createOrReplaceTempView("assort_edges")
-    body = _ASSORT_SQL.split("),", 1)[1]  # drop the e CTE, keep dc onward
-    out = spark.sql("WITH e AS (SELECT c, s FROM assort_edges)," + body)
+    out = spark.sql("WITH e AS (SELECT c, s FROM assort_edges)," + _ASSORT_TAIL)
     return finalize_bounded(out, e)

@@ -524,17 +524,23 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azurestorage_blueprints_spark.functions.text import tokens
 
     d = table(spark, sf_dir, "documents")
-    # the token stream feeds BOTH the sketch build and the exact top-20
-    # counts — persist so scan+tokenize+explode runs once; released via
-    # finalize_bounded once the 20-row report is materialized
-    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok")).persist()
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
-    cells = toks.select("tok", seeds).select(
-        "d", F.pmod(F.xxhash64("tok", "d"), F.lit(_CMS_W)).alias("h")
+    # ONE map-side-combined pass reduces the token stream to the
+    # O(vocab) count table; BOTH the sketch (counters = sums of counts
+    # per hashed cell — identical to counting raw tokens) and the exact
+    # top-20 derive from it, so what persists is vocab-sized, never the
+    # corpus token stream (released via finalize_bounded)
+    toks = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .persist()
     )
-    sketch = cells.groupBy("d", "h").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
-    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(20)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    cells = toks.select("tok", "exact_cnt", seeds).select(
+        "exact_cnt", "d", F.pmod(F.xxhash64("tok", "d"), F.lit(_CMS_W)).alias("h")
+    )
+    sketch = cells.groupBy("d", "h").agg(F.sum("exact_cnt").cast("bigint").alias("c"))
+    top = toks.orderBy(F.desc("exact_cnt"), "tok").limit(20)
     probes = top.select("tok", "exact_cnt", seeds).select(
         "tok",
         "exact_cnt",

@@ -265,7 +265,10 @@ _DQ_ANOMALY_SQL = """
     "calendar at any SF), and the 3-sigma test is an EXACT cross-"
     "multiplied integer inequality — (7c - m7)^2 > 9(7*s7 - m7^2) — so "
     "no float mean/stddev ever enters the decision; per-day squared "
-    "counts accumulate as decimal(38,0), safe past 1e18 events/day. "
+    "counts accumulate as decimal(38,0), safe past 1e18 events/day "
+    "(dense-daily assumption: the ROWS frame equals a 7-day window "
+    "because every day has events; densify via a calendar spine when "
+    "whole ingest days can be missing). "
     "Every day is emitted with its boolean verdict (first 7 days: "
     "false, insufficient window), keeping the result a full audit "
     "report rather than a possibly-empty exception list.",

@@ -925,11 +925,12 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
     )
     w = W.partitionBy("q_id").orderBy("approx_l2sq", "vec_id")
-    return (
+    out = (
         approx.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", F.col("vec_id").alias("n_id"), "approx_l2sq", "rnk")
     )
+    return finalize_bounded(out, codebook, codes)
 
 
 #: shared subspace slice / distance expressions for the PQ helpers
@@ -977,9 +978,10 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     # test-SF results (and the recall-gate floors) are unchanged.
     n_vecs = e.count()
     train_mod = max(1, n_vecs // _PQ_TRAIN_CAP)
-    train_sub = corpus_sub.filter(
-        (F.col("vec_id") * 2654435761) % train_mod == 0
-    )
+    # xxhash64, not a multiplicative stride: (id * K) % m == 0 is
+    # exactly id % m == 0 for prime K, which under periodic id
+    # assignment (round-robin shards) would train on one shard only
+    train_sub = corpus_sub.filter(F.pmod(F.xxhash64("vec_id"), F.lit(train_mod)) == 0)
     # one Lloyd iteration: recenter each codeword on the exact
     # nano-quantized mean of its assigned sub-vectors (bigint sums per
     # (s, code, dim) cell — 64*K cells at any corpus size), keeping the
@@ -1008,8 +1010,14 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .select(codebook0.j, codebook0.s, F.coalesce("cw_t", "cw").alias("cw"))
     )
-    # corpus codes: per (vector, subspace) the nearest TRAINED codeword
-    codes = assign(codebook).select("vec_id", "s", F.col("j").alias("code"))
+    # corpus codes: per (vector, subspace) the nearest TRAINED codeword.
+    # Both outputs feed two consumers each (codes -> scoring join, the
+    # codebook -> codes AND the ADC tables): persist so the Lloyd
+    # training DAG runs once per query, not once per consumer — callers
+    # release both via finalize_bounded once their bounded top-k
+    # materializes (cache-hygiene contract)
+    codebook = codebook.persist()
+    codes = assign(codebook).select("vec_id", "s", F.col("j").alias("code")).persist()
     return codebook, codes
 
 
@@ -1053,6 +1061,13 @@ _IVFPQ_NPROBE = 2
     "holds at memory scale.",
 )
 def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, codebook, codes = build_knn_ivf_pq(spark, sf_dir)
+    return finalize_bounded(out, codebook, codes)
+
+
+def build_knn_ivf_pq(spark: SparkSession, sf_dir: str):
+    """Plan builder (pre-finalize): returns (result, persisted codebook,
+    persisted codes) so the physical-plan gates can inspect the join."""
     e = table(spark, sf_dir, "embeddings")
     codebook, codes = _pq_train(e)
     adc = _pq_adc(e, codebook)
@@ -1092,11 +1107,12 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("t").alias("approx_l2sq"))
     )
     w = W.partitionBy("q_id").orderBy("approx_l2sq", "vec_id")
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", F.col("vec_id").alias("n_id"), "approx_l2sq", "rnk")
     )
+    return out, codebook, codes
 
 
 #: hierarchical SemDeDup routing fan-out: s = ceil(sqrt(k)) super-seeds

@@ -665,6 +665,8 @@ _SNAIVE_SQL = """
     "(bounded by the calendar, not the fact table — the sort is O(days) "
     "at any SF); absolute errors stay integers and the monthly MAE / "
     "wMAPE divide exact decimal sums to double via shared expression "
+    "(dense-daily-series assumption: row offsets equal day offsets "
+    "here; densify via q_calendar_spine first when days can be missing) "
     "text; monthly sums re-cast to bigint for the driver's pandas path "
     "(DuckDB decimals render as float64 there), exact past 1e16 "
     "cents/month.",

@@ -467,7 +467,12 @@ def test_gif_roundtrip_is_shuffle_free(spark, sf_dir):
 
 
 def test_ivf_pq_scoring_join_moves_no_vectors(spark, sf_dir):
-    plan = _plan(spark, "q_knn_ivf_pq", sf_dir)
+    from azurestorage_blueprints_spark.queries.similarity import build_knn_ivf_pq
+
+    out, codebook, codes = build_knn_ivf_pq(spark, sf_dir)
+    plan = _plan_of(spark, out)
+    codebook.unpersist()
+    codes.unpersist()
     # the ADC table and probed candidate lists broadcast; after the
     # coarse stage the scored rows are (q_id, vec_id, s, code) ints
     assert "BroadcastHashJoin" in plan

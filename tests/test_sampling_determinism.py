@@ -62,3 +62,32 @@ def test_exact_k_sample_is_stable(spark, sf_dir):
     first = draw(d)
     assert len(first) == 50
     assert draw(d.repartition(13)) == first
+
+
+def test_poisson_bootstrap_spread_matches_theory(spark, sf_dir, duck):
+    """The bootstrap's entire value is its replicate spread: for
+    Poisson(1) multiplicities the replicate-total sd must be
+    sqrt(sum(cents^2)). A draw scheme that is affine in the key (any
+    multiply-add composition) turns replicates into constant shifts of
+    one sequence and collapses the spread ~37x (the r5 review finding);
+    this gate fails loudly on any such regression. 32 replicates put
+    ~±13% (1 sigma) noise on the ratio; the gate allows ±3 sigma."""
+    import statistics
+
+    from azurestorage_blueprints_spark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["q_sample_poisson_bootstrap"].fn(spark, sf_dir).collect()
+    assert len(rows) == 32
+    sd = statistics.stdev([r.est_total_cents for r in rows])
+    expected = duck.execute(
+        "SELECT sqrt(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) ** 2)) FROM orders"
+    ).fetchone()[0]
+    ratio = sd / expected
+    assert 0.55 < ratio < 1.55, f"bootstrap spread degenerate or inflated: {ratio:.3f}"
+    # and the mean must track the true total closely (bias << spread)
+    mean = statistics.mean([r.est_total_cents for r in rows])
+    true_total = duck.execute(
+        "SELECT sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) FROM orders"
+    ).fetchone()[0]
+    assert abs(mean - true_total) / true_total < 0.02
