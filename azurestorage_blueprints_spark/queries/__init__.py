@@ -14,7 +14,14 @@ Determinism contract (required for value-hash equality):
 - per-row double arithmetic (a*b, a/b) is IEEE-deterministic and safe;
 - sequential array folds (dot products) use double accumulators with
   identical fold order on both sides;
-- ties in top-k / window ranks are broken by a unique key column.
+- ties in top-k / window ranks are broken by a unique key column;
+- deterministic RESAMPLING (bootstrap replicates, multi-table LSH)
+  needs a draw that is NONLINEAR in (key, replicate): any multiply-add
+  composition is affine, making every replicate a constant shift of one
+  draw sequence — marginally uniform but jointly degenerate (the r5
+  bootstrap collapse, 37x under-dispersed). Mix through the
+  middle-square-plus-linear rounds of q_sample_poisson_bootstrap or an
+  engine hash when only one engine computes it.
 """
 
 from __future__ import annotations
