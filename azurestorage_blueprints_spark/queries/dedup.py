@@ -961,3 +961,96 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "n_shared", F.expr(cos).alias("cosine"))
         .filter(F.col("cosine") >= _TFIDF_MIN_COS)
     )
+
+
+#: novelty floor for the dedup waterfall's recombination stage
+_DW_NOVELTY_MIN = 0.05
+
+_DEDUP_WATERFALL_ORACLE = f"""
+    WITH survivors AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    toked AS (
+      SELECT d.doc_id, list_filter(string_split(d.text, ' '), t -> t <> '') AS tk
+      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+    ),
+    docs AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        THEN list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        ELSE [list_aggregate(tk, 'string_agg', ' ')] END) AS shingles
+      FROM toked WHERE len(tk) > 0
+    ),
+    posting AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+    first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM posting GROUP BY sh),
+    novelty AS (
+      SELECT p.doc_id,
+             CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS BIGINT) AS novelty_frac
+      FROM posting p JOIN first_seen f ON p.sh = f.sh
+      GROUP BY p.doc_id
+    ),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents)
+    SELECT totals.n_all,
+           CAST(count(*) AS BIGINT) AS n_after_exact,
+           CAST(sum(CASE WHEN novelty_frac >= {_DW_NOVELTY_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_novelty,
+           CAST(count(*) AS DOUBLE) / totals.n_all AS exact_retention,
+           CAST(sum(CASE WHEN novelty_frac >= {_DW_NOVELTY_MIN} THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS BIGINT) AS novelty_retention
+    FROM novelty, totals
+    GROUP BY totals.n_all
+"""
+
+
+@register(
+    "q_dedup_waterfall",
+    oracle=_DEDUP_WATERFALL_ORACLE,
+    doc="Dedup-pipeline waterfall — the survival report for the dedup "
+    "ladder, mirroring q_curation_waterfall for the rule filters: all "
+    "documents, then exact-content survivors (min doc per identical "
+    "text; at scale the grouping key is the 64-bit content "
+    "fingerprint), then survivors whose cross-corpus shingle novelty "
+    "clears 5% (recombination documents — mostly already-seen 3-grams "
+    "— drop even when no single pairwise duplicate exists). Counts are "
+    "exact integers, retention rates single divides, ONE wide row out. "
+    "Shape: a text-keyed dedup agg, the first-seen shingle reduction "
+    "over survivors (both map-side combined), and a single-row "
+    "combine; no pair enumeration anywhere — this is the waterfall a "
+    "corpus team checks before paying for the pairwise MinHash tier.",
+)
+def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    survivors = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    toked = d.join(survivors, "doc_id").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    docs = toked.filter(F.size("tk") > 0).select(
+        "doc_id", F.array_distinct(word_shingles(F.col("tk"), k=3)).alias("shingles")
+    )
+    posting = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    first_seen = posting.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    novelty = (
+        posting.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty_frac")
+        )
+    )
+    n_all_df = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    keep = F.when(F.col("novelty_frac") >= _DW_NOVELTY_MIN, 1).otherwise(0)
+    return (
+        novelty.crossJoin(F.broadcast(n_all_df))
+        .groupBy("n_all")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after_exact"),
+            F.sum(keep).cast("bigint").alias("n_after_novelty"),
+            (F.count(F.lit(1)).cast("double") / F.col("n_all")).alias("exact_retention"),
+            (F.sum(keep).cast("double") / F.count(F.lit(1))).alias("novelty_retention"),
+        )
+        .select(
+            "n_all", "n_after_exact", "n_after_novelty",
+            "exact_retention", "novelty_retention",
+        )
+    )
