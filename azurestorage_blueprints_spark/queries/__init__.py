@@ -104,7 +104,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_json_quarantine", "q_stats_trimmed_mean", "q_curation_waterfall",
     "q_stream_json_quarantine", "q_agg_mode_deterministic",
     "q_ts_moving_median", "q_session_bounce_rate", "q_vocab_growth",
-    "q_scd2_point_in_time_join", "q_dedup_waterfall",
+    "q_scd2_point_in_time_join", "q_dedup_waterfall", "q_stats_theil_sen",
 })
 
 

@@ -715,3 +715,93 @@ _TRIM_SQL = """
 def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_TRIM_SQL)
+
+
+# Theil-Sen robust trend: median of pairwise slopes over the daily series.
+# The median rank index and interpolation are spelled once and shared by
+# both engines so the derived doubles are IEEE-identical (same contract
+# as q_percentile_cont); the daily CTE is the only dialect-split text
+# (Spark datediff(end, start) vs DuckDB datediff('day', start, end)).
+_THEIL_R = "((CAST(n AS DOUBLE) - 1.0) * 0.5)"
+_THEIL_MED = f"(lo + ({_THEIL_R} - floor({_THEIL_R})) * (coalesce(hi, lo) - lo))"
+_THEIL_DAILY_SPARK = """
+      SELECT datediff(o_orderdate, DATE '1995-01-01') AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+"""
+_THEIL_DAILY_DUCK = """
+      SELECT datediff('day', DATE '1995-01-01', o_orderdate) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+"""
+_THEIL_BODY = f"""
+    WITH daily AS ({{daily}}),
+    pairs AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ranked AS (
+      SELECT slope,
+             CAST(row_number() OVER (ORDER BY slope) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM pairs
+    ),
+    slope_med AS (
+      SELECT n AS n_pairs, {_THEIL_MED} AS slope
+      FROM (
+        SELECT n,
+               min(CASE WHEN rn = CAST(floor({_THEIL_R}) AS BIGINT) + 1
+                        THEN slope END) AS lo,
+               min(CASE WHEN rn = CAST(ceil({_THEIL_R}) AS BIGINT) + 1
+                        THEN slope END) AS hi
+        FROM ranked GROUP BY n
+      ) t
+    ),
+    resid AS (
+      SELECT CAST(d.y AS DOUBLE) - s.slope * CAST(d.x AS DOUBLE) AS r0,
+             s.slope, s.n_pairs
+      FROM daily d CROSS JOIN slope_med s
+    ),
+    ranked2 AS (
+      SELECT r0, slope, n_pairs,
+             CAST(row_number() OVER (ORDER BY r0) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM resid
+    )
+    SELECT n AS n_days, n_pairs, slope AS slope_cents_per_day,
+           {_THEIL_MED} AS intercept_cents
+    FROM (
+      SELECT n, n_pairs, slope,
+             min(CASE WHEN rn = CAST(floor({_THEIL_R}) AS BIGINT) + 1
+                      THEN r0 END) AS lo,
+             min(CASE WHEN rn = CAST(ceil({_THEIL_R}) AS BIGINT) + 1
+                      THEN r0 END) AS hi
+      FROM ranked2 GROUP BY n, n_pairs, slope
+    ) t
+"""
+
+
+@register(
+    "q_stats_theil_sen",
+    oracle=_THEIL_BODY.format(daily=_THEIL_DAILY_DUCK),
+    doc="Theil-Sen robust trend of daily order revenue (cents/day): the "
+    "median of all pairwise slopes, plus the median-residual intercept "
+    "- the breakdown-resistant sibling of q_stats_linreg the same way "
+    "q_ts_moving_median backs the moving average (one wild day cannot "
+    "drag the fit). Medians are EXACT via the deterministic "
+    "rank-and-pick pattern (row_number over the slope, conditional MIN "
+    "at floor/ceil of (n-1)*0.5, interpolation from identical doubles "
+    "via shared expression text - engine-native quantiles never "
+    "cross the comparison). Shape: the only fact-scale work is the "
+    "date-keyed daily hash-agg (one map-side-combined shuffle); the "
+    "O(days^2) pair enumeration and its sort ride the CALENDAR-bounded "
+    "daily table - ~2.4k days -> ~3M pairs at ANY corpus size, so the "
+    "cost is a constant, not a function of SF. Per-pair slope doubles "
+    "divide exact integer diffs, so both engines rank identical "
+    "values.",
+)
+def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_THEIL_BODY.format(daily=_THEIL_DAILY_SPARK))

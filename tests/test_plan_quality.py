@@ -569,3 +569,15 @@ def test_trimmed_mean_window_and_agg_share_group_partitioning(spark, sf_dir):
     # partitioning — one group exchange total, no global sort
     assert len(re.findall(r"hashpartitioning\(grp", plan)) <= 1
     assert "SinglePartition" not in plan
+
+
+def test_theil_sen_fact_work_is_one_daily_agg(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_stats_theil_sen", sf_dir)
+    # the only fact-scale exchange is the date-keyed daily hash-agg;
+    # the O(days^2) pair join rides the tiny daily table as a
+    # broadcast nested loop (calendar-bounded, never a shuffled join)
+    assert len(re.findall(r"hashpartitioning\(x", plan)) <= 1
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
