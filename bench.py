@@ -147,24 +147,42 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # a partial sum is NOT comparable across rounds: with any error
+    # the headline value is withheld (null) so a broken query can
+    # never make a round look faster; per-query timings remain for
+    # apples-to-apples comparison on the surviving set
+    value = round(sum(timings.values()), 3) if not errors else None
     out = {
         "metric": "headline_queries_total_wall_seconds",
-        # a partial sum is NOT comparable across rounds: with any error
-        # the headline value is withheld (null) so a broken query can
-        # never make a round look faster; per-query timings remain for
-        # apples-to-apples comparison on the surviving set
-        "value": round(sum(timings.values()), 3) if not errors else None,
+        # bulky diagnostics (spread, errors) come FIRST: the driver
+        # preserves only the TAIL of stdout, so the headline value and
+        # the median queries dict must be the last bytes printed
+        # (r5 verdict "What's wrong" #2 — BENCH_r05.json lost its own
+        # headline to front-truncation).
+        "spread": spread,
+        **({"errors": errors} if errors else {}),
+        "runs_per_query": RUNS_PER_QUERY,
+        "n_total": len(HEADLINE),
+        "n_ok": len(timings),
         "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "value": value,
+    }
+    print(json.dumps(out))
+    # second, compact, tail-survivable summary line: no spread/errors,
+    # minimal separators — fits inside the driver's 2000-char tail
+    # window even at 60+ headline queries, and parses stand-alone.
+    compact = {
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "metric": "headline_queries_total_wall_seconds",
+        "unit": "sec",
+        "sf": sf,
         "n_ok": len(timings),
         "n_total": len(HEADLINE),
-        "queries": timings,
-        "runs_per_query": RUNS_PER_QUERY,
-        "spread": spread,
-        "sf": sf,
+        "value": value,
     }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -340,6 +340,16 @@ def test_common_neighbors_is_topk_without_cartesian(spark, sf_dir):
     baskets.unpersist()
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan, "top-20 must not be a global sort"
+    # straggler bound (r5 verdict #1): the chunked pair fan-out must
+    # put a round-robin exchange BEFORE each pair explode, so a hot
+    # customer's chunk batches spread across tasks instead of pinning
+    # C(k,2) work on the core that built the basket
+    assert plan.count("REPARTITION_BY_NUM") >= 2, (
+        "pair explode must run after a round-robin repartition"
+    )
+    # and the pair count must still partial-aggregate before its own
+    # hash exchange (map-side combine between Generate and final agg)
+    assert "partial_count" in plan or "partial" in plan
 
 
 def test_welch_moments_are_one_shuffle(spark, sf_dir):
