@@ -61,13 +61,19 @@ def finalize_bounded(result: DataFrame, *cached: DataFrame) -> DataFrame:
     a registered query that persists an intermediate reused by several
     consumers must not pin that cache for the rest of a shared session.
     Because ``unpersist()`` before materialization would silently drop
-    the reuse benefit (the plan recomputes), the final aggregate — which
-    for these queries is bounded (top-k rows, one row per cluster/bin,
-    never O(corpus)) — is computed eagerly here, the cache is released,
-    and the bounded rows are returned as a LocalRelation with the exact
-    same schema and values. Only the bounded output crosses to the
-    driver, so the 100 TB posture is unchanged; at scale the same
-    pattern writes the bounded result to storage instead.
+    the reuse benefit (the plan recomputes), the final aggregate is
+    computed eagerly here, the cache is released, and the rows are
+    returned as a LocalRelation with the exact same schema and values.
+
+    Boundedness contract, by caller class: top-k / fixed-bin reports
+    collect O(1) rows at any corpus size; per-cluster reports (the
+    SemDeDup family, where k ∝ corpus) collect O(corpus / target)
+    rows — bounded only relative to the corpus. Both classes use this
+    helper at test scale; at production scale the per-cluster class
+    MUST take the write-to-storage escape hatch instead (write the
+    report DataFrame to a table, then unpersist) — the collect here is
+    the local-mode materialization point, not a driver-sized-output
+    claim for corpus-proportional reports.
     """
     rows = result.collect()
     for df in cached:

@@ -438,7 +438,8 @@ _BOOT_SQL = f"""
     WITH seeded AS (
       SELECT b,
              CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
-             (o_orderkey * 2654435761 + b * 40503) % 2147483648 AS a
+             ((o_orderkey % 2147483648) * 2654435761 + b * 40503)
+               % 2147483648 AS a
       FROM orders, (VALUES {_BOOT_VALUES}) AS reps(b)
     ),
     mix1 AS (
@@ -494,9 +495,12 @@ _BOOT_SQL = f"""
     "values, consumer-side). Shape: one scan fans out x32 inside the "
     "map stage (codegen cross join with a 32-row VALUES literal), one "
     "map-side-combined agg moves 32 rows total at ANY corpus size. "
-    "Every intermediate stays inside int64 at any key magnitude "
-    "(31-bit state; the shift division is exact below 2^53 — DuckDB "
-    "errors on bigint overflow, Spark wraps silently).",
+    "Every intermediate stays inside int64 at any key magnitude: the "
+    "key reduces mod 2^31 BEFORE the Knuth multiply (so the product "
+    "tops out at ~5.7e18 < 2^63 even for orderkeys past 3.4e9 — the "
+    "unreduced form overflowed there, where DuckDB errors on bigint "
+    "overflow and Spark wraps silently), and the mixer state stays "
+    "31-bit with an exact below-2^53 shift division.",
 )
 def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")

@@ -696,7 +696,7 @@ _CUSUM_SQL = """
     ),
     cusum AS (
       SELECT d, v, n, mu_q,
-             CAST(sum(v * 1000 - mu_q) OVER
+             CAST(sum(CAST(v * 1000 - mu_q AS DECIMAL(38,0))) OVER
                (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS s_t
       FROM base
@@ -722,9 +722,12 @@ _CUSUM_SQL = """
     "window over the daily table (exact decimal sum — and the fact "
     "table is aggregated exactly ONCE; a separate global-agg CTE "
     "would be inlined twice by Catalyst), quantizes to milli-cents "
-    "via an IEEE-identical floor expression, deviations and their "
-    "running sum are bigints on the calendar-bounded daily table, "
-    "and the argmax is an exact integer "
+    "via an IEEE-identical floor expression, per-day deviations are "
+    "bigints (≤1e16 milli-cents/day) while their RUNNING sum "
+    "accumulates as DECIMAL(38,0) — sustained drift over thousands "
+    "of days can push the cumulative deviation past int64, where "
+    "DuckDB errors and Spark wraps silently — re-cast to bigint only "
+    "for the single reported row, and the argmax is an exact integer "
     "comparison with a date tie-break. Only the reported mean-shift "
     "estimate divides to double via shared expression text.",
 )

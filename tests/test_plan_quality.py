@@ -394,6 +394,29 @@ def test_semdedup_pairs_join_on_cluster_never_cartesian(spark, sf_dir):
     assert "Broadcast" in plan
 
 
+def test_semdedup_routes_to_hier_above_flat_ceiling(spark, sf_dir, monkeypatch):
+    """r5 verdict task 5: with k ∝ N the flat E-step is N²/target —
+    above _SEM_FLAT_MAX vectors q_semdedup must delegate to the
+    O(N·√k) hierarchical E-step. The ceiling sits far above every test
+    SF (oracle hash unchanged), so the routed branch is exercised by
+    forcing the ceiling to zero."""
+    import azurestorage_blueprints_spark.queries.similarity as sim
+
+    out, mem, routed = sim.build_semdedup_routed(spark, sf_dir)
+    mem.unpersist()
+    assert routed is False, "test SFs must stay on the exact flat E-step"
+
+    monkeypatch.setattr(sim, "_SEM_FLAT_MAX", 0)
+    out, mem, routed = sim.build_semdedup_routed(spark, sf_dir)
+    assert routed is True
+    rows = sorted(map(tuple, out.collect()))
+    mem.unpersist()
+    hier_out, hier_mem = sim.build_semdedup_hier(spark, sf_dir)
+    hier_rows = sorted(map(tuple, hier_out.collect()))
+    hier_mem.unpersist()
+    assert rows == hier_rows, "routed q_semdedup must equal the hier rung exactly"
+
+
 def test_event_paths_ride_one_user_shuffle(spark, sf_dir):
     import re
 
