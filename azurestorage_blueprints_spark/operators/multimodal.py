@@ -292,8 +292,16 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
     CLEAR). Returns the decoded color-index stream."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
 
+    # the base dictionary entries are immutable bytes — build them ONCE
+    # and shallow-copy on CLEAR. A conforming stream may emit CLEAR
+    # arbitrarily often (the fixture encoder emits one per pixel), so
+    # rebuilding 2^mcs byte objects per CLEAR was the dominant
+    # allocation cost of the whole decode (GC-noisy at bench scale).
+    base: list[bytes | None] = [bytes((i,)) for i in range(1 << min_code_size)]
+    base += [None, None]
+
     def fresh() -> list[bytes | None]:
-        return [bytes((i,)) for i in range(1 << min_code_size)] + [None, None]
+        return base[:]
 
     table = fresh()
     width = min_code_size + 1
