@@ -97,20 +97,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: after every older never-checked name so the driver's fixed check
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
-    "q_stats_anova_oneway", "q_stats_autocorr", "q_ts_seasonal_naive_forecast",
-    "q_dq_anomaly_rules", "q_target_encode", "q_ts_lag_features",
-    "q_naive_bayes_tokens", "q_mixture_temperature_resample",
-    "q_sample_poisson_bootstrap", "q_graph_assortativity", "q_bloom_pruning",
-    "q_dedup_tfidf_cosine", "q_histogram_equidepth_approx", "q_knn_ivf_pq",
-    "q_multimodal_gif_roundtrip", "q_semdedup_hier", "q_text_langid_confusion",
-    "q_ts_changepoint_cusum", "q_text_rake_keywords", "q_embed_outliers",
-    "q_multimodal_wav_roundtrip", "q_skew_diagnose", "q_ngram_novelty",
-    "q_join_interval_overlap", "q_compression_ratio_profile",
-    "q_funnel_time_bounded", "q_multimodal_video_frames",
-    "q_json_quarantine", "q_stats_trimmed_mean", "q_curation_waterfall",
-    "q_stream_json_quarantine", "q_agg_mode_deterministic",
-    "q_ts_moving_median", "q_session_bounce_rate", "q_vocab_growth",
-    "q_scd2_point_in_time_join", "q_dedup_waterfall", "q_stats_theil_sen",
+    "q_stats_mann_whitney", "q_stats_kendall_tau", "q_stats_levene_bf",
+    "q_stats_permutation_test", "q_graph_components_minlabel",
+    "q_knn_range_search", "q_text_feature_hashing",
+    "q_multimodal_wav_frame_energy",
 })
 
 

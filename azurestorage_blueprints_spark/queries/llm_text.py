@@ -870,3 +870,190 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_and_hash,
         "vec_id long, frame_idx long, width int, height int, frame_ahash long",
     )
+
+
+#: feature-hashing bucket count (the "hashing trick" vectorizer width);
+#: small enough that collisions are observable at test SF, a power of
+#: two like production vectorizer widths
+_FEAT_HASH_BUCKETS = 512
+
+
+@register(
+    "q_text_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT tok,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 2147483647) % {_FEAT_HASH_BUCKETS} AS bucket
+      FROM toks
+    ),
+    b AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+      FROM hashed GROUP BY bucket
+    )
+    SELECT bucket, n_tokens, n_distinct_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_buckets_used
+    FROM b
+    ORDER BY n_tokens DESC, bucket
+    LIMIT 20
+    """,
+    doc="Feature hashing (the hashing-trick vectorizer): every token "
+    "maps to one of 512 feature buckets through the repo's portable "
+    "polynomial string hash (h*31+code mod 2^31-1, the "
+    "q_text_fingerprint fold — NEVER an engine-native hash, which is "
+    "what forces murmur3-based rungs like MinHash-LSH to rows-only "
+    "checks), and the report is the collision profile a feature "
+    "pipeline audits before trusting hashed features: the top-20 "
+    "hottest buckets by token load, distinct tokens sharing each "
+    "(the collision count), and how many of the 512 buckets are "
+    "occupied. All counts exact integers. Shape: tokenize + fold + "
+    "bucket stay inside one codegen'd projection over the scan; the "
+    "only fact-scale exchange carries (bucket, token) pairs into a "
+    "map-side-combined agg bounded by vocabulary, not corpus; the "
+    "bucket report is 512 rows at ANY corpus size.",
+)
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    codes = F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("bigint"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % F.lit(2147483647).cast("bigint"),
+    )
+    b = (
+        tok.select("tok", (h % _FEAT_HASH_BUCKETS).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("tok").cast("bigint").alias("n_distinct_tokens"),
+        )
+        .persist()
+    )
+    total = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"))
+    out = (
+        b.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_tokens"), "bucket")
+        .limit(20)
+    )
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
+    return finalize_bounded(out, b)
+
+
+#: audio analysis frame size (samples per frame) for the frame-energy
+#: profile — 16 samples = 2 ms at the fixture's 8 kHz rate
+_WAV_FRAME = 16
+
+
+@register(
+    "q_multimodal_wav_frame_energy",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(greatest(-32768.0, least(32767.0,
+                    floor(CAST(x AS DOUBLE) * 10000.0 + 0.5))) AS BIGINT)) AS pcm
+      FROM embeddings
+    ),
+    f AS (
+      SELECT vec_id,
+             list_transform(
+               range(0, CAST(ceil(len(pcm) / {_WAV_FRAME}.0) AS BIGINT)),
+               j -> CAST(list_sum(list_transform(
+                      list_slice(pcm, j * {_WAV_FRAME} + 1, j * {_WAV_FRAME} + {_WAV_FRAME}),
+                      v -> v * v)) AS BIGINT)) AS fe
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(len(fe) AS BIGINT) AS n_frames,
+           CAST(list_position(fe, list_max(fe)) - 1 AS BIGINT) AS peak_frame_idx,
+           CAST(list_max(fe) AS BIGINT) AS peak_energy,
+           CAST(list_sum(fe) AS BIGINT) AS total_energy
+    FROM f
+    """,
+    doc="Frame-level audio energy profile through the REAL WAV codec "
+    "path — the frame-sample operation of the multimodal tier applied "
+    "to audio: embeddings quantize to 16-bit PCM (identical half-up "
+    "clamp as q_multimodal_wav_roundtrip), pack through encode_wav, "
+    "decode back through the RIFF chunk walk, then each clip splits "
+    "into 16-sample analysis frames whose energies (sum of squared "
+    "samples — exact int64, bounded by 16 * 32768^2 per frame) locate "
+    "the loudest frame: the voice-activity / silence-trim primitive an "
+    "audio curation pipeline runs before feature extraction. Peak "
+    "frame takes the FIRST argmax (list_position semantics = "
+    "np.argmax), so ties are deterministic. DuckDB reproduces every "
+    "number arithmetically from the embeddings — any framing, "
+    "byte-order, or chunk-alignment bug in the codec breaks the hash. "
+    "Both Python stages are Arrow-batched mapInPandas; no shuffle "
+    "anywhere — embarrassingly parallel over payload partitions.",
+)
+def q_multimodal_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    encode_wav = MM.encode_wav
+    decode_wav = MM.decode_wav
+    frame = _WAV_FRAME
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                pcm = np.clip(np.floor(a * 10000.0 + 0.5), -32768, 32767).astype("<i2")
+                out.append(encode_wav(8000, pcm))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "content": out})
+
+    wavs = e.mapInPandas(enc, "vec_id long, content binary")
+
+    def energies(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vid, payload in zip(pdf["vec_id"], pdf["content"]):
+                _rate, _nch, samples = decode_wav(bytes(payload))
+                ch0 = samples[:, 0].astype(np.int64)
+                n_frames = -(-len(ch0) // frame)
+                padded = np.zeros(n_frames * frame, dtype=np.int64)
+                padded[: len(ch0)] = ch0
+                fe = (padded * padded).reshape(n_frames, frame).sum(axis=1)
+                out.append(
+                    (
+                        vid,
+                        int(n_frames),
+                        int(np.argmax(fe)),
+                        int(fe.max()),
+                        int(fe.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "vec_id", "n_frames", "peak_frame_idx",
+                    "peak_energy", "total_energy",
+                ],
+            )
+
+    return wavs.mapInPandas(
+        energies,
+        "vec_id long, n_frames long, peak_frame_idx long,"
+        " peak_energy long, total_energy long",
+    )

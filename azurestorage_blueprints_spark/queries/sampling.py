@@ -505,3 +505,110 @@ _BOOT_SQL = f"""
 def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_BOOT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic permutation test: the hypothesis-testing twin of the
+# Poisson bootstrap — same single-pass x B fan-out, same nonlinear
+# middle-square mixer, but the draw RELABELS rows instead of
+# reweighting them. The +1299721 lane salt decorrelates the
+# permutation stream from the bootstrap stream (distinct experiments
+# must not share randomness).
+_PERM_B = 32
+
+_PERM_DIFF = (
+    "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+)
+_PERM_OBS_DIFF = (
+    "(CAST(s_f AS DOUBLE) / CAST(n_f AS DOUBLE)"
+    " - CAST(s_o AS DOUBLE) / CAST(n_o AS DOUBLE))"
+)
+
+_PERM_SQL = f"""
+    WITH seeded AS (
+      SELECT b, o_orderstatus AS g,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             ((o_orderkey % 2147483648) * 2654435761 + b * 40503 + 1299721)
+               % 2147483648 AS a
+      FROM orders, (VALUES {_BOOT_VALUES}) AS reps(b)
+      WHERE o_orderstatus IN ('F', 'O')
+    ),
+    mix1 AS (
+      SELECT b, g, cents,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM seeded
+    ),
+    mix2 AS (
+      SELECT b, g, cents,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM mix1
+    ),
+    draws AS (
+      SELECT b, g, cents, (a * 2654435761) % 4294967296 AS u
+      FROM mix2
+    ),
+    perm AS (
+      SELECT b,
+             CAST(sum(CASE WHEN u < 2147483648
+                           THEN CAST(cents AS DECIMAL(38,0)) END)
+                  AS DECIMAL(38,0)) AS sa,
+             CAST(sum(CASE WHEN u < 2147483648 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN u >= 2147483648
+                           THEN CAST(cents AS DECIMAL(38,0)) END)
+                  AS DECIMAL(38,0)) AS sb,
+             CAST(sum(CASE WHEN u >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM draws GROUP BY b
+    ),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN o_orderstatus = 'F'
+                           THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END)
+                  AS DECIMAL(38,0)) AS s_f,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(sum(CASE WHEN o_orderstatus = 'O'
+                           THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END)
+                  AS DECIMAL(38,0)) AS s_o,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    )
+    SELECT n_f, n_o,
+           {_PERM_OBS_DIFF} AS obs_diff_cents,
+           CAST(sum(CASE WHEN abs({_PERM_DIFF}) >= abs({_PERM_OBS_DIFF})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           (1.0 + CAST(sum(CASE WHEN abs({_PERM_DIFF}) >= abs({_PERM_OBS_DIFF})
+                                THEN 1 ELSE 0 END) AS DOUBLE))
+             / {_PERM_B + 1}.0 AS p_value
+    FROM perm CROSS JOIN obs
+    GROUP BY n_f, n_o, s_f, s_o
+"""
+
+
+@register(
+    "q_stats_permutation_test",
+    oracle=_PERM_SQL,
+    doc="Deterministic randomization (permutation) test for the "
+    "difference in mean order value between fulfilled and open orders: "
+    "B=32 label reshuffles, each assigning every row to arm A or B by "
+    "an unbiased coin — the (key, replicate) seed runs through the "
+    "SAME nonlinear middle-square mixer as q_sample_poisson_bootstrap "
+    "(an affine draw would make all replicates one shifted sequence; "
+    "the +1299721 lane salt decorrelates the permutation stream from "
+    "the bootstrap stream), and the top bit of the 32-bit uniform is "
+    "the coin. The achieved significance level is the add-one share "
+    "of replicates whose |mean diff| reaches the observed |diff| — "
+    "the assumption-free alternative to q_stats_ttest_welch's normal "
+    "theory (Fisher randomization with Monte-Carlo relabeling; the "
+    "coin approximates the exact n_f/n_o split, standard for large "
+    "n). Arm sums accumulate exact decimal cents; mean diffs are "
+    "derived doubles via shared expression text, so the extreme-count "
+    "comparison is bit-identical on both engines. Shape: one scan "
+    "fans out x32 inside codegen (VALUES literal cross join), the "
+    "map-side-combined agg moves 32 x 4 numbers; the observed-diff "
+    "scan is a second O(1)-output agg. Nothing else shuffles at any "
+    "corpus size.",
+)
+def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PERM_SQL)

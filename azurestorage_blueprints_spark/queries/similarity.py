@@ -1427,3 +1427,76 @@ def build_embed_outliers(spark: SparkSession, sf_dir: str):
         ),
     ).select("label", "n_vecs", "n_outliers", "mean_sq_dist")
     return out, dist
+
+
+#: cosine radius for the range search — chosen so typical corpus
+#: vectors yield a nonempty but selective match set at test SF
+_RANGE_TAU = 0.35
+
+
+@register(
+    "q_knn_range_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_cosine_similarity(q.qv, e.v) AS sim
+      FROM q JOIN e ON e.vec_id <> q.q_id),
+    hits AS (SELECT q_id, n_id, sim FROM scored WHERE sim >= {_RANGE_TAU})
+    SELECT q_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           min(CASE WHEN rnk = 1 THEN n_id END) AS best_id,
+           min(CASE WHEN rnk = 1 THEN sim END) AS best_sim
+    FROM (SELECT q_id, n_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+          FROM hits) t
+    GROUP BY q_id
+    """,
+    doc="Radius (range) similarity search — the fixed-threshold "
+    "complement of top-k kNN: for each query vector, EVERY corpus "
+    "vector within cosine >= 0.35, reported as per-query match count "
+    "plus the single best match (deterministic id tie-break). The "
+    "retrieval mode dedup prefilters and recall audits use when the "
+    "answer set size must adapt to density rather than truncate at "
+    "k. Same determinism posture as q_knn_brute_force: hoisted "
+    "norms, one dot-product fold per pair with DuckDB's "
+    "list_cosine_similarity expansion, so the hash matches "
+    "bit-for-bit. Shape: broadcast query set, one corpus scan, "
+    "per-query agg — the threshold filter reduces the ranked window "
+    "to the match set only, and at 100 TB the brute pass swaps for "
+    "the IVF/LSH bucketed variants exactly as in the kNN ladder.",
+)
+def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("v"),
+        norm(F.col("embedding")).alias("n_nrm"),
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("n_nrm"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= _RANGE_TAU)
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min(F.when(F.col("rnk") == 1, F.col("n_id"))).alias("best_id"),
+            F.min(F.when(F.col("rnk") == 1, F.col("sim"))).alias("best_sim"),
+        )
+    )

@@ -805,3 +805,246 @@ _THEIL_BODY = f"""
 def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_THEIL_BODY.format(daily=_THEIL_DAILY_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) — the nonparametric sibling of Welch's t.
+# Rank arithmetic runs on the distinct-cents CELL table (the KS-test
+# discipline): tie-averaged ranks come from cumulative counts, doubled
+# so every intermediate stays an exact integer (avg rank of a tie run
+# is half-integral).
+_MWU_VAR = (
+    "((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)"
+    " * ((CAST(n1 + n2 AS DOUBLE) + 1.0)"
+    "    - CAST(tie3 AS DOUBLE)"
+    "      / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))))"
+)
+_MWU_U1 = "(CAST(r1x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)"
+_MWU_Z = (
+    f"(({_MWU_U1} - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)"
+    f" / sqrt({_MWU_VAR}))"
+)
+
+_MWU_SQL = f"""
+    WITH cells AS (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c2, c1 + c2 AS t,
+             CAST(sum(c1 + c2) OVER (ORDER BY v) AS BIGINT) - (c1 + c2) AS nbefore
+      FROM cells
+    ),
+    m AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(CAST(c1 AS DECIMAL(18,0))
+                      * CAST(2 * nbefore + t + 1 AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS r1x2,
+             CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                      * CAST(t AS DECIMAL(12,0)) - t)
+                  AS DECIMAL(38,0)) AS tie3
+      FROM cum
+    )
+    SELECT n1, n2,
+           {_MWU_U1} AS u1,
+           {_MWU_Z} AS z_stat
+    FROM m
+"""
+
+
+@register(
+    "q_stats_mann_whitney",
+    oracle=_MWU_SQL,
+    doc="Mann-Whitney U rank-sum test between the returned (A) and "
+    "refused (R) extended-price distributions — the nonparametric "
+    "location test a curation pipeline reaches for when Welch's t is "
+    "invalidated by heavy tails. EXACT integer rank arithmetic on the "
+    "distinct-cents cell table (the q_stats_ks_test discipline): the "
+    "tie-averaged rank of a run is half-integral, so the group-1 rank "
+    "sum is carried DOUBLED (2*sum(rank) = sum(c1*(2*before+t+1)) — "
+    "pure bigint/decimal), the tie-correction term sum(t^3-t) "
+    "accumulates as DECIMAL(38,0) (t^3 passes int64 once a single "
+    "price cell holds >2M rows), and U and the tie-corrected normal "
+    "z-statistic are derived doubles from identical exact inputs via "
+    "shared expression text. Shape: one hash-agg to the "
+    "price-domain-bounded cell table, one single-partition window "
+    "cumsum over it, one 4-column moment row out — the fact scan "
+    "never shuffles more than the cell table at any SF.",
+)
+def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_MWU_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b — the concordance-based rank correlation (vs Spearman's
+# rho over ranks): exact pair counts over the calendar-bounded daily
+# series, tie-corrected denominator, derived-double statistic.
+_TAU_B = (
+    "((CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))"
+    " / sqrt((CAST(n_pairs AS DOUBLE) - CAST(ties_x AS DOUBLE))"
+    "        * (CAST(n_pairs AS DOUBLE) - CAST(ties_y AS DOUBLE))))"
+)
+
+_KENDALL_SQL = f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS m
+      FROM orders GROUP BY o_orderdate
+    ),
+    p AS (
+      SELECT CASE WHEN (a.y < b.y AND a.m < b.m)
+                    OR (a.y > b.y AND a.m > b.m) THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.y < b.y AND a.m > b.m)
+                    OR (a.y > b.y AND a.m < b.m) THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.m = b.m THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(conc) AS BIGINT) AS n_concordant,
+             CAST(sum(disc) AS BIGINT) AS n_discordant,
+             CAST(sum(tx) AS BIGINT) AS ties_x,
+             CAST(sum(ty) AS BIGINT) AS ties_y
+      FROM p
+    )
+    SELECT n_pairs, n_concordant, n_discordant, ties_x, ties_y,
+           {_TAU_B} AS tau_b
+    FROM m
+"""
+
+
+@register(
+    "q_stats_kendall_tau",
+    oracle=_KENDALL_SQL,
+    doc="Kendall tau-b rank correlation between daily revenue and daily "
+    "order count — the concordance-counting complement to "
+    "q_stats_spearman (tau is the probability-of-agreement statistic; "
+    "rho is rank-Pearson), robust to monotone transformations and the "
+    "standard drift check between two operational series. Every pair "
+    "of days is classified concordant / discordant / tied by EXACT "
+    "integer comparisons, the tie-corrected tau-b denominator uses "
+    "exact pair counts, and only the final statistic divides to "
+    "double via shared expression text (sqrt is correctly rounded on "
+    "both engines). Shape: the fact table reduces to the "
+    "CALENDAR-bounded daily series in one map-side-combined hash-agg; "
+    "the O(days^2) pair classification (~3M comparisons at ANY corpus "
+    "size — a constant, not a function of SF) rides the q_stats_theil_sen "
+    "self-join discipline and collapses to a single 5-integer row.",
+)
+def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_KENDALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) homogeneity-of-variance test:
+# the gatekeeper run BEFORE trusting ANOVA's equal-variance assumption.
+# The five TPC-H priorities are pivoted into ONE moment row so the
+# 5-term between/within sums are spelled in FIXED textual order — a
+# bare sum() over the 5-row group table would fold doubles in
+# engine-dependent order (the Welch-test discipline, extended to k=5).
+_BF_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+def _bf_pivot() -> str:
+    cols = []
+    for i, p in enumerate(_BF_PRIOS, start=1):
+        cols.append(f"CAST(sum(CASE WHEN g = '{p}' THEN n END) AS BIGINT) AS n{i}")
+        cols.append(f"CAST(sum(CASE WHEN g = '{p}' THEN sz END) AS DECIMAL(38,0)) AS sz{i}")
+        cols.append(f"CAST(sum(CASE WHEN g = '{p}' THEN qz END) AS DECIMAL(38,0)) AS qz{i}")
+    return ",\n             ".join(cols)
+
+#: Σ sz_j as exact decimal (order-insensitive), then every double
+#: expression folds its 5 terms left-to-right in priority order on
+#: both engines via identical expression text
+_BF_N = "(n1 + n2 + n3 + n4 + n5)"
+_BF_SZT = "CAST(sz1 + sz2 + sz3 + sz4 + sz5 AS DOUBLE)"
+_BF_SB = " + ".join(
+    f"CAST(sz{i} AS DOUBLE) * CAST(sz{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+    for i in range(1, 6)
+)
+_BF_SSB = f"(({_BF_SB}) - ({_BF_SZT}) * ({_BF_SZT}) / CAST({_BF_N} AS DOUBLE))"
+_BF_SSW = "(" + " + ".join(
+    f"(CAST(qz{i} AS DOUBLE)"
+    f" - CAST(sz{i} AS DOUBLE) * CAST(sz{i} AS DOUBLE) / CAST(n{i} AS DOUBLE))"
+    for i in range(1, 6)
+) + ")"
+_BF_F = (
+    f"((CAST({_BF_N} - 5 AS DOUBLE) / 4.0)"
+    f" * ({_BF_SSB} / {_BF_SSW}))"
+)
+
+_BF_SQL = f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm,
+             CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM cells
+    ),
+    med AS (
+      SELECT g, min(v) AS med
+      FROM cum
+      WHERE cm >= CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+      GROUP BY g
+    ),
+    zm AS (
+      SELECT c.g,
+             CAST(sum(c.cnt) AS BIGINT) AS n,
+             CAST(sum(CAST(c.cnt AS DECIMAL(18,0))
+                      * CAST(abs(c.v - m.med) AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS sz,
+             CAST(sum(CAST(c.cnt AS DECIMAL(12,0))
+                      * CAST(abs(c.v - m.med) AS DECIMAL(12,0))
+                      * CAST(abs(c.v - m.med) AS DECIMAL(12,0)))
+                  AS DECIMAL(38,0)) AS qz
+      FROM cells c JOIN med m ON c.g = m.g
+      GROUP BY c.g
+    ),
+    piv AS (
+      SELECT {_bf_pivot()}
+      FROM zm
+    )
+    SELECT CAST(5 AS BIGINT) AS k_groups,
+           CAST({_BF_N} AS BIGINT) AS n_total,
+           {_BF_F} AS bf_f
+    FROM piv
+"""
+
+
+@register(
+    "q_stats_levene_bf",
+    oracle=_BF_SQL,
+    doc="Brown-Forsythe test (median-based Levene) for homogeneity of "
+    "variance of order value across the five order priorities — the "
+    "assumption gate a pipeline runs BEFORE trusting q_stats_anova_oneway "
+    "(classic ANOVA is anti-robust to unequal spread). Group medians "
+    "are EXACT low-medians picked by cumulative count on the "
+    "(priority x distinct-cents) CELL table — no engine-native "
+    "quantile ever crosses the comparison — absolute deviations from "
+    "the median are exact integers, and their per-group sum / "
+    "sum-of-squares accumulate as DECIMAL(38,0) (|dev|^2 sums pass "
+    "int64 near 1e6-cent spreads x billions of rows). The five groups "
+    "then PIVOT into one moment row on the literal priority values so "
+    "the between/within sums of squares are spelled as explicit "
+    "5-term double expressions in fixed textual order — a bare sum() "
+    "over the group table would fold doubles in engine-dependent "
+    "order and break the hash (the Welch-test discipline at k=5). "
+    "Shape: one fact-scale hash-agg to the cell table, per-group "
+    "window cumsums over it (price-domain-bounded), a 5-row moment "
+    "pivot — nothing wider than the cell table ever shuffles.",
+)
+def q_stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BF_SQL)
