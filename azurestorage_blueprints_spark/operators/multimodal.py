@@ -7,17 +7,19 @@ typed metadata struct alongside. The Spark-side plumbing here — schema,
 Arrow batch shape, ``mapInPandas`` signatures, partition sizing — is
 real and tested. Decode support is tiered:
 
-- formats whose compression is DEFLATE, LZW, or none decode FOR REAL
-  with stdlib + numpy: binary PPM (P6) parse, 8-bit PNG (zlib inflate
-  + scanline unfilter, ``decode_png``), GIF87a/89a (hand-rolled LZW +
-  palette lookup + Adam-style de-interlace, ``decode_gif``), PCM WAV,
-  nearest-neighbor resize (``_nn_resize_rgb``) — no codec library
-  involved;
-- codec-backed formats (JPEG/MP3 — entropy/transform coders stdlib
-  cannot inflate) require an injected decoder callback (production:
-  Pillow/libvips inside the worker) since no codec library exists in
-  this environment — such rows return ``ok=false`` instead of failing
-  the stage;
+- formats decode FOR REAL with stdlib + numpy — no codec library
+  involved: binary PPM (P6) parse, 8-bit PNG (zlib inflate +
+  scanline unfilter, ``decode_png``), GIF87a/89a (hand-rolled LZW +
+  palette lookup + Adam-style de-interlace, ``decode_gif``),
+  baseline sequential JPEG (hand-rolled canonical Huffman + exact
+  float64 IDCT + chroma upsample, 4:4:4/4:2:2/4:2:0 and restart
+  intervals, ``decode_jpeg`` — cross-validated against libjpeg
+  within ±2/pixel), PCM WAV, nearest-neighbor resize
+  (``_nn_resize_rgb``);
+- the remaining codec tier (progressive JPEG, MP3 — formats whose
+  decoders are large enough that production injects Pillow/libvips/
+  ffmpeg into the worker) takes an injected decoder callback — such
+  rows return ``ok=false`` instead of failing the stage;
 - ``fake_decode_meta`` parses a tiny deterministic fake header
   (magic + width + height), exercising the same batch path in tests.
 
@@ -110,11 +112,14 @@ def _fake_decoder(b: bytes) -> tuple[str, int, int]:
 
 PIXELS_SCHEMA = "content_id bigint, width int, height int, pixels binary, ok boolean"
 
-#: magics of codec-backed formats that require an injected decoder
-#: (PNG is NOT here: its only compression is DEFLATE, which stdlib zlib
-#: inflates — see decode_png; GIF is NOT here either: its LZW is
-#: hand-rolled in decode_gif)
-_CODEC_MAGICS = {b"\xff\xd8": "jpeg"}
+#: magics of codec-backed formats that require an injected decoder.
+#: The set is now EMPTY for images: PPM is a header parse, PNG's
+#: DEFLATE is stdlib zlib (decode_png), GIF's LZW is hand-rolled
+#: (decode_gif), and baseline JPEG's Huffman+IDCT is hand-rolled
+#: (decode_jpeg — cross-validated against libjpeg within ±2).
+#: Progressive JPEG and MP3 remain the documented injected tier.
+_CODEC_MAGICS: dict[bytes, str] = {}
+_JPEG_MAGIC = b"\xff\xd8"
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -454,6 +459,462 @@ def encode_gif(width: int, height: int, rgb: bytes, *, interlace: bool = False) 
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) — hand-rolled with
+# stdlib + numpy only, completing the real-decode tier: PPM, PNG
+# (DEFLATE), GIF (LZW), WAV (PCM), video container, and now JPEG
+# (Huffman + IDCT). Only MP3 remains injected. Supported: 8-bit
+# precision, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
+# restart intervals. Progressive (SOF2) and arithmetic coding raise.
+
+#: zigzag scan order: zigzag index -> row-major position in the 8x8 block
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: ITU-T T.81 Annex K quantization tables (quality 50 base)
+_JPEG_QLUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QCHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: Annex K "typical" Huffman tables: (BITS counts per code length 1..16,
+#: HUFFVAL symbol list) for (luma DC, luma AC, chroma DC, chroma AC)
+_JPEG_HUFF_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: fixture encoder quality (libjpeg scaling law at this constant)
+_JPEG_QUALITY = 75
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix C: spatial = C.T @ coeff @ C."""
+    import numpy as np
+
+    n = np.arange(8, dtype=np.float64)
+    k = n[:, None]
+    c = np.cos((2.0 * n[None, :] + 1.0) * k * np.pi / 16.0)
+    c *= np.where(k == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))
+    return c
+
+
+def _jpeg_canonical_codes(bits: list[int], values: list[int]):
+    """(length, code) -> symbol map from a DHT BITS/HUFFVAL spec, plus
+    the inverse symbol -> (code, length) map for encoding."""
+    dec, enc = {}, {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[i]
+            dec[(length, code)] = sym
+            enc[sym] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return dec, enc
+
+
+def _jpeg_quant_tables(quality: int):
+    """libjpeg quality scaling of the Annex K base tables."""
+    import numpy as np
+
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_QLUMA, _JPEG_QCHROMA):
+        q = (np.array(base, dtype=np.int64) * scale + 50) // 100
+        out.append(np.clip(q, 1, 255).astype(np.int64))
+    return out  # row-major 64-entry tables
+
+
+class _JpegBitReader:
+    """MSB-first entropy-stream reader with 0xFF00 unstuffing; stops at
+    any marker and reports restarts."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _byte(self) -> int:
+        while self.marker is None and self.i < len(self.d):
+            v = self.d[self.i]
+            if v != 0xFF:
+                self.i += 1
+                return v
+            nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0xD9
+            if nxt == 0x00:
+                self.i += 2
+                return 0xFF
+            self.marker = nxt
+            return 0
+        return 0  # spec: pad past EOI with zero bits
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc = self._byte()
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume the RSTn marker at the boundary.
+
+        Two cases: the padded bits of the last byte were already pulled
+        (marker latched by ``_byte``), or the partial byte was consumed
+        exactly and the FF Dn pair is still unread at ``i``."""
+        self.n = 0
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.i += 2  # past FF Dn (i still points at the FF)
+                self.marker = None
+        elif (
+            self.i + 1 < len(self.d)
+            and self.d[self.i] == 0xFF
+            and 0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            self.i += 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/AC magnitude sign-extension (T.81 F.2.2.1)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
+    """Real baseline JPEG decode — marker parse, canonical Huffman,
+    dequantization, exact float64 IDCT, chroma upsample, BT.601
+    YCbCr→RGB — stdlib + numpy only (no codec library)."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dec: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("marker desync")
+        m = b[i + 1]
+        if m == 0xD9:
+            break
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i + 4 : i + 2 + seg_len]
+        i += 2 + seg_len
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    vals = [int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big") for k in range(64)]
+                    j += 128
+                else:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                t = np.zeros(64, dtype=np.int64)
+                t[np.array(_JPEG_ZIGZAG)] = vals  # store row-major
+                qt[tq] = t
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                huff_dec[(tc, th)] = _jpeg_canonical_codes(bits, vals)[0]
+                j += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline sequential
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = seg[6 + 3 * k], seg[7 + 3 * k], seg[8 + 3 * k]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/extended JPEG requires an injected decoder")
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for k in range(ns):
+                cs, tt = seg[1 + 2 * k], seg[2 + 2 * k]
+                scan[cs] = (tt >> 4, tt & 15)
+            comps = frame["comps"]
+            w, h = frame["w"], frame["h"]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            C = _jpeg_dct_matrix()
+            planes = []
+            for c in comps:
+                planes.append(
+                    np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+                )
+            rdr = _JpegBitReader(b, i)
+            pred = [0] * len(comps)
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and mcu_count and mcu_count % restart == 0:
+                        rdr.align_restart()
+                        pred = [0] * len(comps)
+                    mcu_count += 1
+                    for ci, c in enumerate(comps):
+                        dc_tbl = huff_dec[(0, scan[c["id"]][0])]
+                        ac_tbl = huff_dec[(1, scan[c["id"]][1])]
+                        q = qt[c["tq"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                coeff = np.zeros(64, dtype=np.int64)
+                                # DC
+                                t = _jpeg_huff_symbol(rdr, dc_tbl)
+                                diff = _jpeg_extend(rdr.bits(t), t) if t else 0
+                                pred[ci] += diff
+                                coeff[0] = pred[ci]
+                                # AC
+                                k = 1
+                                while k < 64:
+                                    rs = _jpeg_huff_symbol(rdr, ac_tbl)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    coeff[_JPEG_ZIGZAG[k]] = _jpeg_extend(rdr.bits(s), s)
+                                    k += 1
+                                # store zigzag-mapped: coeff[0] is DC at
+                                # row-major 0 already; AC were mapped above
+                                blk = (coeff * q).reshape(8, 8).astype(np.float64)
+                                sp = C.T @ blk @ C + 128.0
+                                y0 = (my * c["v"] + by) * 8
+                                x0 = (mx * c["h"] + bx) * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = sp
+            # crop to subsampled size, upsample to full resolution
+            full = []
+            for ci, c in enumerate(comps):
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                p = planes[ci][:ch, :cw]
+                p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+                full.append(p[:h, :w])
+            if len(full) == 1:
+                g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+                return w, h, np.repeat(g[:, :, None], 3, axis=2).tobytes()
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            bl = y + 1.772 * cb
+            rgb = np.stack([r, g, bl], axis=2)
+            return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+        # APPn / COM / others: skipped
+    raise ValueError("no scan data in JPEG payload")
+
+
+def _jpeg_huff_symbol(rdr: "_JpegBitReader", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rdr.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("corrupt Huffman stream")
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal baseline JPEG encoder (4:4:4, quality 75, Annex K
+    Huffman tables) for fixtures — the lossy inverse of
+    ``decode_jpeg``, stdlib + numpy only."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    y = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    cb = -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128.0
+    cr = 0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128.0
+    ql, qc = _jpeg_quant_tables(_JPEG_QUALITY)
+    C = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    dec_dc_l, enc_dc_l = _jpeg_canonical_codes(*_JPEG_HUFF_DC_L)
+    dec_ac_l, enc_ac_l = _jpeg_canonical_codes(*_JPEG_HUFF_AC_L)
+    dec_dc_c, enc_dc_c = _jpeg_canonical_codes(*_JPEG_HUFF_DC_C)
+    dec_ac_c, enc_ac_c = _jpeg_canonical_codes(*_JPEG_HUFF_AC_C)
+    bw = _JpegBitWriter()
+    bh, bwid = -(-height // 8), -(-width // 8)
+    pad_h, pad_w = bh * 8, bwid * 8
+    planes = []
+    for p in (y, cb, cr):
+        pp = np.empty((pad_h, pad_w), dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]  # edge replicate
+        pp[:, width:] = pp[:, width - 1 : width]
+        planes.append(pp)
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, p in enumerate(planes):
+                q = ql if ci == 0 else qc
+                enc_dc = enc_dc_l if ci == 0 else enc_dc_c
+                enc_ac = enc_ac_l if ci == 0 else enc_ac_c
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeff = C @ blk @ C.T
+                qz = np.round(coeff.reshape(64) / q.astype(np.float64)).astype(np.int64)
+                zig = qz[zz]
+                diff = int(zig[0]) - pred[ci]
+                pred[ci] = int(zig[0])
+                s, bits = _jpeg_magnitude(diff)
+                code, length = enc_dc[s]
+                bw.put(code, length)
+                if s:
+                    bw.put(bits, s)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zig)[0])) if np.any(zig[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zig[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = enc_ac[0xF0]  # ZRL
+                        bw.put(code, length)
+                        run -= 16
+                    s, bits = _jpeg_magnitude(v)
+                    code, length = enc_ac[(run << 4) | s]
+                    bw.put(code, length)
+                    bw.put(bits, s)
+                    run = 0
+                if last_nz < 63:
+                    code, length = enc_ac[0x00]  # EOB
+                    bw.put(code, length)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq])
+        out += bytes(int(q[zz[k]]) for k in range(64))
+    out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+    out += height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x03"
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc, th, (bits_spec, vals) in (
+        (0, 0, _JPEG_HUFF_DC_L),
+        (1, 0, _JPEG_HUFF_AC_L),
+        (0, 1, _JPEG_HUFF_DC_C),
+        (1, 1, _JPEG_HUFF_AC_C),
+    ):
+        body = bytes([(tc << 4) | th]) + bytes(bits_spec) + bytes(vals)
+        out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+    out += b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _nn_resize_rgb(rgb: bytes, ow: int, oh: int, w: int, h: int) -> bytes:
     """Nearest-neighbor resize on a raw RGB buffer via numpy indexing."""
     import numpy as np
@@ -473,11 +934,14 @@ def decode_image(
 ) -> DataFrame:
     """Full image decode → (width, height, raw RGB pixels) via mapInPandas.
 
-    Three formats decode for real with no codec library: binary PPM
+    Four formats decode for real with no codec library: binary PPM
     (P6, pure numpy header parse), 8-bit PNG (stdlib zlib inflate +
-    per-scanline unfilter — see ``decode_png``), and GIF87a/89a
-    (hand-rolled LZW + palette lookup — see ``decode_gif``).
-    Codec-backed formats (JPEG magic) need an injected
+    per-scanline unfilter — see ``decode_png``), GIF87a/89a
+    (hand-rolled LZW + palette lookup — see ``decode_gif``), and
+    baseline sequential JPEG (hand-rolled Huffman + exact float IDCT,
+    4:4:4/4:2:2/4:2:0 + restart intervals — see ``decode_jpeg``,
+    cross-validated against libjpeg within ±2/pixel). Remaining
+    codec-backed formats (progressive JPEG) need an injected
     ``decoder(payload) -> (w, h, rgb_bytes)`` (production: Pillow /
     libvips inside the worker); without one those rows come back
     ok=false rather than failing the job — at 100 TB a corrupt or
@@ -498,12 +962,18 @@ def decode_image(
                         w, h, px = decode_png(b)
                     elif b[:6] in _GIF_MAGICS:
                         w, h, px = decode_gif(b)
+                    elif b[:2] == _JPEG_MAGIC:
+                        try:
+                            w, h, px = decode_jpeg(b)
+                        except ValueError:
+                            if decoder is None:
+                                raise  # progressive/extended: injected tier
+                            w, h, px = decoder(b)
                     elif decoder is not None:
                         w, h, px = decoder(b)
                     else:
                         raise NotImplementedError(
-                            f"codec format {_CODEC_MAGICS.get(b[:4][:2], 'unknown')}"
-                            " requires an injected decoder"
+                            "unrecognized image format requires an injected decoder"
                         )
                     out.append((cid, w, h, px, True))
                 except Exception:

@@ -1057,3 +1057,80 @@ def q_multimodal_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id long, n_frames long, peak_frame_idx long,"
         " peak_energy long, total_energy long",
     )
+
+
+@register(
+    "q_multimodal_jpeg_roundtrip",
+    oracle=None,  # JPEG is LOSSY: decoded pixels depend on the codec's
+    # DCT/quantization arithmetic, which no SQL oracle reproduces —
+    # rows-only here; the codec itself is pinned byte-exact against a
+    # libjpeg-produced fixture in tests/test_jpeg_codec.py
+    doc="End-to-end baseline-JPEG round-trip through the REAL "
+    "hand-rolled codec (operators/multimodal.py decode_jpeg/"
+    "encode_jpeg — canonical Huffman + exact float64 DCT/IDCT, "
+    "4:2:0-capable, cross-validated against libjpeg within ±2/pixel "
+    "and byte-pinned in tests/test_jpeg_codec.py): embeddings "
+    "quantize to 8x8 grayscale, compress through encode_jpeg "
+    "(quality 75, 4:4:4), decode back through the decode_image "
+    "dispatch, and report per-image dimensions, compressed size, and "
+    "pixel checksum. Rows-only BY NATURE: lossy transform coding "
+    "means the decoded pixels are a property of the codec arithmetic, "
+    "not of the input data, so no SQL oracle can reproduce them — the "
+    "determinism + correctness burden moves to the codec test gates. "
+    "Shape: both Python stages are Arrow-batched mapInPandas, zero "
+    "shuffles — embarrassingly parallel over payload partitions at "
+    "100 TB, the same plan envelope as the GIF/WAV oracle-checked "
+    "twins.",
+)
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    encode_jpeg = MM.encode_jpeg
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                lo, hi = float(a.min()), float(a.max())
+                if hi > lo:
+                    g = np.floor((a - lo) * (255.0 / (hi - lo)) + 0.5).astype(np.uint8)
+                else:
+                    g = np.zeros(len(a), dtype=np.uint8)
+                out.append(encode_jpeg(8, 8, np.repeat(g, 3).tobytes()))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "content": out})
+
+    jpegs = e.mapInPandas(enc, "vec_id long, content binary")
+    decoded = MM.decode_image(jpegs, id_col="vec_id")
+
+    def checksum(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            s = [
+                int(np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64).sum())
+                if ok
+                else None
+                for px, ok in zip(pdf["pixels"], pdf["ok"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["content_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "px_checksum": pd.array(s, dtype="Int64"),
+                }
+            )
+
+    return decoded.mapInPandas(
+        checksum, "vec_id long, width int, height int, px_checksum long"
+    )
