@@ -980,13 +980,20 @@ _BF_F = (
     f" * ({_BF_SSB} / {_BF_SSW}))"
 )
 
-_BF_SQL = f"""
-    WITH cells AS (
+#: the cell table feeds BOTH the median pick and the deviation
+#: moments; as one SQL statement Catalyst inlines it per reference and
+#: the FACT TABLE is scanned 4x (measured) — so the shared tail is
+#: templated over the cell source: the oracle inlines the cells CTE,
+#: the Spark side persists the cell DataFrame and references the view
+#: (the q_graph_assortativity discipline)
+_BF_CELLS = """
       SELECT o_orderpriority AS g,
              CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
              CAST(count(*) AS BIGINT) AS cnt
       FROM orders GROUP BY 1, 2
-    ),
+"""
+
+_BF_TAIL = f"""
     cum AS (
       SELECT g, v, cnt,
              CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm,
@@ -1022,6 +1029,10 @@ _BF_SQL = f"""
     FROM piv
 """
 
+_BF_SQL = f"""
+    WITH cells AS ({_BF_CELLS}),
+{_BF_TAIL}"""
+
 
 @register(
     "q_stats_levene_bf",
@@ -1046,5 +1057,15 @@ _BF_SQL = f"""
     "pivot — nothing wider than the cell table ever shuffles.",
 )
 def q_stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_BF_SQL)
+    # materialize the cell table ONCE: as a single statement Catalyst
+    # inlines the cells CTE per reference and the fact table is
+    # scanned 4x (plan-gated in tests/test_plan_quality.py); the tail
+    # SQL is shared verbatim with the oracle, so the values — and the
+    # hash — are unchanged
+    cells = spark.sql(_BF_CELLS).persist()
+    cells.createOrReplaceTempView("bf_cells")
+    out = spark.sql("WITH cells AS (SELECT * FROM bf_cells),\n" + _BF_TAIL)
+    return finalize_bounded(out, cells)

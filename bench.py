@@ -94,6 +94,18 @@ HEADLINE = [
     "q_semdedup_hier",
     "q_text_rake_keywords",
     "q_embed_outliers",
+    # round-6 additions: nonparametric/rank statistics, randomization
+    # inference, BSP connected components, radius search, feature
+    # hashing, and the real-codec JPEG/WAV-frame multimodal tier
+    "q_stats_mann_whitney",
+    "q_stats_kendall_tau",
+    "q_stats_levene_bf",
+    "q_stats_permutation_test",
+    "q_graph_components_minlabel",
+    "q_knn_range_search",
+    "q_text_feature_hashing",
+    "q_multimodal_wav_frame_energy",
+    "q_multimodal_jpeg_roundtrip",
 ]
 
 
