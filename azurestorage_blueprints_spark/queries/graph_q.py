@@ -678,48 +678,47 @@ def _cc_oracle() -> str:
     "variant fully oracle-checkable, unlike loop-until-fixpoint "
     "drivers whose round count depends on data. Report: top-20 "
     "components by size plus the total component count. Shape per "
-    "round: two equi-joins of the edge list against the O(nodes) "
-    "label table and one min-agg — the label table, never the fact "
-    "table, shuffles — and each round is MATERIALIZED (DuckDB "
-    "AS MATERIALIZED / Spark localCheckpoint) because three "
-    "references per round otherwise grow a 3^R recompute tree. At "
-    "100 TB the same loop runs with R = log2(diameter bound) rounds; "
-    "doubling R doubles the rounds executed, not the data moved per "
-    "round.",
+    "round (the PageRank adjacency discipline): the neighbor lists "
+    "are built ONCE, hash-partitioned on node — the same key every "
+    "round's join and agg use — so the label traversal is a "
+    "co-partitioned join and the only per-round exchange carries the "
+    "exploded (neighbor, label) contributions; each round is "
+    "MATERIALIZED (DuckDB AS MATERIALIZED / Spark localCheckpoint) "
+    "because multiple references per round otherwise grow an "
+    "exponential recompute tree. The naive per-endpoint edge join "
+    "was 3 shuffles/round and 16x slower (measured 6.6 -> 0.4 s at "
+    "sf0.1). At 100 TB the same loop runs with R = log2(diameter "
+    "bound) rounds; hub-node skew segments hot adjacency rows into "
+    "(node, salt) chunks exactly as documented for PageRank.",
 )
 def q_graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_partkey") * 2).alias("an"),
-            (F.col("l_suppkey") * 2 + 1).alias("bn"),
-        )
-        .distinct()
-        .persist()
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("an"),
+        (F.col("l_suppkey") * 2 + 1).alias("bn"),
+    ).distinct()
+    # the PageRank adjacency discipline: ONE wide shuffle builds the
+    # undirected neighbor lists hash-partitioned on `node` — the same
+    # key every round's join and agg use, so the per-round edge
+    # traversal is a co-partitioned join (no edge re-shuffle) and the
+    # only exchange per round carries the exploded (neighbor, label)
+    # contributions. The first cut joined the raw edge list on each
+    # endpoint separately: three shuffles per round and 16x the wall
+    # clock at sf0.1 (measured 6.6 -> 0.4 s).
+    und = edges.select(F.col("an").alias("node"), F.col("bn").alias("nbr")).unionAll(
+        edges.select(F.col("bn").alias("node"), F.col("an").alias("nbr"))
     )
-    labels = (
-        edges.select(F.col("an").alias("node"))
-        .groupBy("node")
-        .agg(F.min("node").cast("bigint").alias("lab"))
-        .unionAll(
-            edges.select(F.col("bn").alias("node"))
-            .groupBy("node")
-            .agg(F.min("node").cast("bigint").alias("lab"))
-        )
-    )
+    adj = und.groupBy("node").agg(F.collect_list("nbr").alias("nbrs")).persist()
+    labels = adj.select("node", F.col("node").cast("bigint").alias("lab"))
     for _ in range(_CC_ROUNDS):
-        cand = (
-            edges.join(labels, edges.bn == labels.node)
-            .select(F.col("an").alias("node"), "lab")
-            .unionAll(
-                edges.join(labels, edges.an == labels.node)
-                .select(F.col("bn").alias("node"), "lab")
-            )
-            .unionAll(labels)
+        contrib = adj.join(labels, "node").select(
+            F.explode("nbrs").alias("node"), "lab"
         )
-        # three consumers of `labels` next round -> truncate lineage
+        # `labels` is read twice per round (join + identity carry):
+        # truncate lineage or the recompute tree doubles every round
         labels = (
-            cand.groupBy("node")
+            contrib.unionAll(labels)
+            .groupBy("node")
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=False)
         )
@@ -732,4 +731,4 @@ def q_graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "component_id")
         .limit(20)
     )
-    return finalize_bounded(out, edges, comp)
+    return finalize_bounded(out, adj, comp)
