@@ -159,13 +159,25 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    for line in emit_lines(timings, spread, errors, sf):
+        print(line)
+
+
+def emit_lines(
+    timings: dict[str, float],
+    spread: dict[str, list[float]],
+    errors: dict[str, str],
+    sf: float,
+) -> list[str]:
+    """Build the two output lines (full artifact + tail-survivable
+    compact summary). Factored out so tests/test_bench_output.py can
+    pin the truncation contract without running the benchmark."""
     # a partial sum is NOT comparable across rounds: with any error
     # the headline value is withheld (null) so a broken query can
     # never make a round look faster; per-query timings remain for
     # apples-to-apples comparison on the surviving set
     value = round(sum(timings.values()), 3) if not errors else None
     out = {
-        "metric": "headline_queries_total_wall_seconds",
         # bulky diagnostics (spread, errors) come FIRST: the driver
         # preserves only the TAIL of stdout, so the headline value and
         # the median queries dict must be the last bytes printed
@@ -173,6 +185,7 @@ def main() -> None:
         # headline to front-truncation).
         "spread": spread,
         **({"errors": errors} if errors else {}),
+        "metric": "headline_queries_total_wall_seconds",
         "runs_per_query": RUNS_PER_QUERY,
         "n_total": len(HEADLINE),
         "n_ok": len(timings),
@@ -181,20 +194,18 @@ def main() -> None:
         "queries": timings,
         "value": value,
     }
-    print(json.dumps(out))
     # second, compact, tail-survivable summary line: no spread/errors,
-    # minimal separators — fits inside the driver's 2000-char tail
-    # window even at 60+ headline queries, and parses stand-alone.
+    # 1-decimal medians, minimal separators and keys, queries first and
+    # the total LAST — so even a front-truncated tail still ends with
+    # the headline value; must fit the driver's 2000-char tail window
+    # at the full headline count (gated in tests/test_bench_output.py).
     compact = {
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "metric": "headline_queries_total_wall_seconds",
-        "unit": "sec",
+        "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
         "n_ok": len(timings),
-        "n_total": len(HEADLINE),
         "value": value,
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    return [json.dumps(out), json.dumps(compact, separators=(",", ":"))]
 
 
 if __name__ == "__main__":
