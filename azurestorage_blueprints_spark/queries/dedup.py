@@ -1054,3 +1054,166 @@ def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_retention", "novelty_retention",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable MinHash — the ORACLE-CHECKED sibling of q_dedup_minhash_lsh.
+# The fast rung hashes shingles with Spark's murmur3 (engine-specific →
+# rows-only); this rung derives every hash from the repo's portable
+# polynomial fold so DuckDB reproduces signatures, band buckets, and
+# Jaccard estimates bit-for-bit. Fewer permutations (16 = 4 bands x 4
+# rows) keep the unrolled cross-engine SQL tractable; the murmur3 rung
+# remains the production-width path.
+_MHP_PERMS = 16
+_MHP_BANDS = 4
+_MHP_ROWS = _MHP_PERMS // _MHP_BANDS
+_MHP_M = 2147483647
+
+
+def _mhp_band_hash(cols: list[str]) -> str:
+    """Fold a band's signature components with the portable polynomial
+    combine — identical expression text on both engines."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = f"(({acc}) * 31 + {c}) % {_MHP_M}"
+    return acc
+
+
+@register(
+    "q_dedup_minhash_portable",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               t -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % {_MHP_M})) AS hs
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(hs) >= 3 THEN
+                      list_transform(range(1, len(hs) - 1),
+                        i -> ((hs[i] * 31 + hs[i + 1]) % {_MHP_M} * 31
+                              + hs[i + 2]) % {_MHP_M})
+                    ELSE
+                      [((hs[1] * 31 + coalesce(hs[2], 0)) % {_MHP_M} * 31
+                        + coalesce(hs[3], 0)) % {_MHP_M}]
+                    END) AS h
+      FROM th WHERE len(hs) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"CAST(min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MHP_M}) AS BIGINT) AS s{i}" for i in range(_MHP_PERMS))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {bi} AS band, "
+          f"CAST({_mhp_band_hash([f's{bi * _MHP_ROWS + r}' for r in range(_MHP_ROWS)])} AS BIGINT) AS bh, "
+          f"{', '.join(f's{i}' for i in range(_MHP_PERMS))} FROM sig"
+          for bi in range(_MHP_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(({" + ".join(f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(_MHP_PERMS))})
+                AS DOUBLE) / {_MHP_PERMS}.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON c.a_id = sa.doc_id
+    JOIN sig sb ON c.b_id = sb.doc_id
+    ORDER BY c.a_id, c.b_id
+    """,
+    doc="MinHash+LSH near-dup detection, fully ORACLE-CHECKED: every "
+    "hash in the pipeline — per-token polynomial fold (h*31+c mod "
+    "2^31-1, the q_text_fingerprint convention), 3-gram shingle "
+    "combine, the 16 affine permutations, and the band-bucket fold — "
+    "is engine-portable integer arithmetic, so DuckDB reproduces "
+    "signatures, candidate pairs, AND the estimated Jaccard "
+    "bit-for-bit (estimates are dyadic k/16 doubles). This is the "
+    "correctness anchor for the production-width murmur3 rung "
+    "(q_dedup_minhash_lsh, 64 perms, rows-only by necessity): same "
+    "blocking topology, same estimate semantics, verifiable values. "
+    "Short documents keep a whole-span fallback shingle (coalesced "
+    "nulls — identical on both engines). Shape: identical to the fast "
+    "rung — token hash + lead-window shingles stay in the scan stage, "
+    "16 min-aggs ride the doc_id partitioning, candidates block on "
+    "(band, bucket) equi-join, bare id pairs dedup BEFORE signatures "
+    "join back. Sub-quadratic at any corpus size.",
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    p = toked.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    # portable per-token hash (the rolling-fingerprint fold); computed
+    # ONCE per token, then shingles combine the hashed stream via lead
+    codes = F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("bigint"))
+    th = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * 31 + c) % F.lit(_MHP_M).cast("bigint"),
+    )
+    hp = p.select("doc_id", "pos", th.alias("h0"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    posting = (
+        hp.select(
+            "doc_id",
+            "pos",
+            "h0",
+            F.lead("h0", 1).over(w).alias("h1"),
+            F.lead("h0", 2).over(w).alias("h2"),
+        )
+        .filter(F.col("h2").isNotNull() | (F.col("pos") == 0))
+        .select(
+            "doc_id",
+            F.expr(
+                f"((h0 * 31 + coalesce(h1, 0)) % {_MHP_M} * 31"
+                f" + coalesce(h2, 0)) % {_MHP_M}"
+            ).alias("h"),
+        )
+    )
+    sig_aggs = [
+        F.expr(f"cast(min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MHP_M}) as bigint) AS s{i}")
+        for i in range(_MHP_PERMS)
+    ]
+    sig = posting.groupBy("doc_id").agg(*sig_aggs)
+    band_structs = ",".join(
+        f"struct({bi} AS band, cast({_mhp_band_hash([f's{bi * _MHP_ROWS + r}' for r in range(_MHP_ROWS)])} as bigint) AS bh)"
+        for bi in range(_MHP_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", F.expr(f"explode(array({band_structs})) AS bs")
+    ).select("doc_id", "bs.band", "bs.bh")
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("a_id"), *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_MHP_PERMS)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("b_id"), *[F.col(f"s{i}").alias(f"sb{i}") for i in range(_MHP_PERMS)]
+    )
+    est = F.expr(
+        "cast(("
+        + " + ".join(f"CASE WHEN sa{i} = sb{i} THEN 1 ELSE 0 END" for i in range(_MHP_PERMS))
+        + f") as double) / {_MHP_PERMS}.0"
+    )
+    return (
+        cand.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .select("a_id", "b_id", est.alias("est_jaccard"))
+        .orderBy("a_id", "b_id")
+    )
