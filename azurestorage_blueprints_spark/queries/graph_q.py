@@ -416,10 +416,16 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_bounded(out, baskets)
 
 
-#: pair fan-out per evaluated row is bounded by _CN_CHUNK**2 = 4096
+#: pair fan-out per evaluated row is bounded by _CN_CHUNK**2 = 16384
 #: structs, independent of basket size — the knob that turns the max
-#: basket from a straggler into evenly spread work
-_CN_CHUNK = 64
+#: basket from a straggler into evenly spread work. A/B at sf0.1:
+#: 64 → 3.25 s, 128 → 2.98 s, 256 → 2.88 s but with a 7 s outlier
+#: (single-row batches too coarse to balance); 128 is the stable
+#: knee. NOTE the dominant win over the r5 form was never the chunk
+#: bound alone — it is the round-robin exchange BEFORE the explode,
+#: which detaches pair generation from the basket agg's skewed
+#: partitioning.
+_CN_CHUNK = 128
 
 
 def build_common_neighbors(spark: SparkSession, sf_dir: str):
