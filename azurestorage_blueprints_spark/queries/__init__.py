@@ -101,7 +101,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_stats_permutation_test", "q_graph_components_minlabel",
     "q_knn_range_search", "q_text_feature_hashing",
     "q_multimodal_wav_frame_energy", "q_multimodal_jpeg_roundtrip",
-    "q_dedup_minhash_portable",
+    "q_dedup_minhash_portable", "q_stats_wilcoxon_signed_rank",
 })
 
 

@@ -1069,3 +1069,85 @@ def q_stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells.createOrReplaceTempView("bf_cells")
     out = spark.sql("WITH cells AS (SELECT * FROM bf_cells),\n" + _BF_TAIL)
     return finalize_bounded(out, cells)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — the PAIRED nonparametric test (vs Mann-Whitney's
+# independent two-sample U): daily revenue against its 7-day seasonal
+# lag. Zero differences drop (standard Wilcoxon), |diff| ranks come
+# from the same doubled-rank cell arithmetic as q_stats_mann_whitney,
+# and the tie-corrected normal approximation derives from exact
+# integer/decimal moments via shared expression text.
+_WSR_VAR = (
+    "((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)"
+    " * (2.0 * CAST(n AS DOUBLE) + 1.0)) / 24.0"
+    " - CAST(tie3 AS DOUBLE) / 48.0)"
+)
+_WSR_WPLUS = "(CAST(wp2 AS DOUBLE) / 2.0)"
+_WSR_Z = (
+    f"(({_WSR_WPLUS} - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)"
+    f" / sqrt({_WSR_VAR}))"
+)
+
+_WSR_SQL = f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y,
+             CAST(row_number() OVER (ORDER BY o_orderdate) AS BIGINT) AS rn
+      FROM orders GROUP BY o_orderdate
+    ),
+    paired AS (
+      SELECT a.y - b.y AS diff
+      FROM daily a JOIN daily b ON a.rn = b.rn + 7
+    ),
+    nz AS (SELECT diff, abs(diff) AS ad FROM paired WHERE diff <> 0),
+    cells AS (
+      SELECT ad,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+             CAST(count(*) AS BIGINT) AS t
+      FROM nz GROUP BY ad
+    ),
+    cum AS (
+      SELECT ad, cpos, t,
+             CAST(sum(t) OVER (ORDER BY ad) AS BIGINT) - t AS nbefore
+      FROM cells
+    ),
+    m AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(CAST(cpos AS DECIMAL(18,0))
+                      * CAST(2 * nbefore + t + 1 AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS wp2,
+             CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                      * CAST(t AS DECIMAL(12,0)) - t)
+                  AS DECIMAL(38,0)) AS tie3
+      FROM cum
+    )
+    SELECT n AS n_nonzero_pairs,
+           {_WSR_WPLUS} AS w_plus,
+           {_WSR_Z} AS z_stat
+    FROM m
+"""
+
+
+@register(
+    "q_stats_wilcoxon_signed_rank",
+    oracle=_WSR_SQL,
+    doc="Wilcoxon signed-rank test of daily revenue against its 7-day "
+    "seasonal lag — the PAIRED nonparametric drift check (Mann-Whitney "
+    "handles independent samples; this one asks whether this week "
+    "systematically beats last week on matched days, robust to heavy "
+    "tails where the paired t-test is not). Pairing rides the "
+    "calendar-bounded daily table via an exact row_number self-join "
+    "(the q_stats_theil_sen discipline); zero differences drop per "
+    "the standard definition; |diff| ranks use the DOUBLED "
+    "tie-averaged rank arithmetic of q_stats_mann_whitney (2*W+ = "
+    "sum(cpos*(2*before+t+1)) — pure bigint/decimal, no float ranks); "
+    "and W+ plus the tie-corrected z derive from identical exact "
+    "inputs via shared expression text. Shape: one date-keyed "
+    "map-side-combined hash-agg at fact scale, then every window, "
+    "join, and cell agg runs on the O(days) table — constant work at "
+    "ANY corpus size.",
+)
+def q_stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_WSR_SQL)
