@@ -1217,3 +1217,127 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", est.alias("est_jaccard"))
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable SimHash — the ORACLE-CHECKED sibling of q_dedup_simhash,
+# completing the verifiable-anchor pair begun by
+# q_dedup_minhash_portable: the fast rung votes with Spark murmur3
+# (rows-only), this rung votes with the portable polynomial token hash
+# so DuckDB reproduces signatures, chunk buckets, and Hamming
+# distances exactly. 24-bit signature (the poly hash is < 2^31, so
+# bits 24..31 carry no entropy), 4 x 6-bit pigeonhole chunks —
+# guarantees recall at Hamming <= 3, run with the same wide cutoff as
+# the fast rung for observable output on the near-dup-free corpus.
+_SHP_BITS = 24
+_SHP_CHUNKS = 4
+_SHP_CB = _SHP_BITS // _SHP_CHUNKS  # bits per chunk
+_SHP_HAMMING = 8
+
+
+@register(
+    "q_dedup_simhash_portable",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_filter(string_split(text, ' '), t -> t <> '')),
+               t -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % {_MHP_M})) AS hs
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
+                 for i in range(_SHP_BITS))} AS BIGINT) AS simhash
+      FROM th WHERE len(hs) > 0
+    ),
+    blocked AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {i} AS ci, (simhash // {1 << (_SHP_CB * i)}) % {1 << _SHP_CB} AS cv, simhash FROM sig"
+          for i in range(_SHP_CHUNKS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM blocked a JOIN blocked b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON c.a_id = sa.doc_id
+    JOIN sig sb ON c.b_id = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SHP_HAMMING}
+    ORDER BY c.a_id, c.b_id
+    """,
+    doc="SimHash near-dup detection, fully ORACLE-CHECKED: the 24-bit "
+    "signature votes with the portable polynomial token hash (bits "
+    "24..31 of the 2^31-bounded fold carry no entropy, so the "
+    "signature keeps exactly the informative bits), each bit is the "
+    "sign of an order-insensitive integer vote sum over the distinct "
+    "token set, and the 4 x 6-bit pigeonhole chunk join guarantees "
+    "recall at Hamming <= 3 while DuckDB reproduces every signature, "
+    "bucket, and xor-popcount distance exactly. The correctness "
+    "anchor for the murmur3 rung (q_dedup_simhash, 32-bit, rows-only "
+    "by necessity) — same blocking topology, verifiable values; run "
+    "at the fast rung's wide cutoff (8) because the synthetic corpus "
+    "has no true near-dups. Shape: votes fold inside the scan stage "
+    "per document (no token shuffle), signatures are one long per "
+    "doc, candidates block on (chunk, value) equi-join with bare id "
+    "pairs deduped before the signature re-join. Sub-quadratic at "
+    "any corpus size.",
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    codes = lambda t: F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("bigint"))  # noqa: E731
+    th = F.transform(
+        "toks",
+        lambda t: F.aggregate(
+            codes(t),
+            F.lit(0).cast("bigint"),
+            lambda h, c: (h * 31 + c) % F.lit(_MHP_M).cast("bigint"),
+        ),
+    )
+    hashes = docs.filter(F.size("toks") > 0).select("doc_id", th.alias("hs"))
+
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(1) == 1, 1
+        ).otherwise(-1)
+
+    sim = None
+    for i in range(_SHP_BITS):
+        v = F.aggregate("hs", F.lit(0), _vote(i))
+        bit = F.when(v > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    sig = hashes.select("doc_id", sim.alias("simhash"))
+    chunks = ",".join(
+        f"struct({i} AS ci, pmod(shiftright(simhash, {_SHP_CB * i}), {1 << _SHP_CB}) AS cv)"
+        for i in range(_SHP_CHUNKS)
+    )
+    blocked = sig.select(
+        "doc_id", F.expr(f"explode(array({chunks})) AS c")
+    ).select("doc_id", "c.ci", "c.cv")
+    a = blocked.select(F.col("doc_id").alias("a_id"), "ci", "cv")
+    b = blocked.select(F.col("doc_id").alias("b_id"), "ci", "cv")
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sig_a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
+    sig_b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
+    ham = F.bit_count(F.expr("a_sim ^ b_sim")).cast("bigint")
+    return (
+        cand.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _SHP_HAMMING)
+        .orderBy("a_id", "b_id")
+    )
