@@ -663,3 +663,217 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("sum_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch — the ORACLE-CHECKED twin of
+# q_sketch_count_min (whose xxhash64 buckets are engine-specific):
+# every row hash is the repo's polynomial token fold and each of the
+# 4 sketch rows buckets through its own affine map — pure int64
+# arithmetic DuckDB reproduces exactly, so the counter grid AND the
+# min-estimates are value-hash checkable, not just error-gated.
+_CMSP_M = 2147483647
+_CMSP_A = [293, 709, 1117, 2281]
+_CMSP_B = [7, 101, 331, 577]
+
+
+def _cmsp_bucket(d: int) -> str:
+    return f"(((h * {_CMSP_A[d]} + {_CMSP_B[d]}) % {_CMSP_M}) % {_CMS_W})"
+
+
+_CMSP_BUCKET_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {_cmsp_bucket(d)}" for d in range(_CMS_D)
+) + " END"
+
+
+@register(
+    "q_sketch_count_min_portable",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY tok
+    ),
+    hp AS (
+      SELECT tok, exact_cnt,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % {_CMSP_M}) AS h
+      FROM cnt
+    ),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT exact_cnt, d, {_CMSP_BUCKET_CASE} AS b
+      FROM hp CROSS JOIN ds
+    ),
+    sketch AS (
+      SELECT d, b, CAST(sum(exact_cnt) AS BIGINT) AS c
+      FROM cells GROUP BY d, b
+    ),
+    top AS (
+      SELECT tok, exact_cnt, h FROM hp ORDER BY exact_cnt DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT tok, exact_cnt, d, {_CMSP_BUCKET_CASE} AS b
+      FROM top CROSS JOIN ds
+    )
+    SELECT p.tok, p.exact_cnt, CAST(min(s.c) AS BIGINT) AS est_cnt
+    FROM probes p JOIN sketch s ON p.d = s.d AND p.b = s.b
+    GROUP BY p.tok, p.exact_cnt
+    ORDER BY p.exact_cnt DESC, p.tok
+    """,
+    doc="Count-min sketch, fully ORACLE-CHECKED: token frequencies fold "
+    "into the same 4x1024 mergeable counter grid as "
+    "q_sketch_count_min, but every bucket comes from the portable "
+    "polynomial token hash pushed through four affine row maps — "
+    "pure int64 arithmetic, so DuckDB reproduces the entire sketch "
+    "AND each top-20 token's min-of-counters estimate bit-for-bit "
+    "(the fast rung's xxhash64 buckets are engine-specific and stay "
+    "rows-only + error-gated). The overcount guarantee (est >= exact, "
+    "over by <= ~N/w whp) is inherited unchanged because the bound "
+    "only needs pairwise-independent-ish row hashes, not a specific "
+    "family. Shape: one map-side-combined token count (the only "
+    "fact-scale exchange, vocab-bounded), a 4096-row sketch at ANY "
+    "corpus size, broadcast-sized probe join.",
+)
+def q_sketch_count_min_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions.text import tokens
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
+    d = table(spark, sf_dir, "documents")
+    codes = F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("bigint"))
+    poly = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * 31 + c) % F.lit(_CMSP_M).cast("bigint"),
+    )
+    toks = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .select("tok", "exact_cnt", poly.alias("h"))
+        .persist()
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    cells = toks.select("exact_cnt", seeds, "h").select(
+        "exact_cnt", "d", F.expr(_CMSP_BUCKET_CASE).alias("b")
+    )
+    sketch = cells.groupBy("d", "b").agg(F.sum("exact_cnt").cast("bigint").alias("c"))
+    top = toks.orderBy(F.desc("exact_cnt"), "tok").limit(20)
+    probes = top.select("tok", "exact_cnt", seeds, "h").select(
+        "tok", "exact_cnt", "d", F.expr(_CMSP_BUCKET_CASE).alias("b")
+    )
+    out = (
+        probes.join(sketch, ["d", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").cast("bigint").alias("est_cnt"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+    )
+    return finalize_bounded(out, toks)
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — the ORACLE-CHECKED twin of q_sketch_hll_merge
+# (whose Datasketches registers are implementation-specific): 64
+# registers (p=6), keys mixed through the repo's nonlinear
+# middle-square rounds (an affine hash leaves trailing-zero patterns
+# correlated with key parity — the same degeneracy class as the r5
+# bootstrap collapse), rho from a %-only CASE chain, and the raw
+# estimate from EXACT dyadic 2^-M literals whose float sum is exact in
+# any order. DuckDB reproduces registers AND estimate bit-for-bit.
+_HLLP_P = 6
+_HLLP_M = 1 << _HLLP_P  # 64 registers
+_HLLP_ALPHA = 0.709  # alpha_64, Flajolet et al. 2007 (public)
+_HLLP_WBITS = 31 - _HLLP_P  # 25 payload bits; rho caps at 26
+
+#: rho = 1 + index of the least-significant set bit of w (w=0 -> cap);
+#: spelled with % only, so the text is dialect-common
+_HLLP_RHO = "CASE " + " ".join(
+    f"WHEN w % {1 << (k + 1)} >= {1 << k} THEN {k + 1}" for k in range(_HLLP_WBITS)
+) + f" ELSE {_HLLP_WBITS + 1} END"
+
+#: 2^-M as exact dyadic literals (rho <= 26, so every value is exactly
+#: representable and the 64-term sum never rounds — order-insensitive)
+_HLLP_INV_POW2 = "CASE m " + " ".join(
+    f"WHEN {k} THEN {2.0 ** -k!r}" for k in range(1, _HLLP_WBITS + 2)
+) + " END"
+
+_HLLP_SQL = f"""
+    WITH seeded AS (
+      SELECT lang,
+             ((doc_id % 2147483648) * 2654435761 + 987654321)
+               % 2147483648 AS a
+      FROM documents
+    ),
+    mix1 AS (
+      SELECT lang,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM seeded
+    ),
+    mix2 AS (
+      SELECT lang,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM mix1
+    ),
+    hashed AS (
+      SELECT lang, (a * 2654435761) % 2147483648 AS u
+      FROM mix2
+    ),
+    wb AS (
+      SELECT lang, u % {_HLLP_M} AS bucket,
+             CAST((u - u % {_HLLP_M}) / {_HLLP_M} AS BIGINT) AS w
+      FROM hashed
+    ),
+    regs AS (
+      SELECT lang, bucket, CAST(max({_HLLP_RHO}) AS BIGINT) AS m
+      FROM wb GROUP BY lang, bucket
+    ),
+    est AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_buckets_used,
+             sum({_HLLP_INV_POW2}) AS s_present
+      FROM regs GROUP BY lang
+    ),
+    exact AS (
+      SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct
+      FROM documents GROUP BY lang
+    )
+    SELECT e.lang, e.n_buckets_used, x.exact_distinct,
+           ({_HLLP_ALPHA} * {_HLLP_M}.0 * {_HLLP_M}.0)
+             / (e.s_present + ({_HLLP_M} - e.n_buckets_used) * 1.0) AS raw_est
+    FROM est e JOIN exact x ON e.lang = x.lang
+"""
+
+
+@register(
+    "q_sketch_hll_portable",
+    oracle=_HLLP_SQL,
+    doc="HyperLogLog distinct-count sketch, fully ORACLE-CHECKED: 64 "
+    "registers per language, each the max trailing-zero rank of a "
+    "31-bit key hash — and every stage is engine-portable: the key "
+    "runs through the bootstrap's nonlinear middle-square mixer (an "
+    "affine multiply-add hash leaves trailing-zero patterns phase-"
+    "locked to key parity — the jointly-degenerate failure class the "
+    "mixer exists for), rho is a modulo-only CASE chain, and the raw "
+    "Flajolet estimate divides exact inputs: the 2^-M terms are "
+    "dyadic literals whose 64-term double sum is EXACT in any "
+    "accumulation order, so cross-engine equality holds without an "
+    "ordered fold. Reported per language: occupied registers, the "
+    "raw HLL estimate (no bias/linear-counting correction — those "
+    "need ln(), which is engine-libm territory; the raw estimate is "
+    "the mergeable, verifiable core), and the exact distinct count "
+    "riding along for the accuracy gate. The Datasketches rung "
+    "(q_sketch_hll_merge) stays the production path; this rung "
+    "proves the algorithm, not the library. Shape: one map-side-"
+    "combined (lang, bucket) max-agg — 64 rows per language at ANY "
+    "corpus size; registers merge by MAX, the 100 TB property.",
+)
+def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_HLLP_SQL)

@@ -96,3 +96,38 @@ def test_compression_profile_is_deterministic_and_sane(spark, sf_dir):
         assert row.total_raw_bytes > 0 and row.total_comp_bytes > 0
         assert 0.0 < row.compression_ratio <= 1.2, (src, row.compression_ratio)
         assert r2[src].total_comp_bytes == row.total_comp_bytes
+
+
+def test_portable_cms_never_undercounts(spark, sf_dir):
+    from azurestorage_blueprints_spark.queries import load_all
+
+    rows = load_all()["q_sketch_count_min_portable"].fn(spark, sf_dir).collect()
+    assert rows, "portable CMS returned no probe rows"
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt, f"CMS undercounted {r.tok}"
+    # the overcount bound: eps ~ e/w of the total token mass; with the
+    # portable affine row hashes the practical overcount on the top-20
+    # stays far below the theoretical ceiling — gate at 2x exact so a
+    # broken bucket map (all tokens colliding) fails loudly
+    worst = max(r.est_cnt / max(r.exact_cnt, 1) for r in rows)
+    assert worst <= 2.0, f"portable CMS overcount ratio {worst}"
+
+
+def test_portable_hll_estimate_in_band(spark, sf_dir):
+    from azurestorage_blueprints_spark.queries import load_all
+
+    rows = load_all()["q_sketch_hll_portable"].fn(spark, sf_dir).collect()
+    assert rows
+    m = 64
+    for r in rows:
+        if r.exact_distinct >= 5 * m:
+            # well above the linear-counting regime the RAW estimate
+            # applies: standard error 1.04/sqrt(64) ~ 13%; gate at 30%
+            err = abs(r.raw_est - r.exact_distinct) / r.exact_distinct
+            assert err <= 0.30, f"{r.lang}: raw HLL err {err:.2f}"
+        else:
+            # small/transition range (n < 5m): raw HLL is known
+            # biased-high — the ln-based linear-counting correction is
+            # deliberately omitted (engine-libm); bound the envelope
+            assert r.raw_est <= 3.0 * max(r.exact_distinct, 1)
+            assert r.raw_est >= 0.5 * r.exact_distinct
