@@ -103,7 +103,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_multimodal_wav_frame_energy", "q_multimodal_jpeg_roundtrip",
     "q_dedup_minhash_portable", "q_stats_wilcoxon_signed_rank",
     "q_dedup_simhash_portable", "q_sketch_count_min_portable",
-    "q_sketch_hll_portable",
+    "q_sketch_hll_portable", "q_multimodal_png_roundtrip",
 })
 
 

@@ -1134,3 +1134,91 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.mapInPandas(
         checksum, "vec_id long, width int, height int, px_checksum long"
     )
+
+
+@register(
+    "q_multimodal_png_roundtrip",
+    oracle="""
+    WITH g AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT vec_id, v,
+             list_min(v) AS lo, list_max(v) AS hi
+      FROM g
+    )
+    SELECT vec_id, 8 AS width, 8 AS height,
+           CAST(3 * list_sum(list_transform(v, x ->
+                 CASE WHEN hi > lo
+                      THEN CAST(floor((x - lo) * (255.0 / (hi - lo)) + 0.5) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS px_checksum
+    FROM stats
+    """,
+    doc="End-to-end PNG codec round-trip as an ORACLE-CHECKED query — "
+    "the DEFLATE member of the codec trio beside GIF (LZW) and WAV "
+    "(PCM): embeddings quantize to 8x8 grayscale with the portable "
+    "half-up quantizer, compress through encode_png (stdlib zlib "
+    "deflate + scanline filtering), decode back through the "
+    "decode_image dispatch (zlib inflate + per-scanline unfilter — "
+    "operators/multimodal.py decode_png), and report per-image RGB "
+    "checksums DuckDB reproduces ARITHMETICALLY from the embeddings. "
+    "PNG is lossless, so unlike the JPEG rung the checksum is exactly "
+    "predictable — any IHDR/IDAT framing, filter-byte, or zlib-window "
+    "bug breaks the hash. All Python stages Arrow-batched "
+    "mapInPandas; zero shuffles — embarrassingly parallel over "
+    "payload partitions at 100 TB.",
+)
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    encode_png = MM.encode_png
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                lo, hi = float(a.min()), float(a.max())
+                if hi > lo:
+                    g = np.floor((a - lo) * (255.0 / (hi - lo)) + 0.5).astype(np.uint8)
+                else:
+                    g = np.zeros(len(a), dtype=np.uint8)
+                out.append(encode_png(8, 8, np.repeat(g, 3).tobytes()))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "content": out})
+
+    pngs = e.mapInPandas(enc, "vec_id long, content binary")
+    decoded = MM.decode_image(pngs, id_col="vec_id")
+
+    def checksum(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            s = [
+                int(np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64).sum())
+                if ok
+                else None
+                for px, ok in zip(pdf["pixels"], pdf["ok"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["content_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "px_checksum": pd.array(s, dtype="Int64"),
+                }
+            )
+
+    return decoded.mapInPandas(
+        checksum, "vec_id long, width int, height int, px_checksum long"
+    )
