@@ -104,6 +104,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_dedup_minhash_portable", "q_stats_wilcoxon_signed_rank",
     "q_dedup_simhash_portable", "q_sketch_count_min_portable",
     "q_sketch_hll_portable", "q_multimodal_png_roundtrip",
+    "q_eval_langid_metrics", "q_stats_runs_test",
 })
 
 

@@ -1222,3 +1222,138 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.mapInPandas(
         checksum, "vec_id long, width int, height int, px_checksum long"
     )
+
+
+@register(
+    "q_eval_langid_metrics",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS y, {_sql_lang_guess()} AS yhat
+      FROM documents
+    ),
+    cells AS (
+      SELECT y, yhat, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY y, yhat
+    ),
+    per_class AS (
+      SELECT cls,
+             CAST(sum(CASE WHEN y = cls AND yhat = cls THEN n ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN yhat = cls AND y <> cls THEN n ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y = cls AND yhat <> cls THEN n ELSE 0 END) AS BIGINT) AS fn
+      FROM cells CROSS JOIN (SELECT DISTINCT y AS cls FROM pred) c
+      GROUP BY cls
+    )
+    SELECT cls AS lang, tp, fp, fn,
+           CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE) AS precision_,
+           CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE) AS recall_,
+           CAST(2 * tp AS DOUBLE)
+             / CAST(greatest(2 * tp + fp + fn, 1) AS DOUBLE) AS f1
+    FROM per_class
+    """,
+    doc="Per-class classifier evaluation of the n-gram language router "
+    "against the labeled lang column — the model-eval primitive every "
+    "curation pipeline runs before trusting a router for mixture "
+    "routing: exact integer TP/FP/FN per class from the confusion "
+    "cells (the q_text_langid_confusion table, reduced per class), "
+    "and precision/recall/F1 as single divides of exact integers via "
+    "shared expression text (greatest(...,1) guards empty classes "
+    "identically on both engines; F1 uses the 2TP/(2TP+FP+FN) "
+    "algebraic form so no intermediate float ratio compounds). "
+    "Shape: one fact-scale hash-agg to the O(|langs|^2) confusion "
+    "cells; the per-class reduction and the tiny class cross join "
+    "never touch the corpus again.",
+)
+def q_eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pred = d.select(F.col("lang").alias("y"), X.lang_guess(F.col("text")).alias("yhat"))
+    cells = pred.groupBy("y", "yhat").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    classes = pred.select(F.col("y").alias("cls")).distinct()
+    per_class = (
+        cells.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when((F.col("y") == F.col("cls")) & (F.col("yhat") == F.col("cls")), F.col("n")).otherwise(0)
+            ).cast("bigint").alias("tp"),
+            F.sum(
+                F.when((F.col("yhat") == F.col("cls")) & (F.col("y") != F.col("cls")), F.col("n")).otherwise(0)
+            ).cast("bigint").alias("fp"),
+            F.sum(
+                F.when((F.col("y") == F.col("cls")) & (F.col("yhat") != F.col("cls")), F.col("n")).otherwise(0)
+            ).cast("bigint").alias("fn"),
+        )
+    )
+    # derived doubles via the same expression text as the oracle
+    return per_class.select(
+        F.col("cls").alias("lang"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE)").alias("precision_"),
+        F.expr("CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE)").alias("recall_"),
+        F.expr(
+            "CAST(2 * tp AS DOUBLE) / CAST(greatest(2 * tp + fp + fn, 1) AS DOUBLE)"
+        ).alias("f1"),
+    )
+
+
+# Wald–Wolfowitz runs test: is the daily revenue's up/down sequence
+# random, or does it trend/mean-revert? z from exact run/sign counts.
+_RUNS_MU = "(2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE) / CAST(np + nm AS DOUBLE) + 1.0)"
+_RUNS_VAR = (
+    "((2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)"
+    " * (2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE) - CAST(np + nm AS DOUBLE)))"
+    " / (CAST(np + nm AS DOUBLE) * CAST(np + nm AS DOUBLE)"
+    "    * (CAST(np + nm AS DOUBLE) - 1.0)))"
+)
+_RUNS_SQL = f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY o_orderdate
+    ),
+    moves AS (
+      SELECT d, y - lag(y) OVER (ORDER BY d) AS diff
+      FROM daily
+    ),
+    signs AS (
+      SELECT d, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+      FROM moves WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN s = lag(s) OVER (ORDER BY d) THEN 0 ELSE 1 END AS is_new_run
+      FROM signs
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+             CAST(sum(coalesce(is_new_run, 1)) AS BIGINT) AS n_runs
+      FROM runs
+    )
+    SELECT np AS n_up_moves, nm AS n_down_moves, n_runs,
+           (CAST(n_runs AS DOUBLE) - {_RUNS_MU}) / sqrt({_RUNS_VAR}) AS z_stat
+    FROM m
+"""
+
+
+@register(
+    "q_stats_runs_test",
+    oracle=_RUNS_SQL,
+    doc="Wald-Wolfowitz runs test on the daily revenue's up/down move "
+    "sequence — the nonparametric randomness check run before "
+    "trusting i.i.d.-flavored models: too FEW runs means trending, "
+    "too MANY means mean-reversion/oscillation. Up/down signs come "
+    "from exact integer day-over-day differences (zero moves drop, "
+    "standard practice), the run count is an exact lag-comparison "
+    "sum, and the normal z derives from exact counts via shared "
+    "expression text. Completes the daily-series test battery next "
+    "to q_stats_autocorr (linear dependence), q_stats_kendall_tau "
+    "(monotone association), and q_stats_wilcoxon_signed_rank "
+    "(paired location). Shape: one date-keyed fact agg; every window "
+    "is a single ordered pass over the CALENDAR-bounded daily table "
+    "— constant work at any corpus size.",
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RUNS_SQL)
