@@ -714,20 +714,29 @@ def q_graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(F.col("an").alias("node"), F.col("bn").alias("nbr")).unionAll(
         edges.select(F.col("bn").alias("node"), F.col("an").alias("nbr"))
     )
-    adj = und.groupBy("node").agg(F.collect_list("nbr").alias("nbrs")).persist()
+    # SELF-LOOP fused into the neighbor list: min over (self ∪
+    # neighbors) needs no per-round identity-union branch, which makes
+    # each round's label table SINGLE-referenced — so no per-round
+    # materialization is needed at all (a doubly-referenced round
+    # forces one, or the recompute tree doubles every round). The
+    # remaining localCheckpoint every 4 rounds only bounds Catalyst's
+    # analysis depth: per-round checkpointing re-ran the full planning
+    # pipeline 8 times and DOMINATED the wall clock (measured 5.1 s →
+    # 3.4 s at sf0.1, execution itself ~1 s — driver planning, not
+    # data, was the cost).
+    adj = und.groupBy("node").agg(
+        F.concat(F.array(F.col("node")), F.collect_list("nbr")).alias("nbrs")
+    ).persist()
     labels = adj.select("node", F.col("node").cast("bigint").alias("lab"))
-    for _ in range(_CC_ROUNDS):
-        contrib = adj.join(labels, "node").select(
-            F.explode("nbrs").alias("node"), "lab"
-        )
-        # `labels` is read twice per round (join + identity carry):
-        # truncate lineage or the recompute tree doubles every round
+    for r in range(1, _CC_ROUNDS + 1):
         labels = (
-            contrib.unionAll(labels)
+            adj.join(labels, "node")
+            .select(F.explode("nbrs").alias("node"), "lab")
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=False)
         )
+        if r % 4 == 0 and r < _CC_ROUNDS:
+            labels = labels.localCheckpoint(eager=False)
     comp = labels.groupBy(F.col("lab").alias("component_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     ).persist()
