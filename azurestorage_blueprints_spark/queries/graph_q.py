@@ -684,17 +684,23 @@ def _cc_oracle() -> str:
     "variant fully oracle-checkable, unlike loop-until-fixpoint "
     "drivers whose round count depends on data. Report: top-20 "
     "components by size plus the total component count. Shape per "
-    "round (the PageRank adjacency discipline): the neighbor lists "
-    "are built ONCE, hash-partitioned on node — the same key every "
-    "round's join and agg use — so the label traversal is a "
-    "co-partitioned join and the only per-round exchange carries the "
-    "exploded (neighbor, label) contributions; each round is "
-    "MATERIALIZED (DuckDB AS MATERIALIZED / Spark localCheckpoint) "
-    "because multiple references per round otherwise grow an "
-    "exponential recompute tree. The naive per-endpoint edge join "
-    "was 3 shuffles/round and 16x slower (measured 6.6 -> 0.4 s at "
-    "sf0.1). At 100 TB the same loop runs with R = log2(diameter "
-    "bound) rounds; hub-node skew segments hot adjacency rows into "
+    "round (the PageRank adjacency discipline): the neighbor lists — "
+    "built ONCE with a fused SELF-LOOP so the min over (self ∪ "
+    "neighbors) needs no identity-union branch — are hash-partitioned "
+    "on node, the same key every round's join and agg use, so the "
+    "label traversal is a co-partitioned join and the only per-round "
+    "exchange carries the exploded (neighbor, label) contributions. "
+    "The self-loop makes each round's label table SINGLE-referenced: "
+    "no per-round materialization is needed (a doubly-referenced "
+    "round must materialize or the recompute tree doubles — the "
+    "DuckDB oracle, whose union-carry form IS doubly-referenced, "
+    "pins AS MATERIALIZED for exactly that reason), and the Spark "
+    "side checkpoints lineage only every 4 rounds to bound Catalyst's "
+    "analysis depth — per-round checkpointing re-ran full planning "
+    "8x and dominated the wall clock (5.1 -> 3.4 s at sf0.1; the "
+    "naive per-endpoint edge join before that was 3 shuffles/round). "
+    "At 100 TB the same loop runs with R = log2(diameter bound) "
+    "rounds; hub-node skew segments hot adjacency rows into "
     "(node, salt) chunks exactly as documented for PageRank.",
 )
 def q_graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
