@@ -114,6 +114,21 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _teardown(spark) -> None:
+    """Per-execution teardown: empty cache AND collect dead JVM refs.
+
+    clearCache alone leaves localCheckpoint blocks (iterative graph
+    queries) and broadcast remnants pinned until the driver happens to
+    GC — across ~70 queries that accumulation degraded late-sequence
+    mapInPandas queries 3x (measured 1.3 → 4.5 s) and inflated the
+    next query's spread. An explicit System.gc() after each execution
+    lets Spark's ContextCleaner release them immediately — the same
+    mechanism as spark.cleaner.periodicGC, applied at measurement
+    boundaries so every query starts from the same JVM state."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 #: timed executions per query; the reported number is the MEDIAN so a
 #: single environmental spike (GC pause, noisy neighbor, page-cache
 #: miss) cannot dominate a round-over-round delta (r4 verdict item 6 —
@@ -146,13 +161,13 @@ def main() -> None:
         # erase the benchmark line for the other queries.
         try:
             run_query(registry[name].fn(spark, sf_dir))
-            spark.catalog.clearCache()
+            _teardown(spark)
             samples = []
             for _ in range(RUNS_PER_QUERY):
                 t0 = time.perf_counter()
                 run_query(registry[name].fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
-                spark.catalog.clearCache()
+                _teardown(spark)
             samples.sort()
             timings[name] = round(samples[len(samples) // 2], 3)
             spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
