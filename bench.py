@@ -114,18 +114,18 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _teardown(spark) -> None:
-    """Per-execution teardown: empty cache AND collect dead JVM refs.
+def _gc(spark) -> None:
+    """Collect dead JVM refs at the query boundary.
 
     clearCache alone leaves localCheckpoint blocks (iterative graph
     queries) and broadcast remnants pinned until the driver happens to
     GC — across ~70 queries that accumulation degraded late-sequence
     mapInPandas queries 3x (measured 1.3 → 4.5 s) and inflated the
-    next query's spread. An explicit System.gc() after each execution
-    lets Spark's ContextCleaner release them immediately — the same
-    mechanism as spark.cleaner.periodicGC, applied at measurement
-    boundaries so every query starts from the same JVM state."""
-    spark.catalog.clearCache()
+    next query's spread. An explicit System.gc() between QUERIES lets
+    Spark's ContextCleaner release them — the same mechanism as
+    spark.cleaner.periodicGC, applied at measurement boundaries. It
+    must NOT run between a query's timed samples: a full GC flushes
+    JITed code and the recompilation bleeds into the next sample."""
     spark.sparkContext._jvm.System.gc()
 
 
@@ -161,13 +161,20 @@ def main() -> None:
         # erase the benchmark line for the other queries.
         try:
             run_query(registry[name].fn(spark, sf_dir))
-            _teardown(spark)
+            spark.catalog.clearCache()
             samples = []
             for _ in range(RUNS_PER_QUERY):
                 t0 = time.perf_counter()
                 run_query(registry[name].fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
-                _teardown(spark)
+                spark.catalog.clearCache()
+            # JVM-state reset at the QUERY boundary only: a System.gc()
+            # between timed runs flushes JITed code and the deopt bleeds
+            # into the next sample (measured +10 s across the suite);
+            # at the boundary the next query's warm-up re-warms the JIT
+            # while dead checkpoint blocks / broadcast remnants still
+            # get released before its timed runs begin.
+            _gc(spark)
             samples.sort()
             timings[name] = round(samples[len(samples) // 2], 3)
             spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
