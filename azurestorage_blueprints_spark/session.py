@@ -37,15 +37,15 @@ def get_spark(app_name: str = "azurestorage_blueprints_spark", cpus: int | None 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # localCheckpoint blocks (the iterative graph queries) are only
-        # released when the driver GCs their RDD references; Spark's
-        # default periodic-GC interval is 30 MINUTES, long enough for
-        # dead checkpoint blocks and broadcast remnants to pressure the
-        # unified memory every later query runs in (measured: a
-        # 3-stage mapInPandas query degraded 1.3 → 4.5 s late in a
-        # 69-query session). One minute keeps the ContextCleaner ahead
-        # of the accumulation at negligible cost.
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # NOTE on long shared sessions: localCheckpoint blocks (the
+        # iterative graph queries) are only released when the driver
+        # GCs their RDD references, and Spark's periodic GC defaults to
+        # every 30 minutes — accumulation measurably degraded
+        # late-sequence queries in a 69-query session. The fix lives at
+        # the WORKLOAD boundary (bench.py triggers System.gc() between
+        # queries), NOT here: a short periodicGC interval fires full
+        # GCs mid-query and injects multi-second stop-the-world pauses
+        # into unrelated measurements (observed 18 s outliers at 1min).
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
