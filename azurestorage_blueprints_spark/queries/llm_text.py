@@ -1357,3 +1357,159 @@ _RUNS_SQL = f"""
 def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RUNS_SQL)
+
+
+# Cohen's kappa: chance-corrected agreement between the router and the
+# labels — one exact-integer row. po = Σ diag / N, pe = Σ row_i*col_i / N².
+_KAPPA_SQL_BODY = """
+    cells AS (
+      SELECT y, yhat, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY y, yhat
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN y = yhat THEN n ELSE 0 END) AS BIGINT) AS agree
+      FROM cells
+    ),
+    marg AS (
+      SELECT cls,
+             CAST(sum(CASE WHEN y = cls THEN n ELSE 0 END) AS BIGINT) AS row_n,
+             CAST(sum(CASE WHEN yhat = cls THEN n ELSE 0 END) AS BIGINT) AS col_n
+      FROM cells CROSS JOIN (SELECT DISTINCT y AS cls FROM pred) c
+      GROUP BY cls
+    ),
+    k AS (
+      SELECT CAST(sum(CAST(row_n AS DECIMAL(18,0)) * CAST(col_n AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS pe_num
+      FROM marg
+    )
+    SELECT m.total AS n_docs, m.agree AS n_agree,
+           CAST(m.agree AS DOUBLE) / CAST(m.total AS DOUBLE) AS p_observed,
+           CAST(k.pe_num AS DOUBLE)
+             / (CAST(m.total AS DOUBLE) * CAST(m.total AS DOUBLE)) AS p_chance,
+           (CAST(m.agree AS DOUBLE) / CAST(m.total AS DOUBLE)
+            - CAST(k.pe_num AS DOUBLE)
+              / (CAST(m.total AS DOUBLE) * CAST(m.total AS DOUBLE)))
+             / (1.0 - CAST(k.pe_num AS DOUBLE)
+                      / (CAST(m.total AS DOUBLE) * CAST(m.total AS DOUBLE))) AS kappa
+    FROM m CROSS JOIN k
+"""
+
+
+@register(
+    "q_eval_cohens_kappa",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS y, {_sql_lang_guess()} AS yhat
+      FROM documents
+    ),
+    {_KAPPA_SQL_BODY}
+    """,
+    doc="Cohen's kappa for the language router against the labels — "
+    "the chance-corrected agreement scalar that complements "
+    "q_eval_langid_metrics' per-class view (accuracy alone flatters a "
+    "router on an imbalanced corpus; kappa discounts the agreement a "
+    "marginal-matching random router would achieve). Exact integers "
+    "end-to-end: observed agreement is the diagonal cell sum, the "
+    "chance term is sum over classes of row-marginal x col-marginal "
+    "as DECIMAL(38,0) (marginal products pass int64 once classes hold "
+    ">3e9 docs), and po/pe/kappa are derived doubles from identical "
+    "exact inputs via shared expression text. Shape: one fact-scale "
+    "hash-agg to the confusion cells; marginals and kappa fold from "
+    "the O(|langs|^2) cell table.",
+)
+def q_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pred = d.select(F.col("lang").alias("y"), X.lang_guess(F.col("text")).alias("yhat"))
+    pred.createOrReplaceTempView("pred")
+    return spark.sql("WITH " + _KAPPA_SQL_BODY)
+
+
+#: fixed rank-ordered BPE merge table (the vocabulary a
+#: q_bpe_merge_candidates-style induction run would emit on English
+#: text; frozen here so the APPLICATION operator is deterministic and
+#: cross-engine checkable). Each merge joins two space-separated
+#: symbols; application order is rank order, exactly like BPE encode.
+_BPE_MERGES = [
+    ("t h", "th"), ("th e", "the"), ("i n", "in"), ("a n", "an"),
+    ("e r", "er"), ("o n", "on"), ("r e", "re"), ("a t", "at"),
+    ("e n", "en"), ("o r", "or"), ("e s", "es"), ("in g", "ing"),
+]
+
+
+def _bpe_apply_chain(col: str) -> str:
+    """Nested replace() chain applying the merge table in rank order —
+    replace() has identical all-occurrence semantics in Spark SQL and
+    DuckDB, so the expression text is dialect-common."""
+    expr = col
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '{a}', '{b}')"
+    return expr
+
+
+@register(
+    "q_text_bpe_apply",
+    oracle=f"""
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+      FROM documents
+    ),
+    seg AS (
+      SELECT source, w,
+             CAST(len(string_split(w, '')) AS BIGINT) AS n_chars,
+             CAST(len(string_split(
+               {_bpe_apply_chain("array_to_string(string_split(w, ''), ' ')")},
+               ' ')) AS BIGINT) AS n_subwords
+      FROM words
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_symbols_before,
+           CAST(sum(n_subwords) AS BIGINT) AS n_subwords_after,
+           CAST(sum(n_subwords) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS avg_subwords_per_word,
+           CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_subwords) AS DOUBLE)
+             AS symbol_compression
+    FROM seg GROUP BY source
+    """,
+    doc="BPE merge APPLICATION — the encode half that closes the "
+    "vocabulary-induction loop started by q_bpe_merge_candidates: "
+    "every word decomposes to space-separated characters and a frozen "
+    "rank-ordered merge table applies as a nested replace() chain "
+    "(replace has identical all-occurrence, leftmost-nonoverlapping "
+    "semantics in both engines, so the chain text is dialect-common "
+    "and the segmentation is bit-identical — this is how BPE encode "
+    "actually works: merges apply in training-rank order). Reported "
+    "per source: words, symbols before/after, average subwords per "
+    "word, and the symbol compression ratio — the metrics a tokenizer "
+    "team tracks when sizing a vocabulary against a corpus mix. "
+    "Shape: the decompose + merge chain runs inside the scan "
+    "projection (codegen string ops, no UDF); the only exchange is "
+    "the O(sources) final agg, map-side combined.",
+)
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")).alias("w"),
+    )
+    spaced = "array_join(split(w, ''), ' ')"
+    seg = w.select(
+        "source",
+        F.expr("cast(size(split(w, '')) as bigint)").alias("n_chars"),
+        F.expr(
+            f"cast(size(split({_bpe_apply_chain(spaced)}, ' ')) as bigint)"
+        ).alias("n_subwords"),
+    )
+    return seg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_chars").cast("bigint").alias("n_symbols_before"),
+        F.sum("n_subwords").cast("bigint").alias("n_subwords_after"),
+        (F.sum("n_subwords").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_subwords_per_word"
+        ),
+        (F.sum("n_chars").cast("double") / F.sum("n_subwords").cast("double")).alias(
+            "symbol_compression"
+        ),
+    )
