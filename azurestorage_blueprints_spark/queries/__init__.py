@@ -105,7 +105,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_dedup_simhash_portable", "q_sketch_count_min_portable",
     "q_sketch_hll_portable", "q_multimodal_png_roundtrip",
     "q_eval_langid_metrics", "q_stats_runs_test",
-    "q_eval_cohens_kappa", "q_text_bpe_apply",
+    "q_eval_cohens_kappa", "q_text_bpe_apply", "q_knn_ivf_exact",
 })
 
 

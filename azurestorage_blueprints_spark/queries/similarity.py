@@ -1500,3 +1500,108 @@ def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rnk") == 1, F.col("sim"))).alias("best_sim"),
         )
     )
+
+
+#: exact-centroid quantization for the oracle-checked IVF rung (the
+#: q_embed_centroid_update convention: nano-unit bigint sums)
+_IVFX_QZ = 1_000_000_000
+
+
+@register(
+    "q_knn_ivf_exact",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    comp AS (
+      SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      FROM e),
+    cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(x * {_IVFX_QZ}.0) AS BIGINT)) AS BIGINT) AS qs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM comp GROUP BY label, pos),
+    centv AS (
+      SELECT label,
+             list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_IVFX_QZ}.0)
+                  ORDER BY pos) AS centroid
+      FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    qc AS (
+      SELECT q_id, qv, label FROM (
+        SELECT q.q_id, q.qv, c.label,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_cosine_similarity(q.qv, c.centroid) DESC, c.label) AS rn
+        FROM q CROSS JOIN centv c
+      ) t WHERE rn <= 2),
+    scored AS (
+      SELECT qc.q_id, e.vec_id AS n_id, e.label,
+             list_cosine_similarity(qc.qv, e.v) AS sim
+      FROM qc JOIN e ON e.label = qc.label AND e.vec_id <> qc.q_id),
+    ranked AS (
+      SELECT q_id, n_id, label, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, n_id, label, sim, rnk FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+    doc="IVF ANN with EXACT centroids — the ORACLE-CHECKED member of "
+    "the IVF family: the fast rung (q_knn_ivf) stays rows-only because "
+    "its per-label centroid is an order-sensitive double mean, while "
+    "this rung accumulates each centroid component as a nano-quantized "
+    "bigint sum (the q_embed_centroid_update convention — "
+    "order-insensitive, bit-identical at any parallelism) and derives "
+    "the double centroid via shared expression text, so DuckDB "
+    "reproduces the coarse quantizer, the nprobe=2 probe set, AND the "
+    "fine scores exactly. Same two-stage plan as the fast rung: "
+    "broadcast centroid table, query-to-list assignment by clamped "
+    "cosine with deterministic tie-break, candidate scoring as an "
+    "equi-join on the list key — the join shape that survives 100 TB "
+    "(a probe touches nprobe pre-partitioned lists, never the "
+    "corpus). Centroid-build cost is one (label x dim) hash-agg.",
+)
+def q_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    centroids = (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.sum(F.expr(f"cast(round(x * {_IVFX_QZ}.0) as bigint)")).alias("qs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.expr(f"CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_IVFX_QZ}.0)").alias("c"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id", "qv", "label", cosine(F.col("qv"), F.col("centroid")).alias("csim")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("csim"), "label")),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "qv", "label")
+    )
+    cand = e.join(F.broadcast(qc), "label").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        "label",
+        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id", "label", "sim", "rnk")
+    )
