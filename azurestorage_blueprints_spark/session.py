@@ -35,6 +35,14 @@ def get_spark(app_name: str = "azurestorage_blueprints_spark", cpus: int | None 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # whole-stage codegen emits a fresh class per distinct plan; a
+        # long shared session running hundreds of distinct plans fills
+        # the JVM's default 240 MB code cache, the JIT shuts off, and
+        # codegen-heavy queries fall back to the interpreter (measured:
+        # a 2 s query degraded to 20-33 s late in a 69-query benchmark
+        # while staying flat for 14 straight runs in a fresh session).
+        # 1 GiB of reserved code cache removes the cliff.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # NOTE on long shared sessions: localCheckpoint blocks (the
