@@ -78,6 +78,7 @@ HEADLINE = [
     "q_graph_common_neighbors",
     "q_text_gopher_rules",
     "q_semdedup",
+    "q_semdedup_hier",
     "q_dedup_segments",
     "q_multimodal_image_ahash",
     # round-5 additions: k-group ANOVA, Poisson bootstrap, degree
@@ -91,7 +92,6 @@ HEADLINE = [
     "q_knn_ivf_pq",
     "q_multimodal_gif_roundtrip",
     "q_naive_bayes_tokens",
-    "q_semdedup_hier",
     "q_text_rake_keywords",
     "q_embed_outliers",
     # round-6 additions: nonparametric/rank statistics, randomization
