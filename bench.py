@@ -125,8 +125,18 @@ def _gc(spark) -> None:
     Spark's ContextCleaner release them — the same mechanism as
     spark.cleaner.periodicGC, applied at measurement boundaries. It
     must NOT run between a query's timed samples: a full GC flushes
-    JITed code and the recompilation bleeds into the next sample."""
+    JITed code and the recompilation bleeds into the next sample.
+
+    The GC also QUEUES the actual cleanup: ContextCleaner drains the
+    reference queue asynchronously, and after ~60 queries the drain
+    storm (thousands of accumulator/broadcast/shuffle removals, with
+    "non-existent accumulator" errors from in-flight tasks) lands in
+    the NEXT query's timed window — the mechanism behind the
+    position-dependent 3-5x degradation of whichever query ran late
+    in the sequence. The short sleep lets the drain finish inside
+    UNTIMED wall clock."""
     spark.sparkContext._jvm.System.gc()
+    time.sleep(1.5)
 
 
 #: timed executions per query; the reported number is the MEDIAN so a
