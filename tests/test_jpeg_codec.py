@@ -126,3 +126,30 @@ def test_decode_image_dispatch_handles_jpeg(spark):
     assert len(rows) == 1 and rows[0].ok
     assert (rows[0].width, rows[0].height) == (_FIX_W, _FIX_H)
     assert hashlib.sha256(bytes(rows[0].pixels)).hexdigest() == _FIX_OUR_SHA
+
+
+# libjpeg-produced 4:2:2 fixture (22x13, quality 85, h2v1 sampling) —
+# backs the decoder's 4:2:2 claim alongside the 4:2:0+restart fixture
+_F422_W, _F422_H = 22, 13
+_F422_JPEG = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8LCwkMEQ8SEhEP"
+    "ERETFhwXExQaFRERGCEYGh0dHx8fExciJCIeJBweHx7/2wBDAQUFBQcGBw4ICA4eFBEUHh4eHh4e"
+    "Hh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh7/wAARCAANABYDASEA"
+    "AhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+    "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3"
+    "ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWm"
+    "p6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEA"
+    "AwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSEx"
+    "BhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElK"
+    "U1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3"
+    "uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDxbRvA"
+    "P3f3P6V22i+Afu/uf0qIVjt4W4k+HU7PS/AP7v8A1Pb0orpVY/csJxJ+5jqdvo3hmw+Xj9K7XRfD"
+    "Nh8vH6V4kJs/hvhbNq3unZ6X4ZsPL6dvSiulTZ+5YTNq3sYn/9k="
+)
+_F422_OUR_SHA = "fd03fc34dfe62d6ad057de93e3b80765f740d82ef91f090c3c8654fa41e54a28"
+
+
+def test_decode_foreign_422_fixture_pinned():
+    w, h, px = decode_jpeg(_F422_JPEG)
+    assert (w, h) == (_F422_W, _F422_H)
+    assert hashlib.sha256(px).hexdigest() == _F422_OUR_SHA
