@@ -660,6 +660,13 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("marker desync")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them so the byte after the LAST 0xFF
+        # is read as the marker id (r6 ADVICE: some encoders pad).
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(b):
+            break
         m = b[i + 1]
         if m == 0xD9:
             break

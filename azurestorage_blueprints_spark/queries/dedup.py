@@ -1288,8 +1288,16 @@ _SHP_HAMMING = 8
     "has no true near-dups. Shape: votes fold inside the scan stage "
     "per document (no token shuffle), signatures are one long per "
     "doc, candidates block on (chunk, value) equi-join with bare id "
-    "pairs deduped before the signature re-join. Sub-quadratic at "
-    "any corpus size.",
+    "pairs deduped before the signature re-join. Scale honesty (r6 "
+    "ADVICE): the blocking key space here is CONSTANT — 4 chunks x "
+    "2^6 values = 256 buckets — so candidate pairs grow Theta(N^2/256) "
+    "with corpus size; this rung is the bit-exact correctness anchor, "
+    "not the production path. At production scale widen the signature "
+    "and the per-chunk bits with the corpus (buckets ~ N keeps expected "
+    "bucket size — and the pair join — linear) and tighten the Hamming "
+    "cutoff toward the pigeonhole-guaranteed chunks-1; the murmur3 "
+    "production rung (q_dedup_simhash, 32-bit, 8-bit chunks = 1024 "
+    "buckets) is the same topology one notch up that ladder.",
 )
 def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")

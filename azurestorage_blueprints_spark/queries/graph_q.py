@@ -612,8 +612,18 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components by synchronous min-label propagation over the
 # part-supplier bipartite graph, run for a FIXED round count so the
 # result is deterministic on both engines whether or not the labels
-# have converged (R=8 covers any diameter-16 neighborhood, far beyond
-# the hub-dense TPC-H part-supplier graph's actual diameter).
+# have converged. Convergence honesty (r6 ADVICE): synchronous
+# propagation spreads the minimum id ONE hop per round, so R rounds
+# guarantee correct labels only when the min-id node's eccentricity
+# within each component is <= R (R rounds cover radius R, not 2R);
+# on an unconverged graph n_components silently overcounts. R=8 is
+# ample for the hub-dense TPC-H part-supplier graph (every part and
+# supplier is within 2-3 hops of a high-degree hub at all generated
+# SFs), and tests/test_plan_quality.py::
+# test_components_minlabel_converged_at_registered_rounds asserts
+# round-8 == round-9 results at test SF; at production scale derive
+# the round count from a diameter bound or re-run with R doubled
+# until the label table reaches a fixed point.
 #
 # Each round reads the previous label table THREE times (two edge
 # joins + the identity carry), so the rounds must be MATERIALIZED:

@@ -1440,10 +1440,25 @@ _BPE_MERGES = [
 def _bpe_apply_chain(col: str) -> str:
     """Nested replace() chain applying the merge table in rank order —
     replace() has identical all-occurrence semantics in Spark SQL and
-    DuckDB, so the expression text is dialect-common."""
+    DuckDB, so the expression text is dialect-common.
+
+    Boundary-safe (r6 ADVICE): ``col`` must be the SENTINEL-PADDED
+    symbol string ``' s1 s2 ... sn '`` (leading+trailing space), and
+    every merge pattern carries its own sentinels — ``' a b ' -> ' ab '``
+    — so a merge can never fire across a multi-char symbol boundary
+    (the old unpadded chain turned ``h er e`` into ``h ere`` because
+    ``r e`` matched INSIDE the ``er``/``e`` boundary). Each merge is
+    applied twice because a replace consumes the shared boundary space
+    of back-to-back occurrences (``' t h t h '`` -> first pass merges
+    only the left pair); the second pass catches the now-re-spaced
+    neighbor. Residual approximation vs strict leftmost-greedy BPE:
+    runs of >= 3 back-to-back occurrences of the SAME pair can still
+    segment differently — both engines run the identical chain, so
+    cross-engine determinism is unaffected."""
     expr = col
     for a, b in _BPE_MERGES:
-        expr = f"replace({expr}, '{a}', '{b}')"
+        one = f"replace({expr}, ' {a} ', ' {b} ')"
+        expr = f"replace({one}, ' {a} ', ' {b} ')"
     return expr
 
 
@@ -1458,8 +1473,8 @@ def _bpe_apply_chain(col: str) -> str:
     seg AS (
       SELECT source, w,
              CAST(len(string_split(w, '')) AS BIGINT) AS n_chars,
-             CAST(len(string_split(
-               {_bpe_apply_chain("array_to_string(string_split(w, ''), ' ')")},
+             CAST(len(string_split(trim(
+               {_bpe_apply_chain("(' ' || array_to_string(string_split(w, ''), ' ') || ' ')")}),
                ' ')) AS BIGINT) AS n_subwords
       FROM words
     )
@@ -1476,11 +1491,15 @@ def _bpe_apply_chain(col: str) -> str:
     doc="BPE merge APPLICATION — the encode half that closes the "
     "vocabulary-induction loop started by q_bpe_merge_candidates: "
     "every word decomposes to space-separated characters and a frozen "
-    "rank-ordered merge table applies as a nested replace() chain "
-    "(replace has identical all-occurrence, leftmost-nonoverlapping "
-    "semantics in both engines, so the chain text is dialect-common "
-    "and the segmentation is bit-identical — this is how BPE encode "
-    "actually works: merges apply in training-rank order). Reported "
+    "rank-ordered merge table applies as a SENTINEL-PADDED nested "
+    "replace() chain (' a b ' -> ' ab ' on the space-padded symbol "
+    "string, each merge applied twice to recover boundary-space-"
+    "consumed neighbors — see _bpe_apply_chain: boundary-safe, so "
+    "merges never fire across multi-char symbol boundaries; the one "
+    "residual deviation from strict leftmost-greedy BPE is >=3 "
+    "back-to-back runs of the same pair, and both engines run the "
+    "identical chain so the segmentation stays bit-identical). "
+    "Merges apply in training-rank order, as BPE encode does. Reported "
     "per source: words, symbols before/after, average subwords per "
     "word, and the symbol compression ratio — the metrics a tokenizer "
     "team tracks when sizing a vocabulary against a corpus mix. "
@@ -1494,12 +1513,12 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")).alias("w"),
     )
-    spaced = "array_join(split(w, ''), ' ')"
+    spaced = "(' ' || array_join(split(w, ''), ' ') || ' ')"
     seg = w.select(
         "source",
         F.expr("cast(size(split(w, '')) as bigint)").alias("n_chars"),
         F.expr(
-            f"cast(size(split({_bpe_apply_chain(spaced)}, ' ')) as bigint)"
+            f"cast(size(split(trim({_bpe_apply_chain(spaced)}), ' ')) as bigint)"
         ).alias("n_subwords"),
     )
     return seg.groupBy("source").agg(

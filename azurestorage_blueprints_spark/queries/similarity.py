@@ -813,13 +813,53 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_FLAT_MAX = 100_000
 
 
+#: parquet-footer row counts keyed by resolved file path (r6 ADVICE:
+#: the routing decision must not pay a full count() scan per
+#: invocation — including timed bench samples). Footer metadata is a
+#: driver-side O(row groups) read, and the test parquet files are
+#: immutable during a session, so the cache never invalidates here;
+#: a mutable production dataset would key on (path, mtime) or read
+#: the Delta log's row-count stats instead.
+_FOOTER_ROWS: dict[str, int] = {}
+
+
+def _embeddings_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus size from parquet footer metadata (no Spark job, no
+    scan); falls back to a Spark count for non-parquet layouts."""
+    import os as _os
+
+    path = _os.path.abspath(_os.path.join(sf_dir, "embeddings.parquet"))
+    if path not in _FOOTER_ROWS:
+        try:
+            import pyarrow.parquet as pq
+
+            _FOOTER_ROWS[path] = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            _FOOTER_ROWS[path] = table(spark, sf_dir, "embeddings").count()
+    return _FOOTER_ROWS[path]
+
+
 def build_semdedup_routed(spark: SparkSession, sf_dir: str):
     """Pick the E-step by corpus size: flat (exact, N·k) below
     :data:`_SEM_FLAT_MAX`, hierarchical (routed, N·√k) above it.
     Returns ``(result, persisted_members, routed)`` so tests can
-    assert which plan ran."""
-    n = table(spark, sf_dir, "embeddings").count()
-    if n > _SEM_FLAT_MAX:
+    assert which plan ran.
+
+    The corpus size comes from parquet footer metadata (cached — no
+    per-invocation count() scan, r6 ADVICE), and the route can be
+    pinned explicitly with ``SPARK_GRAFT_SEMDEDUP_ROUTE`` in
+    {``auto`` (default), ``flat``, ``hier``} so callers who need the
+    size-independent flat oracle contract (or the hierarchical plan
+    at small SF) get it regardless of corpus size."""
+    import os as _os
+
+    route = _os.environ.get("SPARK_GRAFT_SEMDEDUP_ROUTE", "auto").lower()
+    if route not in ("auto", "flat", "hier"):
+        raise ValueError(f"SPARK_GRAFT_SEMDEDUP_ROUTE must be auto|flat|hier, got {route!r}")
+    hier = route == "hier" or (
+        route == "auto" and _embeddings_rows(spark, sf_dir) > _SEM_FLAT_MAX
+    )
+    if hier:
         out, mem = build_semdedup_hier(spark, sf_dir)
         return out, mem, True
     out, mem = build_semdedup(spark, sf_dir)
@@ -833,7 +873,7 @@ def build_semdedup(spark: SparkSession, sf_dir: str):
     # k ∝ corpus size (the paper's contract, now enforced in code): a
     # metadata-cheap count derives the centroid budget, so a 100× corpus
     # gets 100× clusters and the per-cluster pair fan-out stays constant
-    k = _sem_k(e.count())
+    k = _sem_k(_embeddings_rows(spark, sf_dir))
     en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     # seed norms hoisted like the brute-force kNN fix: the E-step fold
     # count drops from 3 per pair to 1 (dot only); dot/(nrm*snrm) is the
@@ -1237,7 +1277,7 @@ def build_semdedup_hier(spark: SparkSession, sf_dir: str):
     (result, persisted member table). Shared by ``q_semdedup_hier``
     and — above :data:`_SEM_FLAT_MAX` — by ``q_semdedup`` itself."""
     e = table(spark, sf_dir, "embeddings")
-    k = _sem_k(e.count())
+    k = _sem_k(_embeddings_rows(spark, sf_dir))
     s = _sem_super(k)
     en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     seeds = e.filter(F.col("vec_id") < k).select(

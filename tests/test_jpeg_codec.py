@@ -108,6 +108,22 @@ def test_encode_decode_roundtrip_quality_and_determinism():
     assert decode_jpeg(jp) == (w2, h2, px)
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    # bytes; some encoders pad. Inject fill runs before header markers
+    # and the decode must be byte-identical to the unpadded stream.
+    ref = decode_jpeg(_FIX_JPEG)
+    padded = bytearray(_FIX_JPEG[:2])
+    i = 2
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xda"):
+        j = _FIX_JPEG.find(marker, i)
+        assert j > 0
+        padded += _FIX_JPEG[i:j] + b"\xff" * 3 + marker[1:]
+        i = j + 2
+    padded += _FIX_JPEG[i:]
+    assert decode_jpeg(bytes(padded)) == ref
+
+
 def test_progressive_jpeg_still_routes_to_injected_tier():
     # SOF2 (progressive) must raise, not mis-decode
     bad = bytearray(_FIX_JPEG)
