@@ -85,3 +85,53 @@ def test_entry_module_wraps_queries_with_teardown(spark, sf_dir):
     fn(spark, sf_dir)
     assert _cache_empty(spark), "queries() wrapper did not clear the cache"
     planted.unpersist()
+
+
+def test_finalize_bounded_enforces_row_budget(spark, sf_dir, monkeypatch):
+    """r6 verdict task 2: the write-to-storage escape hatch is CODE.
+
+    Within budget a per-cluster report collects as a LocalRelation;
+    over budget the SAME query must spill the report to warehouse
+    storage (never materializing an unbounded driver row list) and
+    return a scan with identical schema and values — and still leave
+    the session cache empty."""
+    import azurestorage_blueprints_spark.queries as Q
+
+    spark.catalog.clearCache()
+    out = Q.REGISTRY["q_semdedup"].fn(spark, sf_dir)
+    assert Q.LAST_FINALIZE_ROUTE == "collect"
+    base = sorted(map(tuple, out.collect()))
+    assert len(base) > 2
+
+    # shrink the budget below the cluster count: the report is now
+    # "unbounded" relative to the budget and MUST take the spill route
+    monkeypatch.setattr(Q, "FINALIZE_ROW_BUDGET", 2)
+    out2 = Q.REGISTRY["q_semdedup"].fn(spark, sf_dir)
+    assert Q.LAST_FINALIZE_ROUTE == "spill"
+    # parquet scans are nullable-by-construction; names and types must
+    # survive exactly (nullability is metadata the comparator ignores)
+    assert [(f.name, f.dataType) for f in out2.schema] == [
+        (f.name, f.dataType) for f in out.schema
+    ]
+    assert sorted(map(tuple, out2.collect())) == base
+    assert _cache_empty(spark), "spill route leaked cache"
+
+
+def test_semdedup_family_routes_through_finalize_bounded():
+    """The corpus-proportional report class (SemDeDup family) must go
+    through finalize_bounded — a registered query in that class that
+    collects its report directly would bypass the row-budget guard."""
+    import inspect
+
+    from azurestorage_blueprints_spark.queries import graph_q, similarity
+
+    for fn in (
+        similarity.q_semdedup,
+        similarity.q_semdedup_hier,
+        graph_q.q_graph_assortativity,
+    ):
+        src = inspect.getsource(fn)
+        assert "finalize_bounded(" in src, fn.__name__
+        assert ".collect()" not in src, (
+            f"{fn.__name__} collects directly — route through finalize_bounded"
+        )
