@@ -151,26 +151,38 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
 })
 
 
-def _check_history() -> tuple[set[str], set[str]]:
+def _check_history() -> tuple[set[str], set[str], dict[str, int]]:
     """Read every ``CORRECTNESS_r*.json`` the driver has written so far
-    and split the names it has checked into (needs-recheck, settled).
+    and split the names it has checked into (needs-recheck, settled,
+    last-checked-round).
 
     needs-recheck: the *latest* row for the name was a hash mismatch or
     a harness error (excluding the by-design ``no_oracle`` rows-only
     entries, which count as settled once they produced rows).
     settled: latest row green (or rows-only with rows).
+    last-checked-round: for every checked name, the round number of its
+    most recent driver row — the staleness signal the settled tier is
+    sorted by (r6 verdict task 5: oldest-checked-first, so every green
+    row refreshes on a bounded rotation cadence instead of never).
     """
     import glob
     import json
+    import re
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     latest: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                latest.update(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
+        latest.update(rows)
+        for name in rows:
+            last_round[name] = max(rnd, last_round.get(name, 0))
     recheck, settled = set(), set()
     for name, row in latest.items():
         if row.get("hash_match"):
@@ -179,7 +191,7 @@ def _check_history() -> tuple[set[str], set[str]]:
             settled.add(name)
         else:
             recheck.add(name)
-    return recheck, settled
+    return recheck, settled, last_round
 
 
 def load_all() -> dict[str, Query]:
@@ -192,7 +204,10 @@ def load_all() -> dict[str, Query]:
     (1) names whose latest CORRECTNESS row is red (fixed code must be
     re-checked to turn green), (2) names the driver has never checked,
     round-robined across query families so a truncated pass still
-    samples every module, (3) already-green names last.
+    samples every module, (3) already-green names last — OLDEST
+    driver row first (r6 verdict task 5), so with an empty unchecked
+    queue the fixed budget refreshes the stalest 50 green rows each
+    round and every query's driver row stays within a ~5-round age.
     """
     from azurestorage_blueprints_spark.queries import (  # noqa: F401
         behavior,
@@ -217,7 +232,7 @@ def load_all() -> dict[str, Query]:
         tpch_extra,
     )
 
-    recheck, settled = _check_history()
+    recheck, settled, last_round = _check_history()
     head = [n for n in REGISTRY if n in recheck]
     middle = [n for n in REGISTRY if n not in recheck and n not in settled]
 
@@ -241,6 +256,9 @@ def load_all() -> dict[str, Query]:
     # can wait one rotation without ever having shown a red row).
     older = interleave([n for n in middle if n not in _NEWEST_ROUND])
     newest = interleave([n for n in middle if n in _NEWEST_ROUND])
-    ordered = head + older + newest + [n for n in REGISTRY if n in settled]
+    # settled tier: stalest driver row first (ties keep registration
+    # order, which round-robins naturally as whole rounds age together)
+    green = sorted((n for n in REGISTRY if n in settled), key=lambda n: last_round[n])
+    ordered = head + older + newest + green
     assert len(ordered) == len(REGISTRY)
     return {n: REGISTRY[n] for n in ordered}
