@@ -797,3 +797,145 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
         F.sum(F.coalesce("new_types", F.lit(0))).over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING — the full induction loop (r6 verdict task 3).
+# q_bpe_merge_candidates is one counting round and q_text_bpe_apply is
+# the encode half over a frozen table; this operator iterates
+# select-best-pair -> apply-merge for _BPET_ROUNDS rounds over the
+# word-frequency table, the way BPE vocabulary induction actually runs
+# (Sennrich et al. 2016, public). Every round is MATERIALIZED — DuckDB
+# AS MATERIALIZED, Spark localCheckpoint — because each round's word
+# table is read twice (pair counting + merge application) and a plain
+# lineage chain grows a 2^R recompute tree (the q_pagerank_fixedpoint /
+# q_graph_components_minlabel discipline). The winning pair is an O(1)
+# driver round-trip per round (1 row x R rounds — bounded by contract,
+# like Lloyd centroid training), so the merge pattern reaches the next
+# round's projection as a literal the codegen'd replace() can inline.
+_BPET_ROUNDS = 8
+
+
+def _bpet_words_sql() -> str:
+    """Shared word-frequency + round-0 segmentation CTEs (DuckDB)."""
+    return """
+    wf AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+        FROM documents) GROUP BY w
+    ),
+    w0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq, wc
+      FROM wf
+    )"""
+
+
+def _bpet_oracle() -> str:
+    """Unrolled R-round training loop: per round a pair-count CTE, a
+    1-row winner CTE (count desc, pair asc — the deterministic
+    tie-break), and the boundary-safe double-replace application."""
+    parts = ["WITH " + _bpet_words_sql()]
+    for r in range(1, _BPET_ROUNDS + 1):
+        p = f"w{r - 1}"
+        parts.append(f""",
+    p{r} AS MATERIALIZED (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(wc) AS BIGINT) AS cnt
+      FROM (SELECT s, wc, unnest(generate_series(1, len(s) - 1)) AS i
+            FROM (SELECT string_split(trim(seq), ' ') AS s, wc FROM {p})
+            WHERE len(s) >= 2)
+      GROUP BY pair
+    ),
+    win{r} AS MATERIALIZED (
+      SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT replace(replace(seq,
+               ' ' || win.pair || ' ', ' ' || replace(win.pair, ' ', '') || ' '),
+               ' ' || win.pair || ' ', ' ' || replace(win.pair, ' ', '') || ' ') AS seq,
+             wc
+      FROM {p}, win{r} win
+    )""")
+    rows = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({r} AS BIGINT) AS rank, pair,
+             replace(pair, ' ', '') AS merged, cnt AS n_occurrences,
+             (SELECT CAST(sum(wc * len(string_split(trim(seq), ' '))) AS BIGINT)
+              FROM w{r}) AS n_symbols_after
+      FROM win{r}"""
+        for r in range(1, _BPET_ROUNDS + 1)
+    )
+    parts.append(f"\n    SELECT * FROM (\n{rows}\n    ) ORDER BY rank")
+    return "".join(parts)
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpet_oracle(),
+    doc="BPE tokenizer TRAINING, the complete induction loop: "
+    f"{_BPET_ROUNDS} rounds of (count adjacent symbol pairs over the "
+    "word-frequency table, pick the most frequent pair with a "
+    "deterministic count-desc/pair-asc tie-break, apply the merge "
+    "boundary-safely) — the operator every training pipeline runs to "
+    "induce a vocabulary, emitting the learned merge table with per-"
+    "round occurrence counts and the corpus symbol total after each "
+    "merge (the compression trajectory). Correctness: the apply step "
+    "is the sentinel-padded double replace() shared with "
+    "q_text_bpe_apply — dialect-common text, bit-identical on both "
+    "engines — and the oracle unrolls all rounds as MATERIALIZED CTEs. "
+    "Shape (100 TB): the corpus collapses to the word-frequency table "
+    "once (the standard BPE trick — rounds touch |vocab| rows, never "
+    "corpus tokens); each round is one explode+hash-agg with map-side "
+    "combine, a top-1 TakeOrdered, and a literal-pattern projection; "
+    "rounds are localCheckpointed so lineage stays O(1) per round "
+    "instead of 2^R; the only driver traffic is 1 winner row per round.",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.expr("filter(split(lower(text), ' '), t -> t <> '')")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    words = wf.select(
+        F.concat(F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")).alias("seq"),
+        "wc",
+    ).localCheckpoint(eager=False)
+    out_rows = []
+    pair_expr = F.expr(
+        "transform(sequence(1, size(split(trim(seq), ' ')) - 1), "
+        "i -> concat(element_at(split(trim(seq), ' '), i), ' ', "
+        "element_at(split(trim(seq), ' '), i + 1)))"
+    )
+    for r in range(1, _BPET_ROUNDS + 1):
+        win = (
+            # guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
+            words.filter(F.size(F.split(F.trim("seq"), " ")) >= 2)
+            .select(F.explode(pair_expr).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        pat, rep = f" {win['pair']} ", " " + win["pair"].replace(" ", "") + " "
+        words = words.select(
+            F.replace(
+                F.replace(F.col("seq"), F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+            ).alias("seq"),
+            "wc",
+        ).localCheckpoint(eager=False)
+        nsym = words.agg(
+            F.sum(F.col("wc") * F.size(F.split(F.trim("seq"), " "))).cast("bigint")
+        ).collect()[0][0]
+        out_rows.append((r, win["pair"], win["pair"].replace(" ", ""), win["cnt"], nsym))
+    schema = StructType(
+        [
+            StructField("rank", LongType()),
+            StructField("pair", StringType()),
+            StructField("merged", StringType()),
+            StructField("n_occurrences", LongType()),
+            StructField("n_symbols_after", LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema).orderBy("rank")

@@ -1079,6 +1079,101 @@ def _mhp_band_hash(cols: list[str]) -> str:
     return acc
 
 
+def _mhp_sig_sql() -> str:
+    """DuckDB CTE text ``th/sh/sig`` building the portable MinHash
+    signature table over ``documents`` — shared by the full-corpus rung
+    and the incremental rung so both anchor the same arithmetic."""
+    return f"""th AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               t -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(t, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % {_MHP_M})) AS hs
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(hs) >= 3 THEN
+                      list_transform(range(1, len(hs) - 1),
+                        i -> ((hs[i] * 31 + hs[i + 1]) % {_MHP_M} * 31
+                              + hs[i + 2]) % {_MHP_M})
+                    ELSE
+                      [((hs[1] * 31 + coalesce(hs[2], 0)) % {_MHP_M} * 31
+                        + coalesce(hs[3], 0)) % {_MHP_M}]
+                    END) AS h
+      FROM th WHERE len(hs) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"CAST(min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MHP_M}) AS BIGINT) AS s{i}" for i in range(_MHP_PERMS))}
+      FROM sh GROUP BY doc_id
+    )"""
+
+
+def _mhp_bands_sql(src: str) -> str:
+    """UNION ALL band-bucket projection of a signature CTE."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"CAST({_mhp_band_hash([f's{bi * _MHP_ROWS + r}' for r in range(_MHP_ROWS)])} AS BIGINT) AS bh"
+        f" FROM {src}"
+        for bi in range(_MHP_BANDS)
+    )
+
+
+def _mhp_sig(d: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_mhp_sig_sql`: documents → one row per doc
+    with the 16 portable MinHash signature components ``s0..s15``."""
+    from pyspark.sql import Window as W
+
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    p = toked.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    codes = F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("bigint"))
+    th = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * 31 + c) % F.lit(_MHP_M).cast("bigint"),
+    )
+    hp = p.select("doc_id", "pos", th.alias("h0"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    posting = (
+        hp.select(
+            "doc_id",
+            "pos",
+            "h0",
+            F.lead("h0", 1).over(w).alias("h1"),
+            F.lead("h0", 2).over(w).alias("h2"),
+        )
+        .filter(F.col("h2").isNotNull() | (F.col("pos") == 0))
+        .select(
+            "doc_id",
+            F.expr(
+                f"((h0 * 31 + coalesce(h1, 0)) % {_MHP_M} * 31"
+                f" + coalesce(h2, 0)) % {_MHP_M}"
+            ).alias("h"),
+        )
+    )
+    sig_aggs = [
+        F.expr(f"cast(min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MHP_M}) as bigint) AS s{i}")
+        for i in range(_MHP_PERMS)
+    ]
+    return posting.groupBy("doc_id").agg(*sig_aggs)
+
+
+def _mhp_bands(sig: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_mhp_bands_sql`: signature table → (doc_id,
+    band, bh) bucket rows."""
+    band_structs = ",".join(
+        f"struct({bi} AS band, cast({_mhp_band_hash([f's{bi * _MHP_ROWS + r}' for r in range(_MHP_ROWS)])} as bigint) AS bh)"
+        for bi in range(_MHP_BANDS)
+    )
+    return sig.select("doc_id", F.expr(f"explode(array({band_structs})) AS bs")).select(
+        "doc_id", "bs.band", "bs.bh"
+    )
+
+
 @register(
     "q_dedup_minhash_portable",
     oracle=f"""
@@ -1148,50 +1243,11 @@ def _mhp_band_hash(cols: list[str]) -> str:
     "join back. Sub-quadratic at any corpus size.",
 )
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = table(spark, sf_dir, "documents")
-    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
-    p = toked.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
-    # portable per-token hash (the rolling-fingerprint fold); computed
-    # ONCE per token, then shingles combine the hashed stream via lead
-    codes = F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("bigint"))
-    th = F.aggregate(
-        codes,
-        F.lit(0).cast("bigint"),
-        lambda h, c: (h * 31 + c) % F.lit(_MHP_M).cast("bigint"),
-    )
-    hp = p.select("doc_id", "pos", th.alias("h0"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    posting = (
-        hp.select(
-            "doc_id",
-            "pos",
-            "h0",
-            F.lead("h0", 1).over(w).alias("h1"),
-            F.lead("h0", 2).over(w).alias("h2"),
-        )
-        .filter(F.col("h2").isNotNull() | (F.col("pos") == 0))
-        .select(
-            "doc_id",
-            F.expr(
-                f"((h0 * 31 + coalesce(h1, 0)) % {_MHP_M} * 31"
-                f" + coalesce(h2, 0)) % {_MHP_M}"
-            ).alias("h"),
-        )
-    )
-    sig_aggs = [
-        F.expr(f"cast(min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MHP_M}) as bigint) AS s{i}")
-        for i in range(_MHP_PERMS)
-    ]
-    sig = posting.groupBy("doc_id").agg(*sig_aggs)
-    band_structs = ",".join(
-        f"struct({bi} AS band, cast({_mhp_band_hash([f's{bi * _MHP_ROWS + r}' for r in range(_MHP_ROWS)])} as bigint) AS bh)"
-        for bi in range(_MHP_BANDS)
-    )
-    bands = sig.select(
-        "doc_id", F.expr(f"explode(array({band_structs})) AS bs")
-    ).select("doc_id", "bs.band", "bs.bh")
+    # portable per-token hash (the rolling-fingerprint fold) computed
+    # ONCE per token, shingles via lead, 16 min-aggs — shared helper
+    sig = _mhp_sig(d)
+    bands = _mhp_bands(sig)
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "bh")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "bh")
     cand = (
@@ -1349,3 +1405,121 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SHP_HAMMING)
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL dedup (r6 verdict task 7) — the production shape. A real
+# pipeline never recomputes full-corpus pairs when a batch lands: the
+# corpus keeps a PERSISTED signature table, only the new arrivals get
+# hashed, and the candidate join is arrivals x corpus — O(batch) new
+# work, never O(corpus^2). This rung models that with a deterministic
+# batch split (doc_id % 10 = 7 → the arriving batch, ~10%; the rest is
+# the standing corpus) over the portable-hash signatures shared with
+# q_dedup_minhash_portable, so every signature, bucket, estimate, and
+# verdict is bit-exact on both engines.
+_INC_ARRIVAL_MOD = 10
+_INC_ARRIVAL_REM = 7
+_INC_DUP_EST = 0.5  # >= 8 of 16 matching components → duplicate
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_mhp_sig_sql()},
+    arrb AS ({_mhp_bands_sql(f"(SELECT * FROM sig WHERE doc_id % {_INC_ARRIVAL_MOD} = {_INC_ARRIVAL_REM})")}),
+    corb AS ({_mhp_bands_sql(f"(SELECT * FROM sig WHERE doc_id % {_INC_ARRIVAL_MOD} <> {_INC_ARRIVAL_REM})")}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS c_id
+      FROM arrb a JOIN corb c ON a.band = c.band AND a.bh = c.bh
+    ),
+    scored AS (
+      SELECT cd.a_id, cd.c_id,
+             CAST(({" + ".join(f"CASE WHEN sa.s{i} = sc.s{i} THEN 1 ELSE 0 END" for i in range(_MHP_PERMS))})
+                  AS DOUBLE) / {_MHP_PERMS}.0 AS est_jaccard
+      FROM cand cd
+      JOIN sig sa ON cd.a_id = sa.doc_id
+      JOIN sig sc ON cd.c_id = sc.doc_id
+    ),
+    best AS (
+      SELECT a_id, c_id, est_jaccard,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY est_jaccard DESC, c_id) AS rn
+      FROM scored
+    )
+    SELECT s.doc_id AS a_id, b.c_id AS match_id, b.est_jaccard,
+           CASE WHEN b.est_jaccard >= {_INC_DUP_EST} THEN 'dup'
+                ELSE 'novel' END AS verdict
+    FROM (SELECT doc_id FROM sig
+          WHERE doc_id % {_INC_ARRIVAL_MOD} = {_INC_ARRIVAL_REM}) s
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.a_id
+    ORDER BY a_id
+    """,
+    doc="Incremental batch-vs-corpus MinHash dedup — the PRODUCTION "
+    "dedup shape: arrivals (a deterministic ~10% batch) are hashed and "
+    "LSH-joined against the standing corpus's signature table; each "
+    "arrival gets its best corpus match (max estimated Jaccard, "
+    "smallest-id tie-break) and a dup/novel verdict at the 8-of-16 "
+    "component threshold. Fully ORACLE-CHECKED via the portable-hash "
+    "signature machinery shared with q_dedup_minhash_portable. Shape "
+    "(100 TB): the signature table is computed once and persisted (in "
+    "production it IS a stored table keyed by the same hashes — only "
+    "the batch's signatures are new work), the candidate join is "
+    "arrivals x corpus on (band, bucket) — never corpus x corpus, "
+    "never pair enumeration — and the per-arrival argmax is one "
+    "window over the arrival partitioning. The bounded per-batch "
+    "report goes through finalize_bounded (budget-guarded).",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
+    d = table(spark, sf_dir, "documents")
+    # ONE signature pass, persisted — the in-query stand-in for the
+    # production stored signature table (arrivals + corpus both read it)
+    sig = _mhp_sig(d).persist()
+    is_arr = (F.col("doc_id") % _INC_ARRIVAL_MOD) == _INC_ARRIVAL_REM
+    arrb = _mhp_bands(sig.filter(is_arr)).select(
+        F.col("doc_id").alias("a_id"), "band", "bh"
+    )
+    corb = _mhp_bands(sig.filter(~is_arr)).select(
+        F.col("doc_id").alias("c_id"), "band", "bh"
+    )
+    cand = arrb.join(corb, ["band", "bh"]).select("a_id", "c_id").distinct()
+    sig_a = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_MHP_PERMS)],
+    )
+    sig_c = sig.select(
+        F.col("doc_id").alias("c_id"),
+        *[F.col(f"s{i}").alias(f"sc{i}") for i in range(_MHP_PERMS)],
+    )
+    est = F.expr(
+        "cast(("
+        + " + ".join(f"CASE WHEN sa{i} = sc{i} THEN 1 ELSE 0 END" for i in range(_MHP_PERMS))
+        + f") as double) / {_MHP_PERMS}.0"
+    )
+    scored = (
+        cand.join(sig_a, "a_id")
+        .join(sig_c, "c_id")
+        .select("a_id", "c_id", est.alias("est_jaccard"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("a_id").orderBy(F.desc("est_jaccard"), F.asc("c_id"))
+    )
+    best = scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    out = (
+        sig.filter(is_arr)
+        .select(F.col("doc_id").alias("a_id"))
+        .join(best, "a_id", "left")
+        .select(
+            "a_id",
+            F.col("c_id").alias("match_id"),
+            "est_jaccard",
+            F.when(F.col("est_jaccard") >= _INC_DUP_EST, F.lit("dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+        .orderBy("a_id")
+    )
+    return finalize_bounded(out, sig)
