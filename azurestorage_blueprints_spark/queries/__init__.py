@@ -139,15 +139,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: after every older never-checked name so the driver's fixed check
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
-    "q_stats_mann_whitney", "q_stats_kendall_tau", "q_stats_levene_bf",
-    "q_stats_permutation_test", "q_graph_components_minlabel",
-    "q_knn_range_search", "q_text_feature_hashing",
-    "q_multimodal_wav_frame_energy", "q_multimodal_jpeg_roundtrip",
-    "q_dedup_minhash_portable", "q_stats_wilcoxon_signed_rank",
-    "q_dedup_simhash_portable", "q_sketch_count_min_portable",
-    "q_sketch_hll_portable", "q_multimodal_png_roundtrip",
-    "q_eval_langid_metrics", "q_stats_runs_test",
-    "q_eval_cohens_kappa", "q_text_bpe_apply", "q_knn_ivf_exact",
+    "q_bpe_train", "q_dedup_incremental", "q_html_extract_text",
 })
 
 

@@ -692,3 +692,77 @@ def _bind_waterfall_oracle() -> None:
 
 
 _bind_waterfall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction (r6 verdict task 4) — the web-ingestion step in
+# front of the whole curation ladder. The REAL operator is
+# operators/html_text.py (streaming html.parser block segmentation +
+# density-rule boilerplate filter, Arrow-batched mapInPandas); this
+# query makes it oracle-checkable the PNG-roundtrip way: a
+# deterministic HTML page is built around each document (title/style/
+# script head, link-only nav, the document text as the content block,
+# a share widget, a footer), the extractor must strip the chrome and
+# recover the text EXACTLY, and DuckDB reproduces every reported
+# metric arithmetically from the original text column.
+_HTML_CHECKSUM_M = 2147483647
+
+
+@register(
+    "q_html_extract_text",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok,
+             CAST(len(text) AS BIGINT) AS nch,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % {_HTML_CHECKSUM_M}) AS fold
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(3 + CASE WHEN tok >= 1 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN tok >= 5 THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+           CAST(CASE WHEN tok >= 5 THEN tok ELSE 0 END AS BIGINT) AS kept_tokens,
+           CAST(CASE WHEN tok >= 5 THEN nch ELSE 0 END AS BIGINT) AS kept_chars,
+           CAST(CASE WHEN tok >= 5 THEN fold ELSE 0 END AS BIGINT) AS checksum
+    FROM t ORDER BY doc_id
+    """,
+    doc="HTML text extraction + boilerplate filtering over a "
+    "deterministic per-document page fixture: the stdlib-html.parser "
+    "streaming block segmenter (operators/html_text.py) must drop the "
+    "script/style/title head, the link-dominated nav, and the "
+    "short share/footer chrome (n_tokens >= 5 AND 2*link_chars <= "
+    "n_chars keep rule), recover the document text bit-exactly "
+    "(entity escape -> unescape roundtrip), and report exact integer "
+    "block counts, kept token/char totals, and the portable "
+    "polynomial checksum of the kept text — every value reproduced "
+    "arithmetically by DuckDB from the raw text column, so any parser "
+    "bug (tag nesting, charref handling, density rule) breaks the "
+    "hash. Shape (100 TB): page construction is codegen'd string "
+    "concat in the scan stage; the parse is ONE Arrow-batched "
+    "mapInPandas pass, per-document, no shuffle, no driver traffic — "
+    "embarrassingly parallel over payload partitions.",
+)
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.html_text as HT
+    from pyspark import cloudpickle
+
+    # ship the extractor library to plain-session Python workers by
+    # value (the q_multimodal_* convention)
+    cloudpickle.register_pickle_by_value(HT)
+
+    d = table(spark, sf_dir, "documents")
+    esc = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    html = F.expr(
+        "concat('<html><head><title>Doc ', cast(doc_id as string), "
+        "'</title><style>p{margin:0}</style>"
+        "<script>var id=', cast(doc_id as string), ';</script></head><body>"
+        '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+        f"<p>', {esc}, '</p>"
+        '<div class="share">share this page</div>'
+        "<footer>(c) example corp</footer></body></html>')"
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return HT.extract_html_text(pages).orderBy("doc_id")
