@@ -106,6 +106,11 @@ HEADLINE = [
     "q_text_feature_hashing",
     "q_multimodal_wav_frame_energy",
     "q_multimodal_jpeg_roundtrip",
+    # round-7 additions: BPE vocabulary induction, incremental
+    # batch-vs-corpus dedup, HTML extraction + boilerplate filter
+    "q_bpe_train",
+    "q_dedup_incremental",
+    "q_html_extract_text",
 ]
 
 
@@ -231,8 +236,12 @@ def emit_lines(
     # the total LAST — so even a front-truncated tail still ends with
     # the headline value; must fit the driver's 2000-char tail window
     # at the full headline count (gated in tests/test_bench_output.py).
+    # the redundant "q_" prefix is stripped in the compact line only
+    # (every headline name carries it) — at 72 queries that buys ~150
+    # chars of tail-window headroom; the full artifact line keeps the
+    # exact registry names
     compact = {
-        "queries": {k: round(v, 1) for k, v in timings.items()},
+        "queries": {k.removeprefix("q_"): round(v, 1) for k, v in timings.items()},
         "sf": sf,
         "n_ok": len(timings),
         "value": value,

@@ -33,12 +33,28 @@ from azurestorage_blueprints_spark.oracle import (
 from azurestorage_blueprints_spark.queries import load_all
 
 
+#: sweep-scale skip list: queries whose ORACLE formulation is a
+#: documented correctness ANCHOR with super-linear cost (constant
+#: blocking key space), excluded only above the SF where the pair join
+#: leaves the tractable range. Key: query name → (min rows/sf marker,
+#: reason recorded in the artifact).
+SWEEP_SKIPS_ABOVE_SF01 = {
+    "q_dedup_simhash_portable": (
+        "skipped_at_sweep_sf: constant 256-bucket anchor rung — candidate "
+        "pairs grow Theta(N^2/256) (~1e9 at sf1); the rung's doc states it "
+        "is the bit-exact anchor, not the production path (dedup.py)"
+    ),
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path_arg = sys.argv[2] if len(sys.argv) > 2 else None
+    big_sweep = out_path_arg is not None
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .appName("oracle-local")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTS", "8"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
@@ -57,6 +73,12 @@ def main() -> int:
             "oracle_rows": None,
             "err": None,
         }
+        tq = time.time()
+        if big_sweep and name in SWEEP_SKIPS_ABOVE_SF01:
+            row["err"] = SWEEP_SKIPS_ABOVE_SF01[name]
+            out[name] = row
+            print(f"[{i}/{len(registry)}] {name}: SKIP (documented anchor)", flush=True)
+            continue
         try:
             s_pdf = q.fn(spark, sf_dir).toPandas()
             row["spark_rows"] = len(s_pdf)
@@ -79,17 +101,20 @@ def main() -> int:
         spark.catalog.clearCache()
         out[name] = row
         status = "ok" if row["hash_match"] else (row["err"] or "MISMATCH")
-        print(f"[{i}/{len(registry)}] {name}: {status}", flush=True)
+        print(f"[{i}/{len(registry)}] {name}: {status} ({time.time() - tq:.1f}s)", flush=True)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(repo_root, "ORACLE_LOCAL.json")
+    path = out_path_arg or os.path.join(repo_root, "ORACLE_LOCAL.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     n_hash = sum(1 for r in out.values() if r["hash_match"])
     n_rows_only = sum(1 for r in out.values() if r["err"] == "no_oracle")
-    n_fail = len(out) - n_hash - n_rows_only
+    n_skip = sum(
+        1 for r in out.values() if r["err"] and r["err"].startswith("skipped_at_sweep_sf")
+    )
+    n_fail = len(out) - n_hash - n_rows_only - n_skip
     print(
         f"wrote {path}: {n_hash} hash-pass, {n_rows_only} rows-only, "
-        f"{n_fail} failures in {time.time() - t0:.0f}s"
+        f"{n_skip} documented-skip, {n_fail} failures in {time.time() - t0:.0f}s"
     )
     return 1 if n_fail else 0
 
