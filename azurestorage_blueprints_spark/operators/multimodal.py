@@ -11,15 +11,18 @@ real and tested. Decode support is tiered:
   involved: binary PPM (P6) parse, 8-bit PNG (zlib inflate +
   scanline unfilter, ``decode_png``), GIF87a/89a (hand-rolled LZW +
   palette lookup + Adam-style de-interlace, ``decode_gif``),
-  baseline sequential JPEG (hand-rolled canonical Huffman + exact
-  float64 IDCT + chroma upsample, 4:4:4/4:2:2/4:2:0 and restart
-  intervals, ``decode_jpeg`` — cross-validated against libjpeg
-  within ±2/pixel), PCM WAV, nearest-neighbor resize
-  (``_nn_resize_rgb``);
-- the remaining codec tier (progressive JPEG, MP3 — formats whose
-  decoders are large enough that production injects Pillow/libvips/
-  ffmpeg into the worker) takes an injected decoder callback — such
-  rows return ``ok=false`` instead of failing the stage;
+  JPEG — baseline sequential AND progressive (hand-rolled canonical
+  Huffman + exact float64 IDCT + chroma upsample, 4:4:4/4:2:2/4:2:0,
+  restart intervals, and the full Annex G progressive mode: spectral
+  selection, successive approximation, EOB runs — ``decode_jpeg``;
+  baseline cross-validated against libjpeg within ±2/pixel,
+  progressive pinned bit-identical to the baseline path), PCM WAV,
+  nearest-neighbor resize (``_nn_resize_rgb``);
+- the remaining codec tier (arithmetic/lossless/hierarchical JPEG,
+  MP3 — formats whose decoders are large enough that production
+  injects Pillow/libvips/ffmpeg into the worker) takes an injected
+  decoder callback — such rows return ``ok=false`` instead of
+  failing the stage;
 - ``fake_decode_meta`` parses a tiny deterministic fake header
   (magic + width + height), exercising the same batch path in tests.
 
@@ -460,12 +463,15 @@ def encode_gif(width: int, height: int, rgb: bytes, *, interlace: bool = False) 
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) — hand-rolled with
-# stdlib + numpy only, completing the real-decode tier: PPM, PNG
-# (DEFLATE), GIF (LZW), WAV (PCM), video container, and now JPEG
-# (Huffman + IDCT). Only MP3 remains injected. Supported: 8-bit
-# precision, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
-# restart intervals. Progressive (SOF2) and arithmetic coding raise.
+# JPEG (ITU-T T.81, Huffman) — hand-rolled with stdlib + numpy only,
+# completing the real-decode tier: PPM, PNG (DEFLATE), GIF (LZW), WAV
+# (PCM), video container, and JPEG (Huffman + IDCT). Only MP3 remains
+# injected. Supported: 8-bit precision, 1 or 3 components, 4:4:4 /
+# 4:2:2 / 4:2:0 sampling, restart intervals, baseline sequential
+# (SOF0/1) AND progressive (SOF2, r7: spectral selection + successive
+# approximation per Annex G — multi-scan coefficient accumulation, EOB
+# runs, refinement correction bits). Arithmetic coding and the
+# lossless/hierarchical SOF variants raise to the injected tier.
 
 #: zigzag scan order: zigzag index -> row-major position in the 8x8 block
 _JPEG_ZIGZAG = [
@@ -656,6 +662,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     huff_dec: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    prog_coef = None  # progressive: per-component zigzag coefficient store
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -696,22 +703,27 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 vals = list(seg[j + 17 : j + 17 + nv])
                 huff_dec[(tc, th)] = _jpeg_canonical_codes(bits, vals)[0]
                 j += 17 + nv
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+                raise ValueError("only 8-bit JPEG supported")
             comps = []
             for k in range(nc):
                 cid, hv, tq = seg[6 + 3 * k], seg[7 + 3 * k], seg[8 + 3 * k]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/extended JPEG requires an injected decoder")
+            frame = {"w": w, "h": h, "comps": comps, "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("extended/arithmetic JPEG requires an injected decoder")
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame["progressive"]:
+                if prog_coef is None:
+                    prog_coef = _jpeg_prog_alloc(frame)
+                i = _jpeg_prog_scan(b, i, seg, frame, huff_dec, prog_coef, restart)
+                continue
             ns = seg[0]
             scan = {}
             for k in range(ns):
@@ -770,25 +782,35 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                                 y0 = (my * c["v"] + by) * 8
                                 x0 = (mx * c["h"] + bx) * 8
                                 planes[ci][y0 : y0 + 8, x0 : x0 + 8] = sp
-            # crop to subsampled size, upsample to full resolution
-            full = []
-            for ci, c in enumerate(comps):
-                cw = -(-w * c["h"] // hmax)
-                ch = -(-h * c["v"] // vmax)
-                p = planes[ci][:ch, :cw]
-                p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-                full.append(p[:h, :w])
-            if len(full) == 1:
-                g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-                return w, h, np.repeat(g[:, :, None], 3, axis=2).tobytes()
-            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-            r = y + 1.402 * cr
-            g = y - 0.344136 * cb - 0.714136 * cr
-            bl = y + 1.772 * cb
-            rgb = np.stack([r, g, bl], axis=2)
-            return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+            return _jpeg_color_assemble(planes, comps, w, h, hmax, vmax)
         # APPn / COM / others: skipped
+    if prog_coef is not None:  # progressive: all scans decoded, rebuild
+        return _jpeg_prog_reconstruct(frame, qt, prog_coef)
     raise ValueError("no scan data in JPEG payload")
+
+
+def _jpeg_color_assemble(planes, comps, w: int, h: int, hmax: int, vmax: int):
+    """Crop padded component planes to their subsampled size, upsample
+    to full resolution, and convert BT.601 YCbCr→RGB (shared by the
+    baseline streaming path and the progressive reconstruction)."""
+    import numpy as np
+
+    full = []
+    for ci, c in enumerate(comps):
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        p = planes[ci][:ch, :cw]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(g[:, :, None], 3, axis=2).tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=2)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
 
 
 def _jpeg_huff_symbol(rdr: "_JpegBitReader", table: dict) -> int:
@@ -799,6 +821,192 @@ def _jpeg_huff_symbol(rdr: "_JpegBitReader", table: dict) -> int:
         if sym is not None:
             return sym
     raise ValueError("corrupt Huffman stream")
+
+
+# -- progressive mode (T.81 Annex G, spectral selection + successive
+#    approximation, Huffman) ------------------------------------------------
+
+
+def _jpeg_prog_alloc(frame):
+    """Per-component zigzag-order coefficient store covering the padded
+    MCU grid (int64: progressive scans accumulate bits across scans)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64) for c in comps
+    ]
+
+
+def _jpeg_prog_units(frame, scomps):
+    """Data-unit iteration order for one scan (T.81 G.2): interleaved
+    MCU order when the scan holds several components, the component's
+    OWN block raster when it holds one."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(scomps) > 1:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci, tdc, tac in scomps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append((ci, my * c["v"] + by, mx * c["h"] + bx, tdc, tac))
+                yield unit
+    else:
+        ci, tdc, tac = scomps[0]
+        c = comps[ci]
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield [(ci, by, bx, tdc, tac)]
+
+
+def _jpeg_prog_scan(b, i, seg, frame, huff_dec, coef, restart) -> int:
+    """Decode ONE progressive SOS (DC/AC, first pass or successive-
+    approximation refinement) into the persistent coefficient store;
+    returns the byte offset of the next marker. Algorithms follow
+    T.81 G.1.2/G.2 (EOB runs, ZRL over zero-history positions,
+    correction bits for every nonzero-history coefficient crossed)."""
+    ns = seg[0]
+    scomps = []
+    for k in range(ns):
+        cs, tt = seg[1 + 2 * k], seg[2 + 2 * k]
+        ci = next(idx for idx, c in enumerate(frame["comps"]) if c["id"] == cs)
+        scomps.append((ci, tt >> 4, tt & 15))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    a = seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 15
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    rdr = _JpegBitReader(b, i)
+    p1 = 1 << al
+    pred = {ci: 0 for ci, _, _ in scomps}
+    eobrun = 0
+    unit_count = 0
+
+    def refine_bit(blk, k) -> None:
+        if rdr.bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    for unit in _jpeg_prog_units(frame, scomps):
+        if restart and unit_count and unit_count % restart == 0:
+            rdr.align_restart()
+            pred = {ci: 0 for ci, _, _ in scomps}
+            eobrun = 0
+        unit_count += 1
+        for ci, by, bx, tdc, tac in unit:
+            blk = coef[ci][by, bx]
+            if ss == 0:  # DC
+                if ah == 0:
+                    t = _jpeg_huff_symbol(rdr, huff_dec[(0, tdc)])
+                    diff = _jpeg_extend(rdr.bits(t), t) if t else 0
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                elif rdr.bit():
+                    blk[0] |= p1
+                continue
+            ac = huff_dec[(1, tac)]
+            if ah == 0:  # AC first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff_symbol(rdr, ac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt progressive AC scan")
+                    blk[k] = _jpeg_extend(rdr.bits(s), s) << al
+                    k += 1
+            else:  # AC refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_huff_symbol(rdr, ac)
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:  # EOBn: run covers this block too
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rdr.bits(r)
+                                break
+                            # r == 15 (ZRL): skip 16 zero-history coeffs
+                        else:  # s == 1: newly nonzero at this level
+                            val = p1 if rdr.bit() else -p1
+                        while k <= se:
+                            if blk[k] != 0:
+                                refine_bit(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_bit(blk, k)
+                        k += 1
+                    eobrun -= 1
+    if rdr.marker is not None:
+        return rdr.i  # reader already points at the marker's 0xFF
+    j = rdr.i
+    while j + 1 < len(b) and not (b[j] == 0xFF and b[j + 1] != 0x00):
+        j += 1
+    return j
+
+
+def _jpeg_prog_reconstruct(frame, qt, coef):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the final RGB image (shared color path with baseline)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    C = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = []
+    for ci, c in enumerate(comps):
+        st = coef[ci]
+        byt, bxt, _ = st.shape
+        rm = np.zeros_like(st, dtype=np.float64)
+        rm[:, :, zz] = st  # zigzag index -> row-major position
+        rm *= qt[c["tq"]].astype(np.float64)
+        plane = np.zeros((byt * 8, bxt * 8), dtype=np.float64)
+        for by in range(byt):
+            for bx in range(bxt):
+                blk = rm[by, bx].reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = C.T @ blk @ C + 128.0
+        planes.append(plane)
+    return _jpeg_color_assemble(planes, comps, w, h, hmax, vmax)
 
 
 class _JpegBitWriter:
@@ -922,6 +1130,240 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     return bytes(out)
 
 
+#: flat Huffman table for progressive AC scans: all 256 run/size codes
+#: at 9 or 10 bits (Kraft 128/512 + 128/1024 = 0.375 — a valid, if
+#: unoptimized, canonical table). Needed because the Annex K baseline
+#: AC tables carry no EOBn symbols (0x10..0xE0), which progressive EOB
+#: runs require; registered as table id 2, class AC.
+_JPEG_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _jpeg_point_transform(v: int, al: int) -> int:
+    """AC point transform: v / 2^Al truncated toward zero (T.81 G.1.2.2)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _jpeg_prog_emit_dc_first(bw, enc_dc_by_ci, blocks_iter, al) -> None:
+    pred: dict[int, int] = {}
+    for ci, zig in blocks_iter:
+        v0 = int(zig[0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+        diff = v0 - pred.get(ci, 0)
+        pred[ci] = v0
+        s, bits_ = _jpeg_magnitude(diff)
+        code, ln = enc_dc_by_ci[ci][s]
+        bw.put(code, ln)
+        if s:
+            bw.put(bits_, s)
+
+
+def _jpeg_prog_emit_ac_first(bw, enc_ac, blocks, ss, se, al) -> None:
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zig in blocks:
+        vz = [_jpeg_point_transform(int(zig[k]), al) for k in range(64)]
+        nz = [k for k in range(ss, se + 1) if vz[k] != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for k in range(ss, se + 1):
+            v = vz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s, bits_ = _jpeg_magnitude(v)
+            code, ln = enc_ac[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(bits_, s)
+            run = 0
+        if nz[-1] < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _jpeg_prog_emit_ac_refine(bw, enc_ac, blocks, ss, se, ah, al) -> None:
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            for bit in eob_bits:
+                bw.put(bit, 1)
+            eobrun = 0
+            eob_bits = []
+
+    for zig in blocks:
+        hist = [abs(int(zig[k])) >> ah for k in range(64)]
+        cur = [abs(int(zig[k])) >> al for k in range(64)]
+        newly = [k for k in range(ss, se + 1) if hist[k] == 0 and cur[k] != 0]
+        if not newly:
+            eobrun += 1
+            eob_bits.extend(cur[k] & 1 for k in range(ss, se + 1) if hist[k] != 0)
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        k = ss
+        for pos in newly:
+            zeros = sum(1 for t in range(k, pos) if hist[t] == 0)
+            while zeros > 15:  # ZRL: 16 zero-history zeros + crossed bits
+                cnt = 0
+                bits_: list[int] = []
+                while cnt < 16:
+                    if hist[k] != 0:
+                        bits_.append(cur[k] & 1)
+                    else:
+                        cnt += 1
+                    k += 1
+                code, ln = enc_ac[0xF0]
+                bw.put(code, ln)
+                for bit in bits_:
+                    bw.put(bit, 1)
+                zeros -= 16
+            bits_ = []
+            while k < pos:
+                if hist[k] != 0:
+                    bits_.append(cur[k] & 1)
+                k += 1
+            code, ln = enc_ac[(zeros << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if int(zig[pos]) > 0 else 0, 1)
+            for bit in bits_:
+                bw.put(bit, 1)
+            k = pos + 1
+        if k <= se:  # trailing remainder rides an EOB run
+            eobrun += 1
+            eob_bits.extend(cur[t] & 1 for t in range(k, se + 1) if hist[t] != 0)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
+    """Progressive JPEG encoder (SOF2, 4:4:4, quality 75) — the lossy
+    inverse of the progressive path in ``decode_jpeg``, stdlib + numpy
+    only. The scan script exercises every Annex G decode branch:
+    interleaved DC first pass at Al=1, split spectral-selection AC
+    first passes (1-5, 6-63 for luma; 1-63 for chroma) at Al=1, then a
+    DC refinement and per-component AC refinements down to Al=0 (EOB
+    runs, ZRL-over-history, correction bits). Quantized coefficients
+    are computed exactly as in ``encode_jpeg``, so a progressive
+    roundtrip decodes to the SAME pixels as the baseline encoding of
+    the same image — the self-validation the tests pin."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    y = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    cb = -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128.0
+    cr = 0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128.0
+    ql, qc = _jpeg_quant_tables(_JPEG_QUALITY)
+    C = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    bh, bwid = -(-height // 8), -(-width // 8)
+    pad_h, pad_w = bh * 8, bwid * 8
+    comps_zig: list[list] = [[], [], []]
+    for ci, p in enumerate((y, cb, cr)):
+        pp = np.empty((pad_h, pad_w), dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        q = (ql if ci == 0 else qc).astype(np.float64)
+        for by in range(bh):
+            for bx in range(bwid):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qz = np.round((C @ blk @ C.T).reshape(64) / q).astype(np.int64)
+                comps_zig[ci].append(qz[zz])
+    _, enc_dc_l = _jpeg_canonical_codes(*_JPEG_HUFF_DC_L)
+    _, enc_dc_c = _jpeg_canonical_codes(*_JPEG_HUFF_DC_C)
+    _, enc_ac_p = _jpeg_canonical_codes(*_JPEG_HUFF_AC_PROG)
+    enc_dc_by_ci = {0: enc_dc_l, 1: enc_dc_c, 2: enc_dc_c}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq])
+        out += bytes(int(q[zz[k]]) for k in range(64))
+    out += b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"
+    out += height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x03"
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc, th, (bits_spec, vals) in (
+        (0, 0, _JPEG_HUFF_DC_L),
+        (0, 1, _JPEG_HUFF_DC_C),
+        (1, 2, _JPEG_HUFF_AC_PROG),
+    ):
+        body = bytes([(tc << 4) | th]) + bytes(bits_spec) + bytes(vals)
+        out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+
+    # scan 1: DC first, interleaved, Al=1 (MCU order = block raster at 4:4:4)
+    bw = _JpegBitWriter()
+    dc_units = [
+        (ci, comps_zig[ci][b])
+        for b in range(bh * bwid)
+        for ci in range(3)
+    ]
+    _jpeg_prog_emit_dc_first(bw, enc_dc_by_ci, dc_units, 1)
+    body = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01])
+    out += b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+    bw.flush()
+    out += bw.out
+    # scans 2-4: AC first passes at Al=1 (luma split spectrally)
+    for cid, ci, bands in ((1, 0, [(1, 5), (6, 63)]), (2, 1, [(1, 63)]), (3, 2, [(1, 63)])):
+        for ss_, se_ in bands:
+            bw = _JpegBitWriter()
+            _jpeg_prog_emit_ac_first(bw, enc_ac_p, comps_zig[ci], ss_, se_, 1)
+            body = bytes([1, cid, 0x02, ss_, se_, 0x01])
+            out += b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+            bw.flush()
+            out += bw.out
+    # scan 5: DC refinement Ah=1 → Al=0
+    bw = _JpegBitWriter()
+    for b in range(bh * bwid):
+        for ci in range(3):
+            bw.put(int(comps_zig[ci][b][0]) & 1, 1)
+    body = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10])
+    out += b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+    bw.flush()
+    out += bw.out
+    # scans 6-8: AC refinements Ah=1 → Al=0
+    for cid, ci in ((1, 0), (2, 1), (3, 2)):
+        bw = _JpegBitWriter()
+        _jpeg_prog_emit_ac_refine(bw, enc_ac_p, comps_zig[ci], 1, 63, 1, 0)
+        body = bytes([1, cid, 0x02, 1, 63, 0x10])
+        out += b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _nn_resize_rgb(rgb: bytes, ow: int, oh: int, w: int, h: int) -> bytes:
     """Nearest-neighbor resize on a raw RGB buffer via numpy indexing."""
     import numpy as np
@@ -944,15 +1386,18 @@ def decode_image(
     Four formats decode for real with no codec library: binary PPM
     (P6, pure numpy header parse), 8-bit PNG (stdlib zlib inflate +
     per-scanline unfilter — see ``decode_png``), GIF87a/89a
-    (hand-rolled LZW + palette lookup — see ``decode_gif``), and
-    baseline sequential JPEG (hand-rolled Huffman + exact float IDCT,
-    4:4:4/4:2:2/4:2:0 + restart intervals — see ``decode_jpeg``,
-    cross-validated against libjpeg within ±2/pixel). Remaining
-    codec-backed formats (progressive JPEG) need an injected
-    ``decoder(payload) -> (w, h, rgb_bytes)`` (production: Pillow /
-    libvips inside the worker); without one those rows come back
-    ok=false rather than failing the job — at 100 TB a corrupt or
-    unsupported payload must never kill the stage.
+    (hand-rolled LZW + palette lookup — see ``decode_gif``), and JPEG —
+    baseline sequential AND progressive (hand-rolled Huffman + exact
+    float IDCT, 4:4:4/4:2:2/4:2:0, restart intervals, Annex G
+    multi-scan progressive — see ``decode_jpeg``; baseline
+    cross-validated against libjpeg within ±2/pixel, progressive
+    pinned bit-identical to the baseline path on shared coefficients).
+    Remaining codec-backed variants (arithmetic-coded / lossless /
+    hierarchical JPEG) need an injected ``decoder(payload) -> (w, h,
+    rgb_bytes)`` (production: Pillow / libvips inside the worker);
+    without one those rows come back ok=false rather than failing the
+    job — at 100 TB a corrupt or unsupported payload must never kill
+    the stage.
     """
 
     def worker(batches: Iterator) -> Iterator:

@@ -124,14 +124,59 @@ def test_fill_bytes_before_markers_are_skipped():
     assert decode_jpeg(bytes(padded)) == ref
 
 
-def test_progressive_jpeg_still_routes_to_injected_tier():
-    # SOF2 (progressive) must raise, not mis-decode
+def test_mislabeled_progressive_stream_raises_not_misdecodes():
+    # a BASELINE stream with its SOF0 flipped to SOF2 is invalid
+    # progressive (its single scan claims Ss=0,Se=63 interleaved, which
+    # Annex G forbids) — must raise, never silently mis-decode
     bad = bytearray(_FIX_JPEG)
     i = bad.find(b"\xff\xc0")
     assert i > 0
     bad[i + 1] = 0xC2
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 // (w - 1)), (yy * 255 // (h - 1)), ((xx + yy) * 255 // (w + h - 2))],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_progressive_roundtrip_matches_baseline_bit_exactly():
+    """The progressive scan script (DC Al=1, split-spectral AC first
+    passes, DC+AC refinements) accumulates EXACTLY the quantized
+    coefficients the baseline encoder emits, so the decoded pixels
+    must be bit-identical to the baseline decode — any defect in EOB
+    runs, ZRL-over-history, correction bits, or point transforms
+    breaks equality."""
+    from azurestorage_blueprints_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+    )
+
+    for rgb in (
+        _gradient(24, 32),
+        np.random.RandomState(7).randint(0, 256, (16, 24, 3)).astype(np.uint8),
+        np.full((13, 19, 3), 120, dtype=np.uint8),  # non-multiple-of-8 dims
+    ):
+        h, w = rgb.shape[:2]
+        jp = encode_jpeg_progressive(w, h, rgb.tobytes())
+        assert jp[:2] == b"\xff\xd8" and b"\xff\xc2" in jp[:200]
+        assert decode_jpeg(jp) == decode_jpeg(encode_jpeg(w, h, rgb.tobytes()))
+        # byte determinism (the rows-only contract)
+        assert encode_jpeg_progressive(w, h, rgb.tobytes()) == jp
+
+
+def test_progressive_dispatches_without_injected_decoder(spark):
+    from azurestorage_blueprints_spark.operators import multimodal as MM
+
+    rgb = _gradient(8, 8)
+    jp = MM.encode_jpeg_progressive(8, 8, rgb.tobytes())
+    df = spark.createDataFrame([(1, bytearray(jp))], "content_id long, content binary")
+    row = MM.decode_image(df).collect()[0]
+    assert row["ok"] and (row["width"], row["height"]) == (8, 8)
+    assert len(bytes(row["pixels"])) == 8 * 8 * 3
 
 
 def test_decode_image_dispatch_handles_jpeg(spark):
