@@ -1137,6 +1137,63 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_jpeg_progressive",
+    oracle="""
+    SELECT vec_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(TRUE AS BOOLEAN) AS prog_equals_baseline
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="Progressive-JPEG equivalence gate, ORACLE-CHECKED: each "
+    "embedding renders to the 8x8 grayscale fixture, compresses through "
+    "BOTH encode_jpeg (baseline SOF0) and encode_jpeg_progressive "
+    "(SOF2 — spectral-selection + successive-approximation scan "
+    "script), and both streams decode through the REAL multi-mode "
+    "decode_jpeg. Because the two encoders derive identical quantized "
+    "coefficients, the decoded pixels must agree BIT-FOR-BIT — so the "
+    "lossy codec becomes hash-checkable after all: DuckDB predicts the "
+    "verdict column (every row true, dims 8x8) and any defect in the "
+    "Annex G path (EOB runs, refinement correction bits, point "
+    "transforms, multi-scan coefficient accumulation) flips a verdict "
+    "and breaks the value hash. Shape: ONE Arrow-batched mapInPandas "
+    "pass, per-payload work O(pixels + scans), zero shuffles — "
+    "embarrassingly parallel over payload partitions at 100 TB.",
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    enc_base, enc_prog, dec = MM.encode_jpeg, MM.encode_jpeg_progressive, MM.decode_jpeg
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def gate(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(vec, dtype=np.float64)
+                lo, hi = float(a.min()), float(a.max())
+                if hi > lo:
+                    g = np.floor((a - lo) * (255.0 / (hi - lo)) + 0.5).astype(np.uint8)
+                else:
+                    g = np.zeros(len(a), dtype=np.uint8)
+                rgb = np.repeat(g, 3).tobytes()
+                wb, hb, pb = dec(enc_base(8, 8, rgb))
+                wp, hp, pp = dec(enc_prog(8, 8, rgb))
+                rows.append((int(vid), wp, hp, (wb, hb, pb) == (wp, hp, pp)))
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "width", "height", "prog_equals_baseline"]
+            )
+
+    return e.mapInPandas(
+        gate, "vec_id long, width int, height int, prog_equals_baseline boolean"
+    ).orderBy("vec_id")
+
+
+@register(
     "q_multimodal_png_roundtrip",
     oracle="""
     WITH g AS (
