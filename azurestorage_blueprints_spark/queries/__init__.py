@@ -140,7 +140,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_bpe_train", "q_dedup_incremental", "q_html_extract_text",
-    "q_multimodal_jpeg_progressive",
+    "q_multimodal_jpeg_progressive", "q_eval_auc",
 })
 
 

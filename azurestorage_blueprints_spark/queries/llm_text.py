@@ -1589,3 +1589,101 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol_compression"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC (r7) — the threshold-free router/classifier evaluation
+# metric, computed by the tie-corrected rank-sum identity
+# AUC = U / (n1·n0) (Mann-Whitney): no curve sweep, no float ranks.
+# Evaluated here on the stop-word-density score as an English detector
+# (the langid family's cheapest signal), which also measures how much
+# of the router's skill that one feature carries.
+
+
+@register(
+    "q_eval_auc",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             CAST((n_stop * 1000) // n_tokens AS BIGINT) AS score
+      FROM (SELECT lang,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                     AS BIGINT) AS n_tokens,
+                   CAST({_sql_word_set_count(X.STOPWORDS)} AS BIGINT) AS n_stop
+            FROM documents)
+      WHERE n_tokens > 0
+    ),
+    cells AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS npos
+      FROM s GROUP BY score
+    ),
+    r AS (
+      SELECT n, npos,
+             coalesce(CAST(sum(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               CAST(0 AS BIGINT)) AS cumb
+      FROM cells
+    ),
+    m AS (
+      SELECT CAST(sum(npos) AS BIGINT) AS n1, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(npos * (2 * cumb + n + 1)) AS BIGINT) AS r1_2
+      FROM r
+    )
+    SELECT n1 AS n_pos, nt - n1 AS n_neg,
+           r1_2 - n1 * (n1 + 1) AS u_times_2,
+           CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * (nt - n1) AS DOUBLE) AS auc
+    FROM m
+    """,
+    doc="Exact tie-corrected ROC-AUC of the stop-word-density score as "
+    "an English detector — the threshold-free eval metric every router "
+    "and quality classifier reports, via the rank-sum identity "
+    "AUC = U/(n1*n0): per-document integer score (stopwords per mille "
+    "of tokens), score-value cell table, tie-averaged ranks carried "
+    "DOUBLED so everything stays exact integers (the q_stats_"
+    "mann_whitney discipline), one divide at the end. No sorted sweep "
+    "over documents, no float rank arithmetic, no trapezoid curve. "
+    "Shape (100 TB): one codegen scan pass → a cell hash-agg bounded "
+    "by the SCORE DOMAIN (<= 1001 cells at any corpus size) → a "
+    "cell-table window + 1-row reduce; the only fact-scale exchange is "
+    "the map-side-combined cell agg.",
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tc = X.token_count(F.col("text")).cast("bigint")
+    nstop = X.word_set_occurrences(F.col("text"), X.STOPWORDS).cast("bigint")
+    s = (
+        d.select(
+            (F.col("lang") == "en").cast("int").alias("pos"),
+            tc.alias("n_tokens"),
+            nstop.alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select("pos", F.expr("CAST((n_stop * 1000) div n_tokens AS BIGINT)").alias("score"))
+    )
+    cells = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    r = cells.select(
+        "n",
+        "npos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint").alias("cumb"),
+    )
+    m = r.agg(
+        F.sum("npos").cast("bigint").alias("n1"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("npos") * (2 * F.col("cumb") + F.col("n") + 1)).cast("bigint").alias("r1_2"),
+    )
+    return m.select(
+        F.col("n1").alias("n_pos"),
+        (F.col("nt") - F.col("n1")).alias("n_neg"),
+        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u_times_2"),
+        (
+            (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2 * F.col("n1") * (F.col("nt") - F.col("n1"))).cast("double")
+        ).alias("auc"),
+    )
