@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
-from azurestorage_blueprints_spark.functions.vectors import dot, norm
+from azurestorage_blueprints_spark.functions.vectors import clamp_sim, dot, norm
 from azurestorage_blueprints_spark.queries import register
 from azurestorage_blueprints_spark.tables import table
 
@@ -342,7 +342,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("b_n"),
     )
     pairs = a.join(b, (F.col("label") == F.col("l2")) & (F.col("a_id") < F.col("b_id")))
-    sim = dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+    # clamped (clamp_sim): identical vectors — absent at the gate SFs,
+    # abundant in any real corpus — overflow to 1+ulp in the raw fold
+    # while the oracle's list_cosine_similarity is exactly 1.0 (caught
+    # by the r7 sf1 sweep: 21,735 pair diffs, all the overflow class)
+    sim = clamp_sim(dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")))
     return (
         pairs.select("a_id", "b_id", "label", sim.alias("sim"))
         .filter(F.col("sim") >= 0.4)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from azurestorage_blueprints_spark.functions.vectors import cosine, dot, norm
+from azurestorage_blueprints_spark.functions.vectors import clamp_sim, cosine, dot, norm
 from azurestorage_blueprints_spark.queries import finalize_bounded, register
 from azurestorage_blueprints_spark.tables import table
 
@@ -75,7 +75,9 @@ def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "n_id",
-            (dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("n_nrm"))).alias("sim"),
+            clamp_sim(
+                dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("n_nrm"))
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
@@ -1526,7 +1528,9 @@ def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "n_id",
-            (dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("n_nrm"))).alias("sim"),
+            clamp_sim(
+                dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("n_nrm"))
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= _RANGE_TAU)
     )

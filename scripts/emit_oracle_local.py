@@ -80,11 +80,17 @@ def main() -> int:
             print(f"[{i}/{len(registry)}] {name}: SKIP (documented anchor)", flush=True)
             continue
         try:
-            s_pdf = q.fn(spark, sf_dir).toPandas()
-            row["spark_rows"] = len(s_pdf)
+            sdf = q.fn(spark, sf_dir)
             if q.oracle is None:
+                # rows-only check: COUNT on the executors — a rows-only
+                # result can be pair-enumeration sized at sweep SFs and
+                # must never be collected (q_dedup_simhash at sf1 blew
+                # spark.driver.maxResultSize through toPandas)
+                row["spark_rows"] = sdf.count()
                 row["err"] = "no_oracle"
             else:
+                s_pdf = sdf.toPandas()
+                row["spark_rows"] = len(s_pdf)
                 d_pdf = con.execute(q.oracle).df()
                 row["oracle_rows"] = len(d_pdf)
                 row["rows_match"] = len(s_pdf) == len(d_pdf)
