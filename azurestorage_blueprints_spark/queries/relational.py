@@ -58,37 +58,54 @@ def _revenue() -> Column:
 
 @register(
     "q01_pricing_summary",
+    # every decimal sum converts through the SINGLE-ROUNDING path
+    # cast(cast(sum * 10^s AS BIGINT) AS DOUBLE) / 10^s.0 — a direct
+    # decimal→double CAST rounds once in Spark but twice in DuckDB
+    # (int128→double, then ×10⁻ˢ), and at sf1 volume the 1-ulp
+    # divergence finally fired on sum_charge (the r7 sf1 sweep
+    # finding: one cell, 27864155010.94159 vs ...93). Bound: the
+    # scaled sum must stay under 2^63 — sum_charge·10^6 ≈ 2.8e16 at
+    # sf1, headroom to ~sf300.
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 shape: scan → filter → hash-agg (partial+final) → 8 aggregates.",
+    doc="TPC-H Q1 shape: scan → filter → hash-agg (partial+final) → 8 "
+    "aggregates; decimal sums leave through the single-rounding "
+    "bigint→double conversion so the hash holds at any volume within "
+    "the 2^63 scaled-sum bound (~sf300 for sum_charge).",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+
+    def exact(dec_sum: Column, scale: int) -> Column:
+        m = 10 ** scale
+        return (dec_sum * m).cast("bigint").cast("double") / float(m)
+
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
-            F.sum(_revenue() * _one_plus("l_tax")).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            exact(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
+            exact(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
+            exact(F.sum(_revenue()), 4).alias("sum_disc_price"),
+            exact(F.sum(_revenue() * _one_plus("l_tax")), 6).alias("sum_charge"),
+            (exact(F.sum(_dec("l_quantity")), 2) / cnt).alias("avg_qty"),
+            (exact(F.sum(_dec("l_extendedprice")), 2) / cnt).alias("avg_price"),
+            (exact(F.sum(F.col("l_discount").cast("decimal(4,2)")), 2) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
