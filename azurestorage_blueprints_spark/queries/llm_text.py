@@ -1687,3 +1687,126 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("n1") * (F.col("nt") - F.col("n1"))).cast("double")
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration report (r7) — reliability bins + exact Brier components
+# for the stop-word-density score read as P(english). Completes the
+# router-eval suite (confusion -> P/R/F1 -> kappa -> AUC -> calibration):
+# AUC says the score RANKS well; this says whether its magnitude can be
+# TRUSTED as a probability (the operating question when the score gates
+# a pipeline threshold).
+
+
+@register(
+    "q_eval_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             CAST((n_stop * 1000) // n_tokens AS BIGINT) AS score
+      FROM (SELECT lang,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                     AS BIGINT) AS n_tokens,
+                   CAST({_sql_word_set_count(X.STOPWORDS)} AS BIGINT) AS n_stop
+            FROM documents)
+      WHERE n_tokens > 0
+    ),
+    cells AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS npos
+      FROM s GROUP BY score
+    ),
+    bins AS (
+      SELECT CAST(least(score // 100, 9) AS BIGINT) AS bin,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(npos) AS BIGINT) AS n_pos,
+             CAST(sum(score * n) AS BIGINT) AS sum_score,
+             CAST(sum(npos * (score - 1000) * (score - 1000)
+                      + (n - npos) * score * score) AS BIGINT) AS sq_err
+      FROM cells GROUP BY 1
+    ),
+    t AS (
+      SELECT bin, n_docs, n_pos, sum_score, sq_err,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS n_total
+      FROM bins
+    )
+    SELECT bin, n_docs, n_pos, sum_score, sq_err,
+           CAST(sum_score AS DOUBLE) / CAST(1000 * n_docs AS DOUBLE) AS conf,
+           CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc,
+           abs(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             - CAST(sum_score AS DOUBLE) / CAST(1000 * n_docs AS DOUBLE)) AS abs_gap,
+           (CAST(n_docs AS DOUBLE)
+             * abs(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 - CAST(sum_score AS DOUBLE) / CAST(1000 * n_docs AS DOUBLE)))
+             / CAST(n_total AS DOUBLE) AS ece_part,
+           CAST(sq_err AS DOUBLE) / CAST(n_total AS DOUBLE) / 1000000.0 AS brier_part
+    FROM t ORDER BY bin
+    """,
+    doc="Calibration-reliability report of the stop-word-density score "
+    "read as P(english): ten equal-width confidence bins, each with "
+    "EXACT integer components — doc count, positive count, summed "
+    "per-mille score, and summed squared error (npos*(s-1000)^2 + "
+    "(n-npos)*s^2, the Brier numerator in per-mille^2 units) — plus "
+    "derived mean-confidence / empirical-accuracy / |gap| doubles and "
+    "the bin's ECE and Brier contributions, every double produced by "
+    "the same expression text in both engines (one divide per metric, "
+    "the q_stats_linreg discipline). AUC (q_eval_auc) certifies the "
+    "score's RANKING; this certifies its MAGNITUDE, which is what a "
+    "pipeline gate thresholds on. Shape (100 TB): one codegen scan -> "
+    "score-domain-bounded cell hash-agg (<=1001 cells at any corpus "
+    "size, map-side combined) -> 10-row bin agg -> a 10-row window; "
+    "the only fact-scale exchange is the cell agg.",
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tc = X.token_count(F.col("text")).cast("bigint")
+    nstop = X.word_set_occurrences(F.col("text"), X.STOPWORDS).cast("bigint")
+    s = (
+        d.select(
+            (F.col("lang") == "en").cast("int").alias("pos"),
+            tc.alias("n_tokens"),
+            nstop.alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select("pos", F.expr("CAST((n_stop * 1000) div n_tokens AS BIGINT)").alias("score"))
+    )
+    cells = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    bins = cells.groupBy(
+        F.least(F.expr("score div 100"), F.lit(9)).cast("bigint").alias("bin")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("score") * F.col("n")).cast("bigint").alias("sum_score"),
+        F.sum(
+            F.col("npos") * (F.col("score") - 1000) * (F.col("score") - 1000)
+            + (F.col("n") - F.col("npos")) * F.col("score") * F.col("score")
+        )
+        .cast("bigint")
+        .alias("sq_err"),
+    )
+    t = bins.withColumn(
+        "n_total", F.sum("n_docs").over(W.partitionBy()).cast("bigint")
+    )
+    conf = F.col("sum_score").cast("double") / (F.lit(1000) * F.col("n_docs")).cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    gap = F.abs(acc - conf)
+    return t.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "sum_score",
+        "sq_err",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        gap.alias("abs_gap"),
+        ((F.col("n_docs").cast("double") * gap) / F.col("n_total").cast("double")).alias(
+            "ece_part"
+        ),
+        (F.col("sq_err").cast("double") / F.col("n_total").cast("double") / F.lit(1000000.0)).alias(
+            "brier_part"
+        ),
+    ).orderBy("bin")

@@ -1649,3 +1649,124 @@ def q_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "n_id", "label", "sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph construction (r7) — the graph layer SemDeDup-style
+# clustering, label propagation, and density filtering all consume.
+# Directed kNN edges are asymmetric (a's 5th neighbor may not rank a at
+# all); keeping only RECIPROCAL edges is the standard denoising step
+# before connected components / community detection over embeddings.
+
+
+@register(
+    "q_knn_graph_mutual",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q8 AS (SELECT vec_id, label,
+                  list_transform(v, x -> floor(x * 127.0
+                      / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS v8
+           FROM e),
+    n8 AS (SELECT vec_id, label, v8, sqrt(list_dot_product(v8, v8)) AS nrm FROM q8),
+    pairs AS (
+      SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(a.v8, b.v8) / (a.nrm * b.nrm) AS sim
+      FROM n8 a JOIN n8 b ON a.label = b.label AND a.vec_id < b.vec_id),
+    directed AS (
+      SELECT label, a_id AS src, b_id AS dst, sim FROM pairs
+      UNION ALL
+      SELECT label, b_id AS src, a_id AS dst, sim FROM pairs),
+    knn AS (
+      SELECT label, src, dst, sim,
+             row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+      FROM directed
+      QUALIFY rnk <= {_TOP_K})
+    SELECT k1.label AS label, k1.src AS a_id, k1.dst AS b_id, k1.sim AS sim,
+           k1.rnk AS rank_ab, k2.rnk AS rank_ba
+    FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+    WHERE k1.src < k1.dst
+    ORDER BY a_id, b_id
+    """,
+    doc="Mutual (reciprocal) kNN-graph construction over int8-quantized "
+    "embeddings: within-block pairwise cosine (block key = the coarse "
+    "cell, here the label — the IVF inverted list), per-vector top-5 "
+    "by a deterministic rank, then the self-join on (src,dst)=(dst,src) "
+    "that keeps only RECIPROCAL edges — the denoised graph consumed by "
+    "components/community/density stages downstream. Integer dot "
+    "products inside doubles make every sim exact, so edges, ranks, "
+    "and the mutual join are oracle-checked bit-for-bit (the "
+    "q_knn_int8 discipline; the double-sqrt norm form is shared with "
+    "the oracle so identical-copy pairs agree without a clamp). "
+    "Shape (100 TB): pair enumeration is an EQUI-join on the block "
+    "key, never a cross join; production scales the centroid count "
+    "with N (cell size stays ~constant, cost Theta(N*cell)), while "
+    "the fixed label blocking here is the oracle-tractable anchor. "
+    "The mutual filter is an equi-join on the directed edge key, "
+    "Theta(k*N). Ref parity: the reference has no vector layer; this "
+    "extends its catalog-join idiom (move_file.py pairing) to the "
+    "embedding column.",
+)
+def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def quantize(col):
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        return F.transform(
+            col,
+            lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("double"),
+        )
+
+    n8 = e.select(
+        "vec_id",
+        "label",
+        quantize(F.col("embedding")).alias("v8"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v8"), F.col("v8"))))
+    a = n8.select(
+        "label",
+        F.col("vec_id").alias("a_id"),
+        F.col("v8").alias("av"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = n8.select(
+        "label",
+        F.col("vec_id").alias("b_id"),
+        F.col("v8").alias("bv"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "label",
+            "a_id",
+            "b_id",
+            (dot(F.col("av"), F.col("bv")) / (F.col("a_nrm") * F.col("b_nrm"))).alias("sim"),
+        )
+    )
+    directed = pairs.select(
+        "label", F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "sim"
+    ).unionAll(
+        pairs.select("label", F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "sim")
+    )
+    w = W.partitionBy("src").orderBy(F.desc("sim"), "dst")
+    knn = directed.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _TOP_K)
+    k1 = knn.select("label", "src", "dst", "sim", F.col("rnk").alias("rank_ab"))
+    k2 = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"), F.col("rnk").alias("rank_ba"))
+    return (
+        k1.join(k2, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "label",
+            F.col("src").alias("a_id"),
+            F.col("dst").alias("b_id"),
+            "sim",
+            "rank_ab",
+            "rank_ba",
+        )
+        .orderBy("a_id", "b_id")
+    )
