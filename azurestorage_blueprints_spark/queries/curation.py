@@ -766,3 +766,122 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = d.select("doc_id", html.alias("html"))
     return HT.extract_html_text(pages).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Encoding-noise screen (r7) — the mojibake / control-character /
+# replacement-character triage every web-corpus ingest runs before
+# language ID (CCNet, RefinedWeb, FineWeb all gate on it). The shipped
+# documents table is clean ASCII, so — PNG-roundtrip style — the noise
+# is INJECTED deterministically from doc_id arithmetic (UTF-8
+# double-decode mojibake 'Ã¢â‚¬â„¢', ESC control bytes, U+FFFD
+# replacement chars) and the SCREEN that finds it is the real operator
+# under test; both engines build the identical fixture so the report
+# is bit-exact.
+
+
+@register(
+    "q_text_encoding_screen",
+    oracle="""
+    WITH fx AS (
+      SELECT doc_id, source,
+             concat(text,
+                    CASE WHEN doc_id % 7 = 0
+                         THEN repeat(' Ã¢â‚¬â„¢', CAST(doc_id % 5 AS INT) + 1)
+                         ELSE '' END,
+                    CASE WHEN doc_id % 11 = 0 THEN repeat(chr(27), 2) ELSE '' END,
+                    CASE WHEN doc_id % 13 = 0 THEN concat(' ', chr(65533)) ELSE '' END
+             ) AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS n_repl,
+             CAST(length(t) - length(replace(t, chr(27), '')) AS BIGINT) AS n_ctrl,
+             CAST((length(t) - length(replace(t, 'Ã¢â‚¬â„¢', ''))) / 8 AS BIGINT) AS n_moji
+      FROM fx
+    ),
+    v AS (
+      SELECT source, n_repl, n_ctrl, n_moji,
+             CASE WHEN n_repl > 0 OR n_ctrl > 0 THEN 'bad'
+                  WHEN n_moji > 0 THEN 'suspect'
+                  ELSE 'clean' END AS verdict
+      FROM m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN verdict = 'clean' THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN verdict = 'suspect' THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+           CAST(sum(CASE WHEN verdict = 'bad' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           CAST(sum(n_repl) AS BIGINT) AS total_repl,
+           CAST(sum(n_ctrl) AS BIGINT) AS total_ctrl,
+           CAST(sum(n_moji) AS BIGINT) AS total_moji,
+           CAST(sum(CASE WHEN verdict = 'clean' THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS reject_share
+    FROM v GROUP BY source ORDER BY source
+    """,
+    doc="Encoding-noise triage screen: per-document counts of U+FFFD "
+    "replacement characters, raw control bytes (ESC), and the classic "
+    "UTF-8-double-decode mojibake marker 'Ã¢â‚¬â„¢' (what a "
+    "right-single-quote becomes when UTF-8 bytes are re-read as "
+    "Latin-1 and re-encoded), folded into a clean/suspect/bad verdict "
+    "and a per-source rejection report. Counting is replace()-length "
+    "arithmetic — pure codegen string ops, NO regex, so there is no "
+    "dialect risk and no UDF. The noise is injected deterministically "
+    "from doc_id residues (the shipped corpus is clean ASCII), exactly "
+    "like the codec-roundtrip rungs inject their fixtures; the screen "
+    "is the operator under test. Shape (100 TB): one scan, one "
+    "map-side-combined hash-agg on source — no shuffle wider than the "
+    "source cardinality, length()/replace() all JVM-side.",
+)
+def q_text_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    moji = " Ã¢â‚¬â„¢"  # 8 chars incl. leading space
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.repeat(F.lit(moji), (F.col("doc_id") % 5).cast("int") + 1),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.repeat(F.expr("char(27)"), 2)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.lit(" "), F.expr("char(65533)"))
+        ).otherwise(F.lit("")),
+    )
+    fx = d.select("doc_id", "source", t.alias("t"))
+
+    def count_marker(marker_expr, width: int):
+        c = F.length(F.col("t")) - F.length(F.replace(F.col("t"), marker_expr))
+        return (c / width).cast("bigint") if width > 1 else c.cast("bigint")
+
+    m = fx.select(
+        "source",
+        count_marker(F.expr("char(65533)"), 1).alias("n_repl"),
+        count_marker(F.expr("char(27)"), 1).alias("n_ctrl"),
+        count_marker(F.lit("Ã¢â‚¬â„¢"), 8).alias("n_moji"),
+    )
+    v = m.withColumn(
+        "verdict",
+        F.when((F.col("n_repl") > 0) | (F.col("n_ctrl") > 0), F.lit("bad"))
+        .when(F.col("n_moji") > 0, F.lit("suspect"))
+        .otherwise(F.lit("clean")),
+    )
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("verdict") == "clean").cast("int")).cast("bigint").alias("n_clean"),
+            F.sum((F.col("verdict") == "suspect").cast("int")).cast("bigint").alias("n_suspect"),
+            F.sum((F.col("verdict") == "bad").cast("int")).cast("bigint").alias("n_bad"),
+            F.sum("n_repl").cast("bigint").alias("total_repl"),
+            F.sum("n_ctrl").cast("bigint").alias("total_ctrl"),
+            F.sum("n_moji").cast("bigint").alias("total_moji"),
+            (
+                F.sum((F.col("verdict") != "clean").cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("reject_share"),
+        )
+        .orderBy("source")
+    )

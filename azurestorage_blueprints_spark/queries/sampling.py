@@ -612,3 +612,75 @@ _PERM_SQL = f"""
 def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PERM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (r7) — the cross-validation split every
+# eval harness needs. q_split_train_test's hash-mod split is the
+# shuffle-free production shape but only balances IN EXPECTATION; this
+# rung is the exact-balance variant: rank within each stratum by the
+# deterministic hash, fold = rank mod k, so every (stratum, fold) cell
+# is within 1 document of every other fold in that stratum — provably,
+# not probabilistically.
+
+
+@register(
+    "q_split_kfold_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             CAST((row_number() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * 2654435761) % 1048576, doc_id) - 1) % 5
+                  AS BIGINT) AS fold
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, fold,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM r GROUP BY 1, 2
+    )
+    SELECT lang, fold, n_docs, total_chars,
+           CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS stratum_docs,
+           CAST(max(n_docs) OVER (PARTITION BY lang)
+              - min(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS fold_spread
+    FROM g ORDER BY lang, fold
+    """,
+    doc="Stratified 5-fold cross-validation assignment with EXACT "
+    "per-stratum balance: documents are ranked inside each language "
+    "stratum by the Knuth-hash pseudo-random order (deterministic, "
+    "retry-invariant — the q_sample_exact_k ordering), fold = rank mod "
+    "5, so fold sizes within a stratum differ by at most 1 (the "
+    "fold_spread column PROVES it per stratum, <= 1 everywhere). "
+    "Hash-mod assignment (q_split_train_test) stays the shuffle-free "
+    "100 TB default when expectation-level balance suffices; this rung "
+    "buys exactness for one per-stratum hash-sort window — the same "
+    "exchange a groupBy on lang would pay, and strata are language-"
+    "sized, so skew is bounded by corpus mix, salting unneeded. The "
+    "5-row-per-stratum report is GROUP-BY sized, never collected.",
+)
+def q_split_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _hash_mod(F.col("doc_id"), 1 << 20), F.col("doc_id")
+    )
+    r = d.select(
+        "lang",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % 5).cast("bigint").alias("fold"),
+    )
+    g = r.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    ws = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "fold",
+        "n_docs",
+        "total_chars",
+        F.sum("n_docs").over(ws).cast("bigint").alias("stratum_docs"),
+        (F.max("n_docs").over(ws) - F.min("n_docs").over(ws))
+        .cast("bigint")
+        .alias("fold_spread"),
+    ).orderBy("lang", "fold")
