@@ -691,3 +691,44 @@ def test_feature_hashing_single_vocab_bounded_exchange(spark, sf_dir):
     assert (
         "LocalTableScan" in plan or "LocalRelation" in plan or "ExistingRDD" in plan
     )
+
+
+def test_calibration_scan_prunes_to_text_and_lang(spark, sf_dir):
+    plan = _plan(spark, "q_eval_calibration", sf_dir)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" in read_schema
+    assert "doc_id" not in read_schema and "source" not in read_schema, (
+        "calibration reads only the two columns it scores on"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_mutual_knn_pairs_via_equi_join_only(spark, sf_dir):
+    plan = _plan(spark, "q_knn_graph_mutual", sf_dir)
+    # pair enumeration must ride the block-key equi-join; a cartesian
+    # (or broadcast nested loop) pairing is the shape that dies at scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kfold_windows_and_agg_share_stratum_partitioning(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_split_kfold_stratified", sf_dir)
+    assert "CartesianProduct" not in plan
+    # one fact-scale exchange on lang for the rank window; the
+    # (lang, fold) agg and the per-stratum report windows are
+    # group-by-sized. Allow the final tiny ORDER BY rangepartitioning.
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) <= 2, plan.split("==")[1][:500]
+
+
+def test_encoding_screen_is_one_scan_one_agg(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "q_text_encoding_screen", sf_dir)
+    # one map-side-combined agg on source, no joins
+    assert len(re.findall(r"hashpartitioning\(source", plan)) == 1
+    assert "Join" not in plan
+    # no UDF anywhere — replace()-length arithmetic stays in codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
