@@ -107,10 +107,15 @@ HEADLINE = [
     "q_multimodal_wav_frame_energy",
     "q_multimodal_jpeg_roundtrip",
     # round-7 additions: BPE vocabulary induction, incremental
-    # batch-vs-corpus dedup, HTML extraction + boilerplate filter
+    # batch-vs-corpus dedup, HTML extraction + boilerplate filter,
+    # calibration eval, mutual-kNN graph, encoding screen, k-fold split
     "q_bpe_train",
     "q_dedup_incremental",
     "q_html_extract_text",
+    "q_eval_calibration",
+    "q_knn_graph_mutual",
+    "q_text_encoding_screen",
+    "q_split_kfold_stratified",
 ]
 
 
@@ -200,6 +205,13 @@ def main() -> None:
         print(line)
 
 
+def abbrev(name: str) -> str:
+    """Compact-line key: drop the q_ prefix, cut each token to 3 chars
+    (q_stats_mann_whitney -> sta_man_whi). Deterministic; uniqueness
+    over HEADLINE is gated in tests/test_bench_output.py."""
+    return "_".join(t[:3] for t in name.removeprefix("q_").split("_"))
+
+
 def emit_lines(
     timings: dict[str, float],
     spread: dict[str, list[float]],
@@ -236,12 +248,13 @@ def emit_lines(
     # the total LAST — so even a front-truncated tail still ends with
     # the headline value; must fit the driver's 2000-char tail window
     # at the full headline count (gated in tests/test_bench_output.py).
-    # the redundant "q_" prefix is stripped in the compact line only
-    # (every headline name carries it) — at 72 queries that buys ~150
-    # chars of tail-window headroom; the full artifact line keeps the
-    # exact registry names
+    # keys are abbreviated (q_ prefix dropped, each name token cut to 3
+    # chars) in the compact line ONLY — at 76 queries the full names
+    # outgrew the window; the abbreviation is deterministic, gated
+    # collision-free over HEADLINE, and the full artifact line keeps
+    # the exact registry names
     compact = {
-        "queries": {k.removeprefix("q_"): round(v, 1) for k, v in timings.items()},
+        "queries": {abbrev(k): round(v, 1) for k, v in timings.items()},
         "sf": sf,
         "n_ok": len(timings),
         "value": value,

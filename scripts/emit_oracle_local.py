@@ -61,10 +61,28 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_connection(sf_dir)
+    # big sweeps run beside a 20+ GiB JVM on a shared box: cap DuckDB so
+    # one quadratic oracle OOM-kills ITSELF (caught per-query) instead
+    # of the whole sweep process (r7: the first sf1 run died 137 at
+    # q_pagerank's unrolled-CTE oracle with no artifact written)
+    if (mem := os.environ.get("DUCKDB_MEM")):
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET max_temp_directory_size='{os.environ.get('DUCKDB_TMP_CAP', '80GiB')}'")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = out_path_arg or os.path.join(repo_root, "ORACLE_LOCAL.json")
     registry = load_all()
+    # resume: a partial artifact from an interrupted sweep short-circuits
+    # rows already computed (the artifact is rewritten after EVERY query,
+    # so a kill loses at most the in-flight row)
     out: dict[str, dict] = {}
+    if os.environ.get("SWEEP_RESUME") == "1" and os.path.exists(path):
+        with open(path) as f:
+            out = {k: v for k, v in json.load(f).items() if k in registry}
+        print(f"resuming: {len(out)} rows carried over", flush=True)
     t0 = time.time()
     for i, (name, q) in enumerate(registry.items(), 1):
+        if name in out:
+            continue
         row = {
             "rows_match": None,
             "schema_match": None,
@@ -108,8 +126,11 @@ def main() -> int:
         out[name] = row
         status = "ok" if row["hash_match"] else (row["err"] or "MISMATCH")
         print(f"[{i}/{len(registry)}] {name}: {status} ({time.time() - tq:.1f}s)", flush=True)
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = out_path_arg or os.path.join(repo_root, "ORACLE_LOCAL.json")
+        # rewrite after every query (atomic rename) so an interrupted
+        # sweep resumes instead of restarting
+        with open(path + ".tmp", "w") as f:
+            json.dump(out, f, indent=2)
+        os.replace(path + ".tmp", path)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     n_hash = sum(1 for r in out.values() if r["hash_match"])

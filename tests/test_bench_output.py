@@ -56,3 +56,11 @@ def test_errors_withhold_the_total():
     lines = bench.emit_lines(timings, spread, {"q_x": "Boom"}, 0.1)
     assert json.loads(lines[0])["value"] is None
     assert json.loads(lines[1])["value"] is None
+
+
+def test_compact_abbreviation_is_collision_free():
+    seen = {}
+    for name in bench.HEADLINE:
+        a = bench.abbrev(name)
+        assert a not in seen, f"abbrev collision: {name} vs {seen[a]} -> {a}"
+        seen[a] = name
