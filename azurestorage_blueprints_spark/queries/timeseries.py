@@ -885,3 +885,85 @@ _MOVMED_ORACLE = """
 def q_ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_MOVMED_SPARK)
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (r7) — trend / weekly-seasonal /
+# residual split of the daily revenue series (the additive
+# decompose-then-inspect step every forecasting feature pipeline runs;
+# STL's moving-average skeleton without the Loess smoothing). Exact
+# integers throughout: centered 7-day trend carried as its sum s7,
+# detrended series as det7 = 7v - s7 (cents x 7), per-dow seasonal
+# index as the rational seas_num / (7 * n_days), and the residual
+# identity 7 * n_d * resid = n_d * det7 - seas_num quantized to integer
+# cents with the portable floor(x + 0.5) before aggregating.
+
+_STL_SQL = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    win AS (
+      SELECT d, v,
+             CAST(sum(v) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS s7,
+             CAST(count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS c7
+      FROM daily
+    ),
+    det AS (
+      SELECT {dow} AS dow, 7 * v - s7 AS det7
+      FROM win WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(det7) AS BIGINT) AS seas_num
+      FROM det GROUP BY dow
+    ),
+    resid AS (
+      SELECT det.dow, seas.n_days, seas.seas_num,
+             CAST(floor(
+               CAST(seas.n_days * det.det7 - seas.seas_num AS DOUBLE)
+                 / CAST(7 * seas.n_days AS DOUBLE) + 0.5
+             ) AS BIGINT) AS r_cents
+      FROM det JOIN seas ON det.dow = seas.dow
+    )
+    SELECT dow, n_days, seas_num,
+           CAST(7 * n_days AS BIGINT) AS seas_den,
+           CAST(seas_num AS DOUBLE) / CAST(7 * n_days AS DOUBLE) AS seasonal_cents,
+           CAST(sum(abs(r_cents)) AS BIGINT) AS sum_abs_resid,
+           CAST(sum(abs(r_cents)) AS DOUBLE) / CAST(n_days AS DOUBLE) AS mad_resid_cents
+    FROM resid
+    GROUP BY dow, n_days, seas_num
+    ORDER BY dow
+"""
+
+
+@register(
+    "q_ts_seasonal_decompose",
+    oracle=_STL_SQL.format(
+        dow="CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) AS BIGINT) % 7"
+    ),
+    doc="Classical additive seasonal decomposition of the daily revenue "
+    "series: centered 7-day moving-average trend (full windows only), "
+    "day-of-week seasonal indices from the detrended series, and the "
+    "residual MAD per weekday — the decompose-then-inspect pass run "
+    "before choosing forecast features (STL's skeleton; the Loess "
+    "refinement changes the smoother, not the plan shape). Day-of-week "
+    "is epoch-days mod 7 (engine date-part dow conventions differ — "
+    "Spark 1=Sunday, DuckDB 0=Sunday — so the portable integer form is "
+    "used on both sides). Everything is exact integer arithmetic until "
+    "the final divides: det7 = 7v - s7 avoids the /7, the seasonal "
+    "index is an exact rational, and residuals quantize via the "
+    "identity 7*n_d*resid = n_d*det7 - seas_num with one shared "
+    "floor(x+0.5). Shape (100 TB): one date-keyed hash-agg on the fact "
+    "table, then calendar-bounded windows/joins (O(days) rows) — the "
+    "7-row seasonal table joins back as a broadcast; nothing "
+    "fact-scale after the first agg.",
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _STL_SQL.format(dow="CAST(datediff(d, DATE '1970-01-01') % 7 AS BIGINT)")
+    )

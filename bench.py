@@ -116,6 +116,7 @@ HEADLINE = [
     "q_knn_graph_mutual",
     "q_text_encoding_screen",
     "q_split_kfold_stratified",
+    "q_ts_seasonal_decompose",
 ]
 
 
