@@ -1810,3 +1810,107 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier_part"
         ),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Exact PR curve + average precision (r7) — the eval curve that matters
+# under class imbalance (positives are rare in filtering gates, and
+# ROC-AUC saturates there). Same score-domain cell-table discipline as
+# q_eval_auc: thresholds are the distinct score values, cumulative
+# tp/fp come from one descending window over cells, and the
+# tie-corrected AP is the sum of (delta recall) x precision at each
+# cell — every term an exact rational emitted through shared
+# expression text.
+
+
+@register(
+    "q_eval_pr_curve",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             CAST((n_stop * 1000) // n_tokens AS BIGINT) AS score
+      FROM (SELECT lang,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                     AS BIGINT) AS n_tokens,
+                   CAST({_sql_word_set_count(X.STOPWORDS)} AS BIGINT) AS n_stop
+            FROM documents)
+      WHERE n_tokens > 0
+    ),
+    cells AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS npos
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT score, n, npos,
+             CAST(sum(npos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
+             CAST(sum(n - npos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_fp,
+             CAST(sum(npos) OVER () AS BIGINT) AS total_pos
+      FROM cells
+    )
+    SELECT score, n, npos, cum_tp, cum_fp,
+           CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE) AS precision,
+           CAST(cum_tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall,
+           (CAST(npos AS DOUBLE) / CAST(total_pos AS DOUBLE))
+             * (CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE)) AS ap_contrib
+    FROM c ORDER BY score DESC
+    """,
+    doc="Exact tie-corrected precision-recall curve of the stop-word-"
+    "density score as an English detector, with per-threshold average-"
+    "precision contributions (AP = sum of ap_contrib — the delta-recall "
+    "x precision sum, the metric that stays informative when positives "
+    "are rare and ROC-AUC saturates). Thresholds are the DISTINCT "
+    "SCORE VALUES: cumulative tp/fp ride one descending window over "
+    "the score-domain-bounded cell table (<= 1001 cells at any corpus "
+    "size), so there is no per-document sort and no float rank "
+    "arithmetic anywhere; precision/recall/ap_contrib are exact "
+    "rationals emitted through shared expression text. Shape (100 TB): "
+    "one codegen scan -> map-side-combined cell agg -> an O(cells) "
+    "window. Completes the eval suite: confusion -> P/R/F1 -> kappa -> "
+    "AUC -> calibration -> PR/AP.",
+)
+def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tc = X.token_count(F.col("text")).cast("bigint")
+    nstop = X.word_set_occurrences(F.col("text"), X.STOPWORDS).cast("bigint")
+    s = (
+        d.select(
+            (F.col("lang") == "en").cast("int").alias("pos"),
+            tc.alias("n_tokens"),
+            nstop.alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select("pos", F.expr("CAST((n_stop * 1000) div n_tokens AS BIGINT)").alias("score"))
+    )
+    cells = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    wd = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = cells.select(
+        "score",
+        "n",
+        "npos",
+        F.sum("npos").over(wd).cast("bigint").alias("cum_tp"),
+        F.sum(F.col("n") - F.col("npos")).over(wd).cast("bigint").alias("cum_fp"),
+        F.sum("npos").over(W.partitionBy()).cast("bigint").alias("total_pos"),
+    )
+    precision = F.col("cum_tp").cast("double") / (F.col("cum_tp") + F.col("cum_fp")).cast(
+        "double"
+    )
+    recall = F.col("cum_tp").cast("double") / F.col("total_pos").cast("double")
+    return c.select(
+        "score",
+        "n",
+        "npos",
+        "cum_tp",
+        "cum_fp",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        ((F.col("npos").cast("double") / F.col("total_pos").cast("double")) * precision).alias(
+            "ap_contrib"
+        ),
+    ).orderBy(F.desc("score"))

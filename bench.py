@@ -117,6 +117,7 @@ HEADLINE = [
     "q_text_encoding_screen",
     "q_split_kfold_stratified",
     "q_ts_seasonal_decompose",
+    "q_eval_pr_curve",
 ]
 
 

@@ -69,3 +69,17 @@ def test_encoding_screen_counts_match_residue_classes(spark, sf_dir, duck):
     assert sum(r.total_ctrl for r in rows) == exp_ctrl
     assert sum(r.total_moji for r in rows) == exp_moji
     assert sum(r.n_clean + r.n_suspect + r.n_bad for r in rows) == len(ids)
+
+
+def test_pr_curve_is_monotone_in_recall_and_ap_is_bounded(spark, sf_dir):
+    rows = REGISTRY["q_eval_pr_curve"].fn(spark, sf_dir).collect()
+    assert rows
+    ap = sum(r.ap_contrib for r in rows)
+    assert 0.0 < ap <= 1.0
+    last_recall = 0.0
+    for r in rows:  # already ordered by score DESC
+        assert 0.0 <= r.precision <= 1.0
+        assert r.recall >= last_recall - 1e-12, "recall must be nondecreasing"
+        last_recall = r.recall
+        assert r.cum_tp + r.cum_fp >= r.n
+    assert abs(last_recall - 1.0) < 1e-12, "lowest threshold must reach recall 1"
