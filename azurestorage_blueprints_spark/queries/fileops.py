@@ -224,3 +224,110 @@ def q_fileops_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file").alias("first_file"),
         F.max("file").alias("last_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog sync-diff (r7) — the rsync/azcopy-sync plan the reference's
+# verbs execute one file at a time: given a source listing and a stale
+# destination listing, classify every path into copy_new /
+# overwrite_changed / skip_same / delete_orphan. This is the MERGE
+# row-action shape (q_merge_upsert) applied to the FILE CATALOG — the
+# reference's never-overwrite upload (upload_file.py:184-190) and
+# overwrite download (download_file.py:181-183) are the two executor
+# policies this plan feeds. The destination is synthesized
+# deterministically: every 3rd doc missing (new), every 5th of the
+# rest size-drifted (changed), every 7th doc leaves a '.bak' orphan.
+
+
+@register(
+    "q_fileops_sync_diff",
+    oracle="""
+    WITH src AS (
+      SELECT regexp_replace(source, '^/+|/+$', '', 'g') || '/doc_' ||
+               CAST(doc_id AS VARCHAR) AS path,
+             CAST(n_chars AS BIGINT) AS size
+      FROM documents
+    ),
+    dst AS (
+      SELECT regexp_replace(source, '^/+|/+$', '', 'g') || '/doc_' ||
+               CAST(doc_id AS VARCHAR) AS path,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN n_chars + 17 ELSE n_chars END
+                  AS BIGINT) AS size
+      FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT regexp_replace(source, '^/+|/+$', '', 'g') || '/doc_' ||
+               CAST(doc_id AS VARCHAR) || '.bak' AS path,
+             CAST(100 AS BIGINT) AS size
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    plan AS (
+      SELECT CASE
+               WHEN d.path IS NULL THEN 'copy_new'
+               WHEN s.path IS NULL THEN 'delete_orphan'
+               WHEN s.size = d.size THEN 'skip_same'
+               ELSE 'overwrite_changed'
+             END AS action,
+             COALESCE(s.size, d.size) AS bytes
+      FROM src s FULL OUTER JOIN dst d ON s.path = d.path
+    )
+    SELECT action,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes
+    FROM plan GROUP BY action ORDER BY action
+    """,
+    doc="Sync-plan reconciliation between a source catalog and a stale "
+    "destination mirror (the azcopy-sync / rsync planning pass): one "
+    "FULL OUTER equi-join on path classifies every file as copy_new / "
+    "overwrite_changed / skip_same / delete_orphan with exact byte "
+    "totals per action. Extends the reference's per-verb overwrite "
+    "matrix (upload never overwrites, upload_file.py:184-190; download "
+    "always does, download_file.py:181-183) from one-file-at-a-time "
+    "decisions to the whole-namespace plan those verbs would execute. "
+    "Shape (100 TB namespace): both listings shuffle once on the path "
+    "key for the join; the report is action-cardinality sized. The "
+    "destination mirror is synthesized from doc_id residues so the "
+    "plan is deterministic and fully oracle-checked.",
+)
+def q_fileops_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base_path = F.concat(
+        P.clean_folder_name(F.col("source")),
+        F.lit("/doc_"),
+        F.col("doc_id").cast("string"),
+    )
+    src = d.select(base_path.alias("path"), F.col("n_chars").cast("bigint").alias("size"))
+    dst = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(
+            base_path.alias("path"),
+            F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 17)
+            .otherwise(F.col("n_chars"))
+            .cast("bigint")
+            .alias("size"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                F.concat(base_path, F.lit(".bak")).alias("path"),
+                F.lit(100).cast("bigint").alias("size"),
+            )
+        )
+    )
+    joined = src.alias("s").join(
+        dst.alias("d"), F.col("s.path") == F.col("d.path"), "full_outer"
+    )
+    plan = joined.select(
+        F.when(F.col("d.path").isNull(), F.lit("copy_new"))
+        .when(F.col("s.path").isNull(), F.lit("delete_orphan"))
+        .when(F.col("s.size") == F.col("d.size"), F.lit("skip_same"))
+        .otherwise(F.lit("overwrite_changed"))
+        .alias("action"),
+        F.coalesce(F.col("s.size"), F.col("d.size")).alias("bytes"),
+    )
+    return (
+        plan.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("action")
+    )

@@ -118,6 +118,7 @@ HEADLINE = [
     "q_split_kfold_stratified",
     "q_ts_seasonal_decompose",
     "q_eval_pr_curve",
+    "q_fileops_sync_diff",
 ]
 
 
