@@ -50,7 +50,10 @@ SWEEP_SKIPS_ABOVE_SF01 = {
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path_arg = sys.argv[2] if len(sys.argv) > 2 else None
-    big_sweep = out_path_arg is not None
+    # the anchor-rung skip list applies only to the >=sf1 stress sweeps,
+    # never to gate-SF artifacts (an explicit out-path alone used to
+    # imply it, which wrongly skipped the rung in a gate-SF refresh)
+    big_sweep = os.environ.get("SWEEP_BIG") == "1"
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .appName("oracle-local")
