@@ -160,10 +160,14 @@ def q_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: minimum distinct-order co-occurrence for a part-part edge; at larger
-#: SF raise this strength threshold to keep the graph sparse (the knob
-#: that bounds wedge fan-out at 100 TB)
-_MIN_COOCCUR = 1
+#: minimum distinct-order co-occurrence for a part-part edge — the
+#: strength threshold that keeps the graph sparse and bounds wedge
+#: fan-out. At 1 the knob is OFF (every co-purchase pair is an edge):
+#: the r7 sf1 sweep measured the consequence — ~12M edges whose wedge
+#: join spilled 67 GB and ran >25 min in the oracle, vs 36k edges and
+#: a sub-second join at 2. Gate SFs stay non-degenerate at 2 (3258
+#: triangles at sf0.001, 61 at sf0.01).
+_MIN_COOCCUR = 2
 
 
 @register(
