@@ -79,8 +79,16 @@ def main() -> int:
     # so a kill loses at most the in-flight row)
     out: dict[str, dict] = {}
     if os.environ.get("SWEEP_RESUME") == "1" and os.path.exists(path):
+        def _keep(v: dict) -> bool:
+            # carry passes, rows-only rows, and documented skips; RETRY
+            # real errors (e.g. an ENOSPC from a previous run's spill)
+            e = v.get("err")
+            return bool(v.get("hash_match")) or e == "no_oracle" or (
+                e or ""
+            ).startswith("skipped_at_sweep_sf")
+
         with open(path) as f:
-            out = {k: v for k, v in json.load(f).items() if k in registry}
+            out = {k: v for k, v in json.load(f).items() if k in registry and _keep(v)}
         print(f"resuming: {len(out)} rows carried over", flush=True)
     t0 = time.time()
     for i, (name, q) in enumerate(registry.items(), 1):
