@@ -1050,14 +1050,26 @@ def _dec_to_dbl(col: str, scale: int) -> str:
     return f"cast(cast({col} * {10**scale} as bigint) as double) / {float(10**scale)}"
 
 
+def _dec_to_dbl_floor(col: str) -> str:
+    """Decimal → double for moments too big for the ×10^scale bigint
+    intermediate: floor to the integer part (decimal-exact in both
+    engines, so truncate-vs-round cast semantics can't diverge), then
+    bigint → double (correctly rounded in both). Drops < 1 unit of the
+    fraction — relative error <= 1e-15 at the magnitudes that need this
+    route, below double resolution. The r7 sf1 sweep caught the squared
+    price moment at 7.4e15 units: ×10^4 = 7.4e19 overflowed BIGINT
+    (CAST_OVERFLOW), while this route holds to ~9.2e18 units (~sf1000)."""
+    return f"cast(cast(floor({col}) as bigint) as double)"
+
+
 _CORR_F = "(nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy))"
 _COV_F = "(sxy - sx*sy/nd) / (nd - 1.0)"
 _STDX_F = "sqrt((sxx - sx*sx/nd) / (nd - 1.0))"
 _STDY_F = "sqrt((syy - sy*sy/nd) / (nd - 1.0))"
 _MOMENTS_DBL = (
     f"{_dec_to_dbl('sxd', 2)} AS sx, {_dec_to_dbl('syd', 2)} AS sy, "
-    f"{_dec_to_dbl('sxxd', 4)} AS sxx, {_dec_to_dbl('syyd', 4)} AS syy, "
-    f"{_dec_to_dbl('sxyd', 4)} AS sxy, CAST(n AS DOUBLE) AS nd"
+    f"{_dec_to_dbl_floor('sxxd')} AS sxx, {_dec_to_dbl_floor('syyd')} AS syy, "
+    f"{_dec_to_dbl_floor('sxyd')} AS sxy, CAST(n AS DOUBLE) AS nd"
 )
 
 
