@@ -1083,10 +1083,11 @@ def _mhp_band_hash(cols: list[str]) -> str:
     return acc
 
 
-def _mhp_sig_sql() -> str:
+def _mhp_sig_sql(src: str = "documents") -> str:
     """DuckDB CTE text ``th/sh/sig`` building the portable MinHash
-    signature table over ``documents`` — shared by the full-corpus rung
-    and the incremental rung so both anchor the same arithmetic."""
+    signature table over ``src`` (default ``documents``) — shared by
+    the full-corpus, incremental, and audit rungs so all anchor the
+    same arithmetic."""
     return f"""th AS (
       SELECT doc_id,
              list_transform(
@@ -1096,7 +1097,7 @@ def _mhp_sig_sql() -> str:
                         list_transform(string_split(t, ''),
                                        c -> CAST(ascii(c) AS BIGINT))),
                       (h, c) -> (h * 31 + c) % {_MHP_M})) AS hs
-      FROM documents
+      FROM {src}
     ),
     sh AS (
       SELECT doc_id,
@@ -1527,3 +1528,153 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("a_id")
     )
     return finalize_bounded(out, sig)
+
+
+# ---------------------------------------------------------------------------
+# LSH blocking-quality audit (r7) — the measurement every dedup
+# deployment needs before trusting its blocking: hold the exact
+# shingle-set Jaccard (computable at audit scale) as ground truth and
+# report the banding's recall/precision against it. The 16-perm
+# portable anchor is deliberately the subject: its 4x4 banding has
+# P(candidate | j) = 1 - (1 - j^4)^4, so the audit quantifies what the
+# production rung's wider 64-perm banding buys. Everything is the same
+# portable arithmetic as q_dedup_minhash_portable, so counts AND rates
+# are oracle-checked bit-for-bit.
+
+
+@register(
+    "q_dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH audit_docs AS (SELECT * FROM documents WHERE doc_id < 200),
+    {_mhp_sig_sql("audit_docs")},
+    bands AS ({_mhp_bands_sql("sig")}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, h FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS nc
+      FROM shd a JOIN shd b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.a_id, i.b_id
+      FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+                   JOIN sizes sb ON i.b_id = sb.doc_id
+      WHERE 2 * i.nc >= (sa.n + sb.n - i.nc)
+    ),
+    m AS (
+      SELECT CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+             CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.a_id = c.a_id AND t.b_id = c.b_id
+    )
+    SELECT CAST(sum(is_true) AS BIGINT) AS n_truth,
+           CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+           CAST(sum(is_true * is_cand) AS BIGINT) AS n_hits,
+           CAST(sum(is_true * is_cand) AS DOUBLE)
+             / CAST(sum(is_true) AS DOUBLE) AS recall,
+           CAST(sum(is_true * is_cand) AS DOUBLE)
+             / CAST(sum(is_cand) AS DOUBLE) AS precision
+    FROM m
+    """,
+    doc="Blocking-quality audit of the portable MinHash banding against "
+    "exact shingle-set Jaccard ground truth (threshold 1/2, spelled "
+    "2*|A∩B| >= |A∪B| so the truth set is integer-exact): one row with "
+    "n_truth / n_candidates / n_hits and derived recall / precision — "
+    "the operating-point measurement that decides bands x rows before "
+    "a dedup deployment trusts its blocking. Audit scope is a "
+    "deterministic 200-doc slice (ground truth needs the pair "
+    "enumeration the banding exists to avoid; at production the audit "
+    "runs on a hash-sample exactly like this). The subject is the "
+    "16-perm anchor whose 4x4 banding has P(candidate|j) = "
+    "1-(1-j^4)^4 — the audit makes the anchor-vs-production gap a "
+    "measured number instead of a formula in a comment. Same portable "
+    "arithmetic as q_dedup_minhash_portable, so every count and rate "
+    "is oracle-checked bit-for-bit. Shape: signature/banding work is "
+    "O(slice); the truth join is the inverted-index shape on distinct "
+    "shingles; the report is 1 row.",
+)
+def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = _mhp_sig(d)
+    bands = _mhp_bands(sig)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # exact ground truth over the SAME portable 3-gram shingles the
+    # signatures minhash — distinct per doc, inverted-index join
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    p = toked.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    codes = F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("bigint"))
+    th = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * 31 + c) % F.lit(_MHP_M).cast("bigint"),
+    )
+    hp = p.select("doc_id", "pos", th.alias("h0"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    shd = (
+        hp.select(
+            "doc_id",
+            "pos",
+            "h0",
+            F.lead("h0", 1).over(w).alias("h1"),
+            F.lead("h0", 2).over(w).alias("h2"),
+        )
+        .filter(F.col("h2").isNotNull() | (F.col("pos") == 0))
+        .select(
+            "doc_id",
+            F.expr(
+                f"((h0 * 31 + coalesce(h1, 0)) % {_MHP_M} * 31"
+                f" + coalesce(h2, 0)) % {_MHP_M}"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ia = shd.select(F.col("doc_id").alias("a_id"), "h")
+    ib = shd.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        ia.join(ib, ["h"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(2 * F.col("nc") >= (F.col("na") + F.col("nb") - F.col("nc")))
+        .select("a_id", "b_id")
+    )
+    m = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["a_id", "b_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("t"), F.lit(0)).alias("is_true"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("is_cand"),
+    )
+    return m.agg(
+        F.sum("is_true").cast("bigint").alias("n_truth"),
+        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+        F.sum(F.col("is_true") * F.col("is_cand")).cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.col("is_true") * F.col("is_cand")).cast("double")
+            / F.sum("is_true").cast("double")
+        ).alias("recall"),
+        (
+            F.sum(F.col("is_true") * F.col("is_cand")).cast("double")
+            / F.sum("is_cand").cast("double")
+        ).alias("precision"),
+    )

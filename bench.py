@@ -119,6 +119,7 @@ HEADLINE = [
     "q_ts_seasonal_decompose",
     "q_eval_pr_curve",
     "q_fileops_sync_diff",
+    "q_dedup_lsh_recall_audit",
 ]
 
 

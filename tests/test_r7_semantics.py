@@ -83,3 +83,10 @@ def test_pr_curve_is_monotone_in_recall_and_ap_is_bounded(spark, sf_dir):
         last_recall = r.recall
         assert r.cum_tp + r.cum_fp >= r.n
     assert abs(last_recall - 1.0) < 1e-12, "lowest threshold must reach recall 1"
+
+
+def test_lsh_audit_rates_are_consistent(spark, sf_dir):
+    row = REGISTRY["q_dedup_lsh_recall_audit"].fn(spark, sf_dir).collect()[0]
+    assert row.n_hits <= min(row.n_truth, row.n_candidates)
+    assert 0.0 <= row.recall <= 1.0 and 0.0 <= row.precision <= 1.0
+    assert row.n_truth > 0, "audit slice must contain true near-dups"
