@@ -1770,3 +1770,171 @@ def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 of the int8 ANN rung vs the float brute-force ground truth
+# (r7) — the retrieval-quality eval that turns "int8 ranks mostly
+# agree" (the test_ann_recall gate) into a measured, per-query,
+# position-weighted number. Discounts 1/log2(rank+1) and the ideal DCG
+# are python-precomputed literals (the Benford convention — no engine
+# libm on data); the DCG sum is spelled as ONE fixed-order expression
+# over pivoted per-rank gains, so no engine-ordered double summation
+# exists anywhere and the metric is oracle-checked bit-for-bit.
+
+_NDCG_DISCOUNTS = (
+    "1.0",
+    "1.584962500721156",
+    "2.0",
+    "2.321928094887362",
+    "2.584962500721156",
+)
+_NDCG_IDEAL = "10.271924937667158"  # sum((6-i)/log2(i+1), i=1..5)
+
+
+@register(
+    "q_eval_ndcg_knn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q8 AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x * 127.0
+                      / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS v8
+           FROM e),
+    q AS (SELECT vec_id AS q_id, v8 AS qv FROM q8 WHERE vec_id < {_N_QUERIES}),
+    sys AS (
+      SELECT q_id, n_id, rnk FROM (
+        SELECT q.q_id, c.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, c.v8)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v8, c.v8))) DESC, c.vec_id) AS rnk
+        FROM q JOIN q8 c ON c.vec_id <> q.q_id)
+      WHERE rnk <= {_TOP_K}),
+    fq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    tru AS (
+      SELECT q_id, n_id, rnk AS true_rank FROM (
+        SELECT fq.q_id, e.vec_id AS n_id,
+               row_number() OVER (PARTITION BY fq.q_id ORDER BY
+                 list_cosine_similarity(fq.qv, e.v) DESC, e.vec_id) AS rnk
+        FROM fq JOIN e ON e.vec_id <> fq.q_id)
+      WHERE rnk <= {_TOP_K}),
+    g AS (
+      SELECT s.q_id, s.rnk,
+             CAST(coalesce(6 - t.true_rank, 0) AS BIGINT) AS gain
+      FROM sys s LEFT JOIN tru t ON s.q_id = t.q_id AND s.n_id = t.n_id),
+    p AS (
+      SELECT q_id,
+             {", ".join(f"CAST(max(CASE WHEN rnk = {i + 1} THEN gain ELSE 0 END) AS BIGINT) AS g{i + 1}" for i in range(5))}
+      FROM g GROUP BY q_id)
+    SELECT q_id, g1, g2, g3, g4, g5,
+           CAST(g1 AS DOUBLE) / {_NDCG_DISCOUNTS[0]}
+             + CAST(g2 AS DOUBLE) / {_NDCG_DISCOUNTS[1]}
+             + CAST(g3 AS DOUBLE) / {_NDCG_DISCOUNTS[2]}
+             + CAST(g4 AS DOUBLE) / {_NDCG_DISCOUNTS[3]}
+             + CAST(g5 AS DOUBLE) / {_NDCG_DISCOUNTS[4]} AS dcg,
+           (CAST(g1 AS DOUBLE) / {_NDCG_DISCOUNTS[0]}
+             + CAST(g2 AS DOUBLE) / {_NDCG_DISCOUNTS[1]}
+             + CAST(g3 AS DOUBLE) / {_NDCG_DISCOUNTS[2]}
+             + CAST(g4 AS DOUBLE) / {_NDCG_DISCOUNTS[3]}
+             + CAST(g5 AS DOUBLE) / {_NDCG_DISCOUNTS[4]}) / {_NDCG_IDEAL} AS ndcg
+    FROM p ORDER BY q_id
+    """,
+    doc="NDCG@5 of int8-quantized ANN against the float brute-force "
+    "ground truth, per query: graded gains 6 - true_rank for system "
+    "results that appear in the true top-5 (0 otherwise), discounts "
+    "1/log2(rank+1) and the ideal DCG as python-precomputed literals "
+    "(no engine libm touches data — the q_benford_digits convention), "
+    "and the DCG spelled as ONE fixed-order five-term expression over "
+    "per-rank pivoted gains so no engine-ordered double summation "
+    "exists. This is the position-weighted retrieval-quality number "
+    "the recall gate (tests/test_ann_recall.py) doesn't give: WHERE "
+    "in the ranking the quantized rung diverges. Shape (100 TB): both "
+    "rankings are the existing broadcast-query-set scoring plans; the "
+    "eval adds one (q_id, n_id) equi-join and a 10-row pivot.",
+)
+def q_eval_ndcg_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def quantize(col):
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        return F.transform(
+            col,
+            lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("double"),
+        )
+
+    q8 = e.select("vec_id", quantize(F.col("embedding")).alias("v8")).withColumn(
+        "v8_nrm", F.sqrt(dot(F.col("v8"), F.col("v8")))
+    )
+    qi = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v8").alias("qv"),
+        F.col("v8_nrm").alias("qv_nrm"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    sys_rank = (
+        q8.crossJoin(F.broadcast(qi))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (dot(F.col("qv"), F.col("v8")) / (F.col("qv_nrm") * F.col("v8_nrm"))).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id", "rnk")
+    )
+    fq = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("v"),
+        norm(F.col("embedding")).alias("n_nrm"),
+    )
+    tru = (
+        corpus.crossJoin(F.broadcast(fq))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            clamp_sim(dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("n_nrm"))).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id", F.col("rnk").alias("true_rank"))
+    )
+    g = sys_rank.join(tru, ["q_id", "n_id"], "left").select(
+        "q_id",
+        "rnk",
+        F.coalesce(F.lit(6) - F.col("true_rank"), F.lit(0)).cast("bigint").alias("gain"),
+    )
+    p = g.groupBy("q_id").agg(
+        *[
+            F.max(F.when(F.col("rnk") == i + 1, F.col("gain")).otherwise(0))
+            .cast("bigint")
+            .alias(f"g{i + 1}")
+            for i in range(5)
+        ]
+    )
+    dcg = F.expr(
+        " + ".join(
+            f"CAST(g{i + 1} AS DOUBLE) / {_NDCG_DISCOUNTS[i]}" for i in range(5)
+        )
+    )
+    return p.select(
+        "q_id",
+        "g1",
+        "g2",
+        "g3",
+        "g4",
+        "g5",
+        dcg.alias("dcg"),
+        (dcg / F.expr(_NDCG_IDEAL)).alias("ndcg"),
+    ).orderBy("q_id")

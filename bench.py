@@ -120,6 +120,7 @@ HEADLINE = [
     "q_eval_pr_curve",
     "q_fileops_sync_diff",
     "q_dedup_lsh_recall_audit",
+    "q_eval_ndcg_knn",
 ]
 
 

@@ -90,3 +90,16 @@ def test_lsh_audit_rates_are_consistent(spark, sf_dir):
     assert row.n_hits <= min(row.n_truth, row.n_candidates)
     assert 0.0 <= row.recall <= 1.0 and 0.0 <= row.precision <= 1.0
     assert row.n_truth > 0, "audit slice must contain true near-dups"
+
+
+def test_ndcg_is_bounded_and_ideal_when_rankings_agree(spark, sf_dir):
+    rows = REGISTRY["q_eval_ndcg_knn"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-12
+        assert r.dcg <= 10.271924937667158 + 1e-9
+        gains = [r.g1, r.g2, r.g3, r.g4, r.g5]
+        assert all(0 <= g <= 5 for g in gains)
+        # a gain value > 0 can appear at most once per query (one true rank each)
+        pos = [g for g in gains if g > 0]
+        assert len(pos) == len(set(pos))
