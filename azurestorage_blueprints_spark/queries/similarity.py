@@ -1938,3 +1938,183 @@ def q_eval_ndcg_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcg.alias("dcg"),
         (dcg / F.expr(_NDCG_IDEAL)).alias("ndcg"),
     ).orderBy("q_id")
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining (r7) — the training-data operator for
+# embedding finetuning: for every anchor, a hard POSITIVE (its nearest
+# within-block neighbor) and a deterministic cross-block NEGATIVE,
+# with the margin sim(a,pos) - sim(a,neg) quantized to exact
+# per-mille integers so the per-label mining report (count, mean/min
+# margin, share of positive-margin triplets) is bit-exact across
+# engines. Positives ride the same block-bounded pair enumeration as
+# q_knn_graph_mutual; negatives pair label L's hash-ranked vectors
+# with label (L+1) mod 10's by rank — an O(N) equi-join, no sampling
+# loop, retry-invariant.
+
+
+@register(
+    "q_embed_triplet_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q8 AS (SELECT vec_id, label,
+                  list_transform(v, x -> floor(x * 127.0
+                      / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS v8
+           FROM e),
+    n8 AS (SELECT vec_id, label, v8, sqrt(list_dot_product(v8, v8)) AS nrm FROM q8),
+    pos AS (
+      SELECT a_id, p_id, p_sim FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS p_id,
+               list_dot_product(a.v8, b.v8) / (a.nrm * b.nrm) AS p_sim,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_dot_product(a.v8, b.v8) / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+        FROM n8 a JOIN n8 b ON a.label = b.label AND a.vec_id <> b.vec_id)
+      WHERE rnk = 1),
+    ranked AS (
+      SELECT vec_id, label, v8, nrm,
+             CAST(row_number() OVER (PARTITION BY label
+               ORDER BY (vec_id * 2654435761) % 1048576, vec_id) AS BIGINT) AS hr,
+             CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS ln
+      FROM n8),
+    neg AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS n_id,
+             list_dot_product(a.v8, b.v8) / (a.nrm * b.nrm) AS n_sim
+      FROM ranked a JOIN ranked b
+        ON b.label = (a.label + 1) % 10
+       AND b.hr = 1 + ((a.hr - 1) % b.ln)),
+    t AS (
+      SELECT e.label, p.a_id, p.p_id, n.n_id,
+             CAST(floor((p.p_sim - n.n_sim) * 1000.0 + 0.5) AS BIGINT) AS margin_pm
+      FROM pos p JOIN neg n ON p.a_id = n.a_id
+      JOIN e ON e.vec_id = p.a_id)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(sum(margin_pm) AS BIGINT) AS sum_margin_pm,
+           CAST(min(margin_pm) AS BIGINT) AS min_margin_pm,
+           CAST(max(margin_pm) AS BIGINT) AS max_margin_pm,
+           CAST(sum(CASE WHEN margin_pm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_margin,
+           CAST(sum(margin_pm) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
+             AS mean_margin,
+           CAST(sum(CASE WHEN margin_pm > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS pos_margin_share
+    FROM t GROUP BY label ORDER BY label
+    """,
+    doc="Contrastive triplet mining for embedding finetuning: every "
+    "vector anchors a triplet with its hardest within-block POSITIVE "
+    "(top-1 int8 cosine inside the coarse cell — the "
+    "q_knn_graph_mutual pair enumeration, an equi-join never a cross "
+    "join) and a deterministic cross-block NEGATIVE (label L's "
+    "hash-ranked vectors pair with label (L+1) mod 10's by rank-mod — "
+    "an O(N) equi-join, retry-invariant, the q_sample_hash "
+    "convention). Margins sim(a,pos) - sim(a,neg) quantize to exact "
+    "per-mille integers via the shared floor(x+0.5), so the per-label "
+    "report — triplet count, mean/min/max margin, share of "
+    "positive-margin triplets (the 'is this corpus even separable' "
+    "signal a finetuning run checks first) — is oracle-checked "
+    "bit-for-bit. Shape (100 TB): positives are block-bounded, "
+    "negatives one keyed join, report is O(labels); triplet rows "
+    "themselves would feed the trainer as a written table, never a "
+    "collect.",
+)
+def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def quantize(col):
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        return F.transform(
+            col,
+            lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("double"),
+        )
+
+    n8 = e.select("vec_id", "label", quantize(F.col("embedding")).alias("v8")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v8"), F.col("v8")))
+    )
+    a = n8.select(
+        "label",
+        F.col("vec_id").alias("a_id"),
+        F.col("v8").alias("av"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = n8.select(
+        "label",
+        F.col("vec_id").alias("b_id"),
+        F.col("v8").alias("bv"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = dot(F.col("av"), F.col("bv")) / (F.col("a_nrm") * F.col("b_nrm"))
+    wp = W.partitionBy("a_id").orderBy(F.desc("p_sim"), "b_id")
+    pos = (
+        a.join(b, "label")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("p_sim"))
+        .withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") == 1)
+        .select("a_id", F.col("b_id").alias("p_id"), "p_sim")
+    )
+    wr = W.partitionBy("label").orderBy((F.col("vec_id") * 2654435761) % 1048576, "vec_id")
+    ranked = n8.select(
+        "vec_id",
+        "label",
+        "v8",
+        "nrm",
+        F.row_number().over(wr).cast("bigint").alias("hr"),
+        F.count(F.lit(1)).over(W.partitionBy("label")).cast("bigint").alias("ln"),
+    )
+    ra = ranked.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v8").alias("av"),
+        F.col("nrm").alias("a_nrm"),
+        F.col("hr").alias("a_hr"),
+    )
+    rb = ranked.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("b_label"),
+        F.col("v8").alias("bv"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("hr").alias("b_hr"),
+        F.col("ln").alias("b_ln"),
+    )
+    neg = ra.join(
+        rb,
+        (F.col("b_label") == (F.col("a_label") + 1) % 10)
+        & (F.col("b_hr") == 1 + ((F.col("a_hr") - 1) % F.col("b_ln"))),
+    ).select(
+        "a_id",
+        "n_id",
+        (dot(F.col("av"), F.col("bv")) / (F.col("a_nrm") * F.col("b_nrm"))).alias("n_sim"),
+    )
+    lab = e.select(F.col("vec_id").alias("a_id"), "label")
+    t = (
+        pos.join(neg, "a_id")
+        .join(lab, "a_id")
+        .select(
+            "label",
+            F.floor((F.col("p_sim") - F.col("n_sim")) * 1000.0 + 0.5)
+            .cast("bigint")
+            .alias("margin_pm"),
+        )
+    )
+    return (
+        t.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triplets"),
+            F.sum("margin_pm").cast("bigint").alias("sum_margin_pm"),
+            F.min("margin_pm").cast("bigint").alias("min_margin_pm"),
+            F.max("margin_pm").cast("bigint").alias("max_margin_pm"),
+            F.sum((F.col("margin_pm") > 0).cast("int")).cast("bigint").alias("n_pos_margin"),
+            (F.sum("margin_pm").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(1000.0)).alias(
+                "mean_margin"
+            ),
+            (
+                F.sum((F.col("margin_pm") > 0).cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("pos_margin_share"),
+        )
+        .orderBy("label")
+    )

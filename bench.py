@@ -121,6 +121,7 @@ HEADLINE = [
     "q_fileops_sync_diff",
     "q_dedup_lsh_recall_audit",
     "q_eval_ndcg_knn",
+    "q_embed_triplet_mining",
 ]
 
 

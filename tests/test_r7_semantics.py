@@ -103,3 +103,14 @@ def test_ndcg_is_bounded_and_ideal_when_rankings_agree(spark, sf_dir):
         # a gain value > 0 can appear at most once per query (one true rank each)
         pos = [g for g in gains if g > 0]
         assert len(pos) == len(set(pos))
+
+
+def test_triplet_mining_report_is_consistent(spark, sf_dir):
+    rows = REGISTRY["q_embed_triplet_mining"].fn(spark, sf_dir).collect()
+    assert rows, "every label must mine triplets"
+    for r in rows:
+        assert r.n_triplets > 0
+        assert r.n_pos_margin <= r.n_triplets
+        assert r.min_margin_pm <= r.max_margin_pm
+        assert -2000 <= r.min_margin_pm and r.max_margin_pm <= 2000
+        assert 0.0 <= r.pos_margin_share <= 1.0
