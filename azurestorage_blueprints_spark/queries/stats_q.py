@@ -1151,3 +1151,110 @@ _WSR_SQL = f"""
 def q_stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_WSR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (r7) — the effect size on top of q_stats_chisq: the test
+# says priority x status are dependent, V says HOW dependent on a
+# [0, 1] scale that survives growing n (chi-square itself scales with
+# n, so at 100 TB every test is "significant" and only the effect size
+# carries information). The total chi-square is an order-dependent
+# double sum, so each cell's term is quantized to exact micro-units
+# (floor(term * 1e6 + 0.5), shared text) and summed as integers —
+# order-free, bit-exact, 1e-6 quantization far below the effect-size
+# resolution anyone acts on.
+
+
+@register(
+    "q_stats_cramers_v",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS obs
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    marg AS (
+      SELECT o_orderpriority, o_orderstatus, obs,
+             CAST(sum(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS row_tot,
+             CAST(sum(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS col_tot,
+             CAST(sum(obs) OVER () AS BIGINT) AS grand
+      FROM cells
+    ),
+    terms AS (
+      SELECT grand,
+             CAST(floor(({_CHISQ_TERM}) * 1000000.0 + 0.5) AS BIGINT) AS term_u,
+             o_orderpriority, o_orderstatus
+      FROM marg
+    ),
+    agg AS (
+      SELECT CAST(max(grand) AS BIGINT) AS n,
+             CAST(sum(term_u) AS BIGINT) AS chi2_u,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c
+      FROM terms
+    )
+    SELECT n, chi2_u, r, c,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           CAST(chi2_u AS DOUBLE) / 1000000.0 AS chi2,
+           sqrt(CAST(chi2_u AS DOUBLE) / 1000000.0
+                / (CAST(n AS DOUBLE)
+                   * CAST(CASE WHEN r < c THEN r - 1 ELSE c - 1 END AS DOUBLE)))
+             AS cramers_v
+    FROM agg
+    """,
+    doc="Cramér's V effect size for the priority x status contingency "
+    "table — the scale-invariant companion to q_stats_chisq (at 100 TB "
+    "n makes every chi-square 'significant'; V = sqrt(chi2 / (n * "
+    "min(r-1, c-1))) is what actually carries information). Per-cell "
+    "chi-square terms quantize to exact micro-units through the shared "
+    "floor(x*1e6+0.5) before the total sum, so the statistic is an "
+    "integer sum (order-free, bit-exact across engines) instead of an "
+    "engine-ordered double accumulation; r/c come from exact distinct "
+    "counts over the cell table. Shape: identical to q_stats_chisq — "
+    "one map-side-combined cell agg is the only fact-scale work, "
+    "everything downstream is O(15) rows.",
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    marg = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.sum("obs").over(W.partitionBy("o_orderpriority")).alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("o_orderstatus")).alias("col_tot"),
+        F.sum("obs").over(W.partitionBy()).alias("grand"),
+    )
+    terms = marg.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "grand",
+        F.expr(f"CAST(floor(({_CHISQ_TERM}) * 1000000.0 + 0.5) AS BIGINT)").alias("term_u"),
+    )
+    agg = terms.agg(
+        F.max("grand").cast("bigint").alias("n"),
+        F.sum("term_u").cast("bigint").alias("chi2_u"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("r"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("c"),
+    )
+    return agg.select(
+        "n",
+        "chi2_u",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        (F.col("chi2_u").cast("double") / F.lit(1000000.0)).alias("chi2"),
+        F.sqrt(
+            F.col("chi2_u").cast("double")
+            / F.lit(1000000.0)
+            / (
+                F.col("n").cast("double")
+                * F.when(F.col("r") < F.col("c"), F.col("r") - 1)
+                .otherwise(F.col("c") - 1)
+                .cast("double")
+            )
+        ).alias("cramers_v"),
+    )

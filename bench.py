@@ -122,6 +122,7 @@ HEADLINE = [
     "q_dedup_lsh_recall_audit",
     "q_eval_ndcg_knn",
     "q_embed_triplet_mining",
+    "q_stats_cramers_v",
 ]
 
 
