@@ -1914,3 +1914,102 @@ def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ap_contrib"
         ),
     ).orderBy(F.desc("score"))
+
+
+# ---------------------------------------------------------------------------
+# WAV zero-crossing / peak / clip profile (r7) — the second audio
+# curation rung through the REAL RIFF codec: zero-crossing rate is the
+# classic cheap voiced/unvoiced + noise discriminator, peak amplitude
+# and clipped-sample count are the recording-quality gates an audio
+# pipeline applies before paying for feature extraction. Every number
+# is exact integer arithmetic on the decoded PCM, so DuckDB reproduces
+# the whole report from the embeddings — any codec bug breaks the hash.
+
+
+@register(
+    "q_multimodal_wav_zcr",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(greatest(-32768.0, least(32767.0,
+                    floor(CAST(x AS DOUBLE) * 10000.0 + 0.5))) AS BIGINT)) AS pcm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(pcm) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(1, len(pcm)),
+                i -> CASE WHEN pcm[i] * pcm[i + 1] < 0 THEN 1 ELSE 0 END))
+             AS BIGINT) AS n_crossings,
+           CAST(list_max(list_transform(pcm, v -> abs(v))) AS BIGINT) AS peak_abs,
+           CAST(list_sum(list_transform(pcm,
+                v -> CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END))
+             AS BIGINT) AS n_clipped,
+           CAST(list_sum(list_transform(range(1, len(pcm)),
+                i -> CASE WHEN pcm[i] * pcm[i + 1] < 0 THEN 1 ELSE 0 END)) AS DOUBLE)
+             / CAST(len(pcm) - 1 AS DOUBLE) AS zcr
+    FROM s
+    """,
+    doc="Zero-crossing / peak / clipping profile through the REAL WAV "
+    "codec path (encode_wav -> RIFF chunk walk -> decode_wav): "
+    "zero-crossing rate (strict sign flip, x_i * x_{i+1} < 0 — zeros "
+    "never count, so the definition is tie-free), peak |amplitude|, "
+    "and clipped-sample count — the cheap voiced/unvoiced and "
+    "recording-quality gates an audio curation pipeline runs before "
+    "feature extraction. All exact integers on the decoded PCM; "
+    "DuckDB reproduces the report arithmetically from the embeddings, "
+    "so a byte-order or chunk-alignment bug in the codec breaks the "
+    "hash (the q_multimodal_wav_frame_energy discipline). Shape: "
+    "Arrow-batched mapInPandas, partition-local, zero shuffles.",
+)
+def q_multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    encode_wav = MM.encode_wav
+    decode_wav = MM.decode_wav
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def profile(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(vec, dtype=np.float64)
+                pcm = np.clip(np.floor(a * 10000.0 + 0.5), -32768, 32767).astype("<i2")
+                _rate, _nch, samples = decode_wav(bytes(encode_wav(8000, pcm)))
+                ch0 = samples[:, 0].astype(np.int64)
+                n = len(ch0)
+                crossings = int(np.sum(ch0[:-1] * ch0[1:] < 0))
+                rows.append(
+                    (
+                        int(vid),
+                        n,
+                        crossings,
+                        int(np.max(np.abs(ch0))),
+                        int(np.sum((ch0 == 32767) | (ch0 == -32768))),
+                        float(crossings) / float(n - 1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id",
+                    "n_samples",
+                    "n_crossings",
+                    "peak_abs",
+                    "n_clipped",
+                    "zcr",
+                ],
+            )
+
+    return e.mapInPandas(
+        profile,
+        "vec_id long, n_samples long, n_crossings long, peak_abs long, "
+        "n_clipped long, zcr double",
+    )

@@ -123,6 +123,7 @@ HEADLINE = [
     "q_eval_ndcg_knn",
     "q_embed_triplet_mining",
     "q_stats_cramers_v",
+    "q_multimodal_wav_zcr",
 ]
 
 
