@@ -1964,13 +1964,19 @@ def q_eval_ndcg_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS v8
            FROM e),
     n8 AS (SELECT vec_id, label, v8, sqrt(list_dot_product(v8, v8)) AS nrm FROM q8),
+    upairs AS (
+      SELECT a.vec_id AS x_id, b.vec_id AS y_id,
+             list_dot_product(a.v8, b.v8) / (a.nrm * b.nrm) AS sim
+      FROM n8 a JOIN n8 b ON a.label = b.label AND a.vec_id < b.vec_id),
+    directed AS (
+      SELECT x_id AS a_id, y_id AS p_id, sim FROM upairs
+      UNION ALL
+      SELECT y_id AS a_id, x_id AS p_id, sim FROM upairs),
     pos AS (
-      SELECT a_id, p_id, p_sim FROM (
-        SELECT a.vec_id AS a_id, b.vec_id AS p_id,
-               list_dot_product(a.v8, b.v8) / (a.nrm * b.nrm) AS p_sim,
-               row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                 list_dot_product(a.v8, b.v8) / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
-        FROM n8 a JOIN n8 b ON a.label = b.label AND a.vec_id <> b.vec_id)
+      SELECT a_id, p_id, sim AS p_sim FROM (
+        SELECT a_id, p_id, sim,
+               row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, p_id) AS rnk
+        FROM directed)
       WHERE rnk = 1),
     ranked AS (
       SELECT vec_id, label, v8, nrm,
@@ -2047,14 +2053,23 @@ def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("b_nrm"),
     )
     sim = dot(F.col("av"), F.col("bv")) / (F.col("a_nrm") * F.col("b_nrm"))
-    wp = W.partitionBy("a_id").orderBy(F.desc("p_sim"), "b_id")
-    pos = (
+    # compute each unordered pair's sim ONCE, then union both
+    # directions — the q_knn_graph_mutual shape, which (unlike the
+    # naive a != b enumeration) stays skinny through the rank window
+    # and survived the sf1 sweep where the naive form OOM'd DuckDB
+    upairs = (
         a.join(b, "label")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", sim.alias("p_sim"))
-        .withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("x_id"), F.col("b_id").alias("y_id"), sim.alias("sim"))
+    )
+    directed = upairs.select(
+        F.col("x_id").alias("a_id"), F.col("y_id").alias("p_id"), "sim"
+    ).unionAll(upairs.select(F.col("y_id").alias("a_id"), F.col("x_id").alias("p_id"), "sim"))
+    wp = W.partitionBy("a_id").orderBy(F.desc("sim"), "p_id")
+    pos = (
+        directed.withColumn("rnk", F.row_number().over(wp))
         .filter(F.col("rnk") == 1)
-        .select("a_id", F.col("b_id").alias("p_id"), "p_sim")
+        .select("a_id", "p_id", F.col("sim").alias("p_sim"))
     )
     wr = W.partitionBy("label").orderBy((F.col("vec_id") * 2654435761) % 1048576, "vec_id")
     ranked = n8.select(
