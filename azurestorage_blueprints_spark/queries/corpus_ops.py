@@ -939,3 +939,88 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out_rows, schema).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture drift monitor (r7) — the check a continuously-fed
+# training corpus runs on every ingestion batch: has the source mix
+# moved? Reference window vs current window are the deterministic
+# doc_id-parity halves (any two snapshots slot into the same plan);
+# the drift statistic is total-variation distance, kept EXACT by
+# integer cross-multiplication — |c_ref * n_cur - c_cur * n_ref| sums
+# as bigints, one divide by 2 * n_ref * n_cur at the end — plus the
+# per-source share deltas that tell the operator WHICH source moved.
+
+@register(
+    "q_mixture_drift_tv",
+    oracle="""
+    WITH halves AS (
+      SELECT source,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS c_cur
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT source, c_ref, c_cur,
+             CAST(sum(c_ref) OVER () AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) OVER () AS BIGINT) AS n_cur
+      FROM halves
+    )
+    SELECT source, c_ref, c_cur,
+           CAST(abs(c_ref * n_cur - c_cur * n_ref) AS BIGINT) AS cross_abs,
+           CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) AS ref_share,
+           CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) AS cur_share,
+           CAST(sum(abs(c_ref * n_cur - c_cur * n_ref)) OVER () AS DOUBLE)
+             / (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS tv_distance
+    FROM tot ORDER BY source
+    """,
+    doc="Source-mixture drift monitor: character-mass share distribution of the "
+    "reference window vs the current window (deterministic doc_id-"
+    "parity halves — in production the two windows are ingestion "
+    "snapshots and the plan is unchanged), with total-variation "
+    "distance kept EXACT by integer cross-multiplication: "
+    "|c_ref*n_cur - c_cur*n_ref| sums as bigints (order-free), one "
+    "divide by 2*n_ref*n_cur at the end, so the drift number is "
+    "bit-exact across engines. Per-source rows carry the share deltas "
+    "that say WHICH source moved; the repeated tv_distance column is "
+    "the windowed grand total (O(sources) rows, the snapshot_diff "
+    "convention). Char counts up to ~1e6 per source-half keep the "
+    "cross-product under 2^63 to ~1e12 total tokens per window; past "
+    "that, pre-scale counts to thousands (documented headroom, the "
+    "q_stats_corr discipline). Shape (100 TB): ONE map-side-combined "
+    "hash-agg on source is the only fact-scale work; the windows run "
+    "over O(sources) rows.",
+)
+def q_mixture_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    halves = d.groupBy("source").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("c_cur"),
+    )
+    w = W.partitionBy()
+    tot = halves.select(
+        "source",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(w).cast("bigint").alias("n_ref"),
+        F.sum("c_cur").over(w).cast("bigint").alias("n_cur"),
+    )
+    cross = F.abs(F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref"))
+    return tot.select(
+        "source",
+        "c_ref",
+        "c_cur",
+        cross.cast("bigint").alias("cross_abs"),
+        (F.col("c_ref").cast("double") / F.col("n_ref").cast("double")).alias("ref_share"),
+        (F.col("c_cur").cast("double") / F.col("n_cur").cast("double")).alias("cur_share"),
+        (
+            F.sum(cross).over(w).cast("double")
+            / (F.lit(2.0) * F.col("n_ref").cast("double") * F.col("n_cur").cast("double"))
+        ).alias("tv_distance"),
+    ).orderBy("source")

@@ -124,6 +124,7 @@ HEADLINE = [
     "q_embed_triplet_mining",
     "q_stats_cramers_v",
     "q_multimodal_wav_zcr",
+    "q_mixture_drift_tv",
 ]
 
 
