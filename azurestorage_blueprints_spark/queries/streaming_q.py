@@ -488,3 +488,149 @@ def q_stream_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
     return out
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (r7) — q_dedup_incremental's production
+# FORM: arrivals flow as a stream, the standing corpus contributes its
+# PRE-COMPUTED signature table, and every arrival is verdicted against
+# it in-flight. The stream side computes the portable MinHash
+# ROW-LOCALLY — token hashes, 3-gram shingles, the 16 permutation
+# minima are all array expressions, the per-doc MIN is array_min
+# instead of a groupBy — which is what makes the whole thing legal as
+# ONE streaming plan: stateless projections → band explode →
+# stream-static equi-join → a single aggregation.
+
+_SIG_M = 2147483647
+
+
+def _stage_documents(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage the ARRIVAL documents (doc_id % 10 == 0 — the
+    q_dedup_incremental batch definition) as n_chunks id-ranged parquet
+    files so the file source replays them as micro-batches."""
+    key = ("docs", sf_dir)
+    if key in _STAGED:
+        return _STAGED[key]
+    out = tempfile.mkdtemp(prefix="spark_stream_docs_")
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = max(1, (int(hi) - int(lo) + n_chunks) // n_chunks)
+    for i in range(n_chunks):
+        chunk = d.filter(
+            (F.col("doc_id") >= lo + i * span)
+            & ((F.col("doc_id") < lo + (i + 1) * span) if i < n_chunks - 1 else F.lit(True))
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, f"c{i}"))
+    _STAGED[key] = out
+    return out
+
+
+def _rowlocal_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band, bh) with NO window and NO
+    aggregation: identical arithmetic to dedup._mhp_sig/_mhp_bands
+    (verified by the shared oracle), but per-doc minima via array_min
+    so the projection is streaming-legal."""
+    from azurestorage_blueprints_spark.queries.dedup import (
+        _MH_A,
+        _MH_B,
+        _MHP_PERMS,
+        _mhp_bands,
+    )
+
+    m = _SIG_M
+    hs = df.selectExpr(
+        "doc_id",
+        "transform(filter(split(text, ' '), t -> t != ''), "
+        "t -> aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)), "
+        f"cast(0 as bigint), (h, c) -> (h * 31 + c) % {m})) AS hs",
+    ).filter("size(hs) > 0")
+    sh = hs.selectExpr(
+        "doc_id",
+        f"CASE WHEN size(hs) >= 3 THEN "
+        f"transform(sequence(0, size(hs) - 3), "
+        f"i -> ((hs[i] * 31 + hs[i + 1]) % {m} * 31 + hs[i + 2]) % {m}) "
+        f"ELSE array(((hs[0] * 31 + coalesce(hs[1], cast(0 as bigint))) % {m} * 31 "
+        f"+ coalesce(hs[2], cast(0 as bigint))) % {m}) END AS sh",
+    )
+    sig = sh.selectExpr(
+        "doc_id",
+        *[
+            f"array_min(transform(sh, h -> ({_MH_A[i]} * h + {_MH_B[i]}) % {m})) AS s{i}"
+            for i in range(_MHP_PERMS)
+        ],
+    )
+    return _mhp_bands(sig)
+
+
+def _stream_dedup_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.dedup import _mhp_bands_sql, _mhp_sig_sql
+
+    return f"""
+    WITH {_mhp_sig_sql()},
+    bands AS ({_mhp_bands_sql("sig")}),
+    hits AS (
+      SELECT a.doc_id AS doc_id,
+             CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) a
+      LEFT JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 0) c
+        ON a.band = c.band AND a.bh = c.bh
+    )
+    SELECT doc_id,
+           CAST(sum(hit) AS BIGINT) AS n_band_hits,
+           CASE WHEN sum(hit) > 0 THEN 'dup' ELSE 'novel' END AS verdict
+    FROM hits GROUP BY doc_id
+    """
+
+
+@register(
+    "q_stream_dedup_incremental",
+    oracle=_stream_dedup_oracle(),
+    doc="Streaming incremental dedup — the production FORM of "
+    "q_dedup_incremental: arrival documents replay as file-source "
+    "micro-batches, each computes its portable MinHash ROW-LOCALLY "
+    "(token fold, shingles with the short-doc fallback, 16 affine "
+    "minima via array_min, band folds — all stateless array "
+    "expressions, no window, no pre-aggregation), explodes to band "
+    "rows, LEFT-joins the standing corpus's pre-computed signature "
+    "bands (stream-static, the broadcast dimension pattern), and one "
+    "complete-mode aggregation per arrival counts band hits and "
+    "verdicts dup/novel. The row-local formulation is what makes this "
+    "a LEGAL single streaming plan — and it is arithmetically "
+    "identical to the batch signature pipeline, which the oracle "
+    "proves by reproducing every verdict from the shared portable-hash "
+    "SQL. Shape (100 TB): per-arrival work is O(doc); the static side "
+    "is a pre-built table keyed by (band, bh) exactly like a stored "
+    "signature store; state is one counter per in-flight arrival.",
+)
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries.dedup import _mhp_bands, _mhp_sig
+
+    staged = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    a_bands = _rowlocal_bands(arrivals)
+    corpus = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    c_bands = _mhp_bands(_mhp_sig(corpus)).select(
+        F.col("doc_id").alias("c_id"), "band", "bh"
+    )
+    joined = a_bands.join(F.broadcast(c_bands), ["band", "bh"], "left").select(
+        "doc_id",
+        F.when(F.col("c_id").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    agg = joined.groupBy("doc_id").agg(F.sum("hit").cast("bigint").alias("n_band_hits"))
+    verdicted = agg.select(
+        "doc_id",
+        "n_band_hits",
+        F.when(F.col("n_band_hits") > 0, F.lit("dup")).otherwise(F.lit("novel")).alias(
+            "verdict"
+        ),
+    )
+    return run_to_memory(verdicted, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
