@@ -2133,3 +2133,131 @@ def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full k-means training loop (r7) — the iterative-ML capstone over the
+# existing pieces: q_embed_cluster_assign is one E-step,
+# q_embed_centroid_update is one M-step; this runs THREE full Lloyd
+# rounds from deterministic seeds, each round materialized (Spark
+# localCheckpoint ↔ DuckDB AS MATERIALIZED — the q_pagerank_fixedpoint
+# pattern that stops the per-round recompute tree), with every
+# centroid accumulated as nano-quantized bigint sums so the whole
+# trajectory — assignments, sums, derived centroids — is bit-exact
+# across engines.
+
+_KM_ROUNDS = 3
+_KM_K = 8
+_KM_QZ = 1_000_000_000
+
+
+def _km_oracle() -> str:
+    parts = [
+        f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    centv0 AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < {_KM_K})"""
+    ]
+    for r in range(1, _KM_ROUNDS + 1):
+        parts.append(f"""asg{r} AS MATERIALIZED (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(e.v, c.cv) DESC, c.cluster_id) AS rn
+        FROM e CROSS JOIN centv{r - 1} c) t WHERE rn = 1)""")
+        parts.append(f"""comp{r} AS (
+      SELECT a.cluster_id, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+      FROM asg{r} a JOIN e ON a.vec_id = e.vec_id)""")
+        parts.append(f"""cent{r} AS MATERIALIZED (
+      SELECT cluster_id, pos,
+             CAST(sum(CAST(round(x * {_KM_QZ}.0) AS BIGINT)) AS BIGINT) AS qs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM comp{r} GROUP BY cluster_id, pos)""")
+        parts.append(f"""centv{r} AS (
+      SELECT cluster_id,
+             list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_KM_QZ}.0)
+                  ORDER BY pos) AS cv
+      FROM cent{r} GROUP BY cluster_id)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT cluster_id, CAST(pos - 1 AS INT) AS dim, n AS n_members, qs AS sum_nanos,
+           CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_KM_QZ}.0) AS centroid
+    FROM cent{_KM_ROUNDS} ORDER BY cluster_id, dim"""
+    )
+
+
+@register(
+    "q_kmeans_train",
+    oracle=_km_oracle(),
+    doc=f"The COMPLETE k-means training loop — {_KM_ROUNDS} full Lloyd "
+    "rounds (assign to nearest of 8 centroids by clamped cosine with "
+    "deterministic tie-break, recompute every centroid as "
+    "nano-quantized bigint sums) from deterministic seed vectors, each "
+    "round MATERIALIZED (localCheckpoint ↔ AS MATERIALIZED, the "
+    "q_pagerank_fixedpoint / q_bpe_train pattern that keeps per-round "
+    "lineage O(1) instead of growing a recompute tree). The nano "
+    "quantization (q_embed_centroid_update convention) makes every "
+    "M-step sum order-free and the derived double centroids shared-"
+    "expression-identical, so the ENTIRE training trajectory — three "
+    "generations of assignments and centroids — is oracle-checked "
+    "bit-for-bit: the iterative-ML anchor for the rows-only "
+    "Lloyd-trained production rungs (q_knn_pq / q_knn_ivf_pq). Shape "
+    "(100 TB): per round, one broadcast of 8 centroids, one scored "
+    "scan + per-vector argmax window, one (cluster x dim) hash-agg — "
+    "the canonical distributed Lloyd iteration; rounds scale "
+    "linearly and the checkpoint bounds lineage.",
+)
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centv = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cv")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster_id")
+    cent = None
+    for _r in range(_KM_ROUNDS):
+        asg = (
+            e.crossJoin(F.broadcast(centv))
+            .select(
+                "vec_id",
+                "cluster_id",
+                cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id")
+        )
+        comp = asg.join(e, "vec_id").select(
+            "cluster_id", F.posexplode("embedding").alias("pos0", "x")
+        )
+        cent = (
+            comp.groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
+            .agg(
+                F.sum(F.expr(f"cast(round(cast(x as double) * {_KM_QZ}.0) as bigint)"))
+                .cast("bigint")
+                .alias("qs"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            .localCheckpoint()
+        )
+        centv = (
+            cent.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "qs", "n"))).alias("pc"))
+            .select(
+                "cluster_id",
+                F.transform(
+                    "pc",
+                    lambda s: s["qs"].cast("double")
+                    / (s["n"].cast("double") * F.lit(float(_KM_QZ))),
+                ).alias("cv"),
+            )
+        )
+    return cent.select(
+        "cluster_id",
+        (F.col("pos") - 1).cast("int").alias("dim"),
+        F.col("n").alias("n_members"),
+        F.col("qs").alias("sum_nanos"),
+        (F.col("qs").cast("double") / (F.col("n").cast("double") * F.lit(float(_KM_QZ)))).alias(
+            "centroid"
+        ),
+    ).orderBy("cluster_id", "dim")

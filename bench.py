@@ -125,6 +125,7 @@ HEADLINE = [
     "q_stats_cramers_v",
     "q_multimodal_wav_zcr",
     "q_mixture_drift_tv",
+    "q_kmeans_train",
 ]
 
 
