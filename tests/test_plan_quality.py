@@ -732,3 +732,56 @@ def test_encoding_screen_is_one_scan_one_agg(spark, sf_dir):
     assert "Join" not in plan
     # no UDF anywhere — replace()-length arithmetic stays in codegen
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_lineage_is_checkpoint_bounded(spark, sf_dir):
+    # the returned plan must START at the materialized final round
+    # (ExistingRDD from localCheckpoint) — a plan that still contains
+    # the per-round joins means lineage grew a 3-round recompute tree
+    plan = _plan(spark, "q_kmeans_train", sf_dir)
+    assert "ExistingRDD" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_kmeans_round_assignment_broadcasts_centroids(spark, sf_dir):
+    # one Lloyd assignment round, built from the same pieces the loop
+    # uses: the 8-row centroid side must broadcast, the corpus must not
+    # shuffle for the assignment
+    from azurestorage_blueprints_spark.functions.vectors import cosine
+    from azurestorage_blueprints_spark.tables import table as _t
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centv = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cv")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster_id")
+    asg = (
+        e.crossJoin(F.broadcast(centv))
+        .select("vec_id", "cluster_id", cosine(F.col("embedding"), F.col("cv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    plan = _plan_of(spark, asg)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triplet_mining_joins_are_keyed(spark, sf_dir):
+    plan = _plan(spark, "q_embed_triplet_mining", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_dedup_static_side_is_broadcast(spark, sf_dir):
+    # build only the static side's plan (the streaming side needs a
+    # running query): corpus signature bands must be a broadcastable
+    # dimension
+    from azurestorage_blueprints_spark.queries.dedup import _mhp_bands, _mhp_sig
+    from azurestorage_blueprints_spark.tables import table as _t
+
+    corpus = _t(spark, sf_dir, "documents").filter("doc_id % 10 != 0")
+    bands = _mhp_bands(_mhp_sig(corpus))
+    n = bands.count()
+    assert 0 < n <= 4 * corpus.count()
