@@ -847,7 +847,9 @@ def q_text_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
         F.when(
-            F.col("doc_id") % 13 == 0, F.concat(F.lit(" "), F.expr("char(65533)"))
+            # NOT char(65533): Spark's char() wraps at 256 (chr(65533 % 256)
+            # = 'ý'), silently missing real U+FFFD — lit the code point.
+            F.col("doc_id") % 13 == 0, F.concat(F.lit(" "), F.lit("\ufffd"))
         ).otherwise(F.lit("")),
     )
     fx = d.select("doc_id", "source", t.alias("t"))
@@ -858,7 +860,7 @@ def q_text_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = fx.select(
         "source",
-        count_marker(F.expr("char(65533)"), 1).alias("n_repl"),
+        count_marker(F.lit("\ufffd"), 1).alias("n_repl"),
         count_marker(F.expr("char(27)"), 1).alias("n_ctrl"),
         count_marker(F.lit("Ã¢â‚¬â„¢"), 8).alias("n_moji"),
     )

@@ -69,7 +69,7 @@ def q_fileops_catalog_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ns AS (
       SELECT doc_id,
-             regexp_replace(source, '^/+|/+$', '', 'g') || '/doc_' || CAST(doc_id AS VARCHAR) ||
+             regexp_replace(regexp_replace(source, '^/+|/+$', '', 'g'), '/+', '/', 'g') || '/doc_' || CAST(doc_id AS VARCHAR) ||
                (CASE WHEN doc_id % 2 = 1 THEN '.txt.gz' ELSE '.txt' END) AS path
       FROM documents)
     SELECT doc_id, path FROM ns
@@ -243,19 +243,19 @@ def q_fileops_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fileops_sync_diff",
     oracle="""
     WITH src AS (
-      SELECT regexp_replace(source, '^/+|/+$', '', 'g') || '/doc_' ||
+      SELECT regexp_replace(regexp_replace(source, '^/+|/+$', '', 'g'), '/+', '/', 'g') || '/doc_' ||
                CAST(doc_id AS VARCHAR) AS path,
              CAST(n_chars AS BIGINT) AS size
       FROM documents
     ),
     dst AS (
-      SELECT regexp_replace(source, '^/+|/+$', '', 'g') || '/doc_' ||
+      SELECT regexp_replace(regexp_replace(source, '^/+|/+$', '', 'g'), '/+', '/', 'g') || '/doc_' ||
                CAST(doc_id AS VARCHAR) AS path,
              CAST(CASE WHEN doc_id % 5 = 0 THEN n_chars + 17 ELSE n_chars END
                   AS BIGINT) AS size
       FROM documents WHERE doc_id % 3 <> 0
       UNION ALL
-      SELECT regexp_replace(source, '^/+|/+$', '', 'g') || '/doc_' ||
+      SELECT regexp_replace(regexp_replace(source, '^/+|/+$', '', 'g'), '/+', '/', 'g') || '/doc_' ||
                CAST(doc_id AS VARCHAR) || '.bak' AS path,
              CAST(100 AS BIGINT) AS size
       FROM documents WHERE doc_id % 7 = 0

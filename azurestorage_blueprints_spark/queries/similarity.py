@@ -2080,12 +2080,26 @@ def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).cast("bigint").alias("hr"),
         F.count(F.lit(1)).over(W.partitionBy("label")).cast("bigint").alias("ln"),
     )
-    ra = ranked.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label").alias("a_label"),
-        F.col("v8").alias("av"),
-        F.col("nrm").alias("a_nrm"),
-        F.col("hr").alias("a_hr"),
+    # Precompute the negative's (label, rank) TARGET on the anchor side
+    # (r7 ADVICE): the target rank needs the NEXT label's group size, so
+    # join the 10-row label-size table (broadcast) first — then both
+    # pair-join keys are pure per-side columns and Spark plans a true
+    # two-key equi-join instead of a label-only join with an hr
+    # post-filter over ~N/10 rows per anchor.
+    sizes = n8.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("nxt_ln"))
+    ra = (
+        ranked.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("a_label"),
+            F.col("v8").alias("av"),
+            F.col("nrm").alias("a_nrm"),
+            F.col("hr").alias("a_hr"),
+        )
+        .withColumn("nxt_label", (F.col("a_label") + 1) % 10)
+        .join(
+            F.broadcast(sizes.withColumnRenamed("label", "nxt_label")), "nxt_label"
+        )
+        .withColumn("tgt_hr", 1 + ((F.col("a_hr") - 1) % F.col("nxt_ln")))
     )
     rb = ranked.select(
         F.col("vec_id").alias("n_id"),
@@ -2093,12 +2107,10 @@ def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v8").alias("bv"),
         F.col("nrm").alias("b_nrm"),
         F.col("hr").alias("b_hr"),
-        F.col("ln").alias("b_ln"),
     )
     neg = ra.join(
         rb,
-        (F.col("b_label") == (F.col("a_label") + 1) % 10)
-        & (F.col("b_hr") == 1 + ((F.col("a_hr") - 1) % F.col("b_ln"))),
+        (F.col("b_label") == F.col("nxt_label")) & (F.col("b_hr") == F.col("tgt_hr")),
     ).select(
         "a_id",
         "n_id",

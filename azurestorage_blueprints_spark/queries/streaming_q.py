@@ -507,7 +507,7 @@ def _stage_documents(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str
     """Stage the ARRIVAL documents (doc_id % 10 == 0 — the
     q_dedup_incremental batch definition) as n_chunks id-ranged parquet
     files so the file source replays them as micro-batches."""
-    key = ("docs", sf_dir)
+    key = f"docs::{sf_dir}"
     if key in _STAGED:
         return _STAGED[key]
     out = tempfile.mkdtemp(prefix="spark_stream_docs_")

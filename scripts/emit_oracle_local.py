@@ -142,8 +142,9 @@ def main() -> int:
         with open(path + ".tmp", "w") as f:
             json.dump(out, f, indent=2)
         os.replace(path + ".tmp", path)
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
+    # no final rewrite: the per-query tmp+os.replace above already left
+    # the complete artifact on disk, and a non-atomic open(path, 'w')
+    # here could corrupt the very file SWEEP_RESUME reads if killed
     n_hash = sum(1 for r in out.values() if r["hash_match"])
     n_rows_only = sum(1 for r in out.values() if r["err"] == "no_oracle")
     n_skip = sum(

@@ -772,6 +772,17 @@ def test_triplet_mining_joins_are_keyed(spark, sf_dir):
     plan = _plan(spark, "q_embed_triplet_mining", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the negative-pair join must be a TWO-key equi-join: the target
+    # rank is precomputed on the anchor side (tgt_hr), so the hr match
+    # is a hash key, not a post-join filter over ~N/10 rows per anchor
+    # (r7 ADVICE). tgt_hr appearing in the plan proves the anchor-side
+    # precompute; no join Condition containing the rank-mod arithmetic
+    # proves it did not degrade to a residual filter.
+    assert "tgt_hr" in plan
+    import re
+
+    for cond in re.findall(r"Join .*?, Condition \[(.*?)\]", plan):
+        assert "%" not in cond, f"rank-mod leaked into a join residual: {cond}"
 
 
 def test_stream_dedup_static_side_is_broadcast(spark, sf_dir):
