@@ -230,46 +230,88 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: occupancy ceiling for SimHash chunk buckets (same discipline as
+#: _CONTAIN_DF_CAP): a (chunk, value) bucket holding more than this
+#: many docs contributes Theta(bucket^2) candidate rows, and at 16-bit
+#: chunk space such a bucket is a dense near-identical cluster — the
+#: class the exact-hash rung already collapses for free — or a
+#: degenerate low-entropy chunk. Dropping over-cap buckets bounds the
+#: pairing join at O(N * cap) candidates BY CONSTRUCTION (each doc
+#: pairs with < cap others per chunk), which is what makes the rung's
+#: output ~linear across the sf0.01/0.1/1 sweeps (r7 verdict task 1;
+#: the old constant-1024-bucket geometry emitted 727M rows at sf1).
+#: 32 clears the sf1 tiling's 10-copy identical clusters with room for
+#: background collisions.
+_SIMHASH_BUCKET_CAP = 32
+
+
 def simhash_signatures(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash from the sign of per-bit
-    token-hash votes. bit i = sign of sum over tokens of (+1/-1 per
-    hash bit i)."""
+    """(doc_id, simhash): 64-bit SimHash from the sign of per-bit
+    token-hash votes — bit i = sign of sum over distinct tokens of
+    (+1/-1 per xxhash64 bit i). 64 bits (r7 verdict task 1, was 32):
+    the signature must carry enough chunk entropy that 16-bit blocking
+    chunks are meaningful."""
     docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
-    hashes = docs.select("doc_id", F.transform("toks", lambda t: F.hash(t)).alias("hs"))
+    hashes = docs.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
+    )
 
     def _vote(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(1) == 1, 1
         ).otherwise(-1)
 
-    bit_votes = [F.aggregate("hs", F.lit(0), _vote(i)) for i in range(32)]
     sim = None
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    for i in range(64):
+        v = F.aggregate("hs", F.lit(0), _vote(i))
+        # bit 63 via bitwise OR of shifted sign contribution would
+        # overflow a positive accumulator; build the signed 64-bit
+        # value directly: sum of 2^i for i<63, minus 2^63 via the
+        # two's-complement identity (x | sign-bit == x - 2^63 here
+        # because the running sum never sets bit 63 on its own)
+        contrib = F.when(v > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint"))
+        bit = contrib.otherwise(F.lit(0).cast("bigint"))
         sim = bit if sim is None else sim + bit
     return hashes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate near-dup pairs from SimHash signatures.
+def simhash_pairs(
+    sig: DataFrame, max_hamming: int = 3, bucket_cap: int = _SIMHASH_BUCKET_CAP
+) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` from 64-bit SimHash
+    signatures.
 
-    Blocking: the 32-bit signature splits into 4 8-bit chunks; by
+    Blocking: the signature splits into 4 disjoint 16-bit chunks; by
     pigeonhole, any pair within Hamming distance 3 agrees on at least
-    one chunk, so an equi-join on (chunk_index, chunk_value) finds
-    every such pair while comparing only same-bucket docs — the shape
-    that scales (posting lists per 8-bit bucket, never |docs|^2).
-    Candidates dedup on the (a_id, b_id) ID pair BEFORE signatures
-    rejoin, so the distinct shuffles two longs per row.
+    one whole chunk, so an equi-join on (chunk_index, chunk_value)
+    finds every such pair while comparing only same-bucket docs.
+    Buckets larger than ``bucket_cap`` are EXCLUDED from the pairing
+    join (the _CONTAIN_DF_CAP discipline): they are dense identical
+    clusters (exact rung's job) or degenerate chunks, and skipping
+    them bounds candidates at O(N * cap) — the property that keeps
+    this rung linear across a 100x scale-up instead of Theta(N^2 /
+    constant-bucket-space). Candidates dedup on the bare (a_id, b_id)
+    pair BEFORE signatures rejoin, so the distinct shuffles two longs
+    per row.
     """
     chunks = ",".join(
-        f"struct({i} AS ci, pmod(shiftright(simhash, {8 * i}), 256) AS cv)"
+        f"struct({i} AS ci, pmod(shiftright(simhash, {16 * i}), 65536) AS cv)"
         for i in range(4)
     )
     blocked = sig.select(
         "doc_id", F.expr(f"explode(array({chunks})) AS c")
     ).select("doc_id", "c.ci", "c.cv")
-    a = blocked.select(F.col("doc_id").alias("a_id"), "ci", "cv")
-    b = blocked.select(F.col("doc_id").alias("b_id"), "ci", "cv")
+    # occupancy gate: one map-side-combined agg over (ci, cv) — tiny
+    # relative to the pair join it bounds
+    ok = (
+        blocked.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= bucket_cap)
+        .select("ci", "cv")
+    )
+    capped = blocked.join(ok, ["ci", "cv"])
+    a = capped.select(F.col("doc_id").alias("a_id"), "ci", "cv")
+    b = capped.select(F.col("doc_id").alias("b_id"), "ci", "cv")
     cand = (
         a.join(b, ["ci", "cv"])
         .filter(F.col("a_id") < F.col("b_id"))
@@ -289,22 +331,24 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 @register(
     "q_dedup_simhash",
-    oracle=None,  # murmur3-dependent — rows-only
-    doc="SimHash near-dup dedup, fingerprint + PAIRING stages: 32-bit "
-    "signature from per-bit token-hash votes, then chunk-blocked candidate "
-    "join (4x8-bit chunks; pigeonhole guarantees recall at Hamming<=3) and "
-    "bit_count(xor) Hamming filter. Emits candidate pairs like the other "
-    "dedup rungs; recall vs exact Jaccard asserted in tests/test_ann_recall.py. "
-    "The synthetic corpus has no near-dups, so a wide distance cutoff keeps "
-    "the operator's output shape observable.",
+    oracle=None,  # xxhash64-dependent — rows-only
+    doc="SimHash near-dup dedup, fingerprint + PAIRING stages: 64-bit "
+    "signature from per-bit xxhash64 token votes, 4x16-bit chunk-blocked "
+    "candidate join (pigeonhole guarantees recall at the registered "
+    "Hamming<=3 cutoff) with an occupancy cap on chunk buckets "
+    "(over-cap buckets are dense identical clusters — the exact rung's "
+    "job — or degenerate chunks; skipping them bounds candidates at "
+    "O(N*cap)), then bit_count(xor) Hamming filter. Output across the "
+    "sf0.01/0.1/1 sweeps grows with true near-dup density, not "
+    "corpus^2 (r7 verdict task 1 — the old 32-bit/1024-bucket/"
+    "Hamming<=8 geometry emitted 727M rows at sf1). Recall on planted "
+    "near-dups is pinned in tests/test_ann_recall.py; the "
+    "oracle-checked observability twin is q_dedup_simhash_audit.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sig = simhash_signatures(d)
-    # max_hamming=8: the corpus is synthetic with no true near-dups
-    # (unrelated docs concentrate around distance 16), so a wider cutoff
-    # keeps deterministic output rows flowing through the pairing plan
-    return simhash_pairs(sig, max_hamming=8).orderBy("a_id", "b_id")
+    return simhash_pairs(sig).orderBy("a_id", "b_id")
 
 
 @register(
@@ -1283,96 +1327,109 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Portable SimHash — the ORACLE-CHECKED sibling of q_dedup_simhash,
 # completing the verifiable-anchor pair begun by
-# q_dedup_minhash_portable: the fast rung votes with Spark murmur3
-# (rows-only), this rung votes with the portable polynomial token hash
+# q_dedup_minhash_portable: the fast rung votes with Spark xxhash64
+# (rows-only), this rung votes with TWO portable polynomial token
+# folds (multipliers 31 and 37, both mod the Mersenne prime 2^31-1)
 # so DuckDB reproduces signatures, chunk buckets, and Hamming
-# distances exactly. 24-bit signature (the poly hash is < 2^31, so
-# bits 24..31 carry no entropy), 4 x 6-bit pigeonhole chunks —
-# guarantees recall at Hamming <= 3, run with the same wide cutoff as
-# the fast rung for observable output on the near-dup-free corpus.
-_SHP_BITS = 24
-_SHP_CHUNKS = 4
-_SHP_CB = _SHP_BITS // _SHP_CHUNKS  # bits per chunk
-_SHP_HAMMING = 8
+# distances exactly. Each fold contributes 31 informative bits, so
+# the combined signature h1 + h2 * 2^31 carries 62 bits — wide enough
+# for the same 4-chunk/~16-bit blocking geometry as the production
+# rung (r7 verdict task 1: the old 24-bit/4x6-bit version's constant
+# 256-bucket key space grew candidates Theta(N^2/256), ~1e9 pairs at
+# sf1, and had to be skipped from the sweep; this one runs there).
+_SHP_BITS_PER_FOLD = 31
+_SHP_MULTS = (31, 37)
+#: disjoint (offset, width) chunks covering the 62-bit signature —
+#: 4 chunks ⇒ pigeonhole recall at Hamming <= 3
+_SHP_CHUNKS = ((0, 16), (16, 15), (31, 16), (47, 15))
+_SHP_HAMMING = 3
 
 
-@register(
-    "q_dedup_simhash_portable",
-    oracle=f"""
-    WITH th AS (
+def _shp_sig_sql(src: str) -> str:
+    """SQL CTE body: (doc_id, simhash BIGINT) — 62-bit portable SimHash
+    of ``src``'s (doc_id, text)."""
+    folds = []
+    for mult in _SHP_MULTS:
+        folds.append(
+            "list_transform(toks, t -> list_reduce("
+            "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), "
+            "c -> CAST(ascii(c) AS BIGINT))), "
+            f"(h, c) -> (h * {mult} + c) % {_MHP_M}))"
+        )
+    sig_terms = []
+    for f_i, fold in enumerate(folds):
+        for i in range(_SHP_BITS_PER_FOLD):
+            w = 1 << (f_i * _SHP_BITS_PER_FOLD + i)
+            sig_terms.append(
+                f"CASE WHEN list_sum(list_transform(hs{f_i}, "
+                f"h -> CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+                f"THEN CAST({w} AS BIGINT) ELSE 0 END"
+            )
+    return f"""
+    toked AS (
       SELECT doc_id,
-             list_transform(
-               list_distinct(list_filter(string_split(text, ' '), t -> t <> '')),
-               t -> list_reduce(
-                      list_prepend(CAST(0 AS BIGINT),
-                        list_transform(string_split(t, ''),
-                                       c -> CAST(ascii(c) AS BIGINT))),
-                      (h, c) -> (h * 31 + c) % {_MHP_M})) AS hs
-      FROM documents
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+      FROM {src}
+    ),
+    th AS (
+      SELECT doc_id, {folds[0]} AS hs0, {folds[1]} AS hs1
+      FROM toked WHERE len(toks) > 0
     ),
     sig AS (
-      SELECT doc_id,
-             CAST({" + ".join(
-                 f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
-                 for i in range(_SHP_BITS))} AS BIGINT) AS simhash
-      FROM th WHERE len(hs) > 0
+      SELECT doc_id, {" + ".join(sig_terms)} AS simhash FROM th
+    )"""
+
+
+def _shp_pairs_sql() -> str:
+    """SQL CTE chain: from CTE ``sig`` to a ``pairs(a_id, b_id,
+    hamming)`` CTE — 4-chunk blocking, occupancy cap, Hamming filter
+    (the exact shape of the Spark side's simhash_pairs). Callers
+    append their own final SELECT over ``pairs``."""
+    blocked = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS ci, (simhash // {1 << off}) % {1 << w} AS cv FROM sig"
+        for i, (off, w) in enumerate(_SHP_CHUNKS)
+    )
+    return f"""
+    blocked AS ({blocked}),
+    ok AS (
+      SELECT ci, cv FROM blocked GROUP BY ci, cv
+      HAVING count(*) <= {_SIMHASH_BUCKET_CAP}
     ),
-    blocked AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, {i} AS ci, (simhash // {1 << (_SHP_CB * i)}) % {1 << _SHP_CB} AS cv, simhash FROM sig"
-          for i in range(_SHP_CHUNKS))}
-    ),
+    capped AS (SELECT b.* FROM blocked b JOIN ok USING (ci, cv)),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM blocked a JOIN blocked b
+      FROM capped a JOIN capped b
         ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
-    )
-    SELECT c.a_id, c.b_id,
-           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN sig sa ON c.a_id = sa.doc_id
-    JOIN sig sb ON c.b_id = sb.doc_id
-    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SHP_HAMMING}
-    ORDER BY c.a_id, c.b_id
-    """,
-    doc="SimHash near-dup detection, fully ORACLE-CHECKED: the 24-bit "
-    "signature votes with the portable polynomial token hash (bits "
-    "24..31 of the 2^31-bounded fold carry no entropy, so the "
-    "signature keeps exactly the informative bits), each bit is the "
-    "sign of an order-insensitive integer vote sum over the distinct "
-    "token set, and the 4 x 6-bit pigeonhole chunk join guarantees "
-    "recall at Hamming <= 3 while DuckDB reproduces every signature, "
-    "bucket, and xor-popcount distance exactly. The correctness "
-    "anchor for the murmur3 rung (q_dedup_simhash, 32-bit, rows-only "
-    "by necessity) — same blocking topology, verifiable values; run "
-    "at the fast rung's wide cutoff (8) because the synthetic corpus "
-    "has no true near-dups. Shape: votes fold inside the scan stage "
-    "per document (no token shuffle), signatures are one long per "
-    "doc, candidates block on (chunk, value) equi-join with bare id "
-    "pairs deduped before the signature re-join. Scale honesty (r6 "
-    "ADVICE): the blocking key space here is CONSTANT — 4 chunks x "
-    "2^6 values = 256 buckets — so candidate pairs grow Theta(N^2/256) "
-    "with corpus size; this rung is the bit-exact correctness anchor, "
-    "not the production path. At production scale widen the signature "
-    "and the per-chunk bits with the corpus (buckets ~ N keeps expected "
-    "bucket size — and the pair join — linear) and tighten the Hamming "
-    "cutoff toward the pigeonhole-guaranteed chunks-1; the murmur3 "
-    "production rung (q_dedup_simhash, 32-bit, 8-bit chunks = 1024 "
-    "buckets) is the same topology one notch up that ladder.",
-)
-def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    ),
+    pairs AS (
+      SELECT c.a_id, c.b_id,
+             CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sig sa ON c.a_id = sa.doc_id
+      JOIN sig sb ON c.b_id = sb.doc_id
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SHP_HAMMING}
+    )"""
+
+
+def _shp_sig(d: DataFrame) -> DataFrame:
+    """Spark twin of _shp_sig_sql: (doc_id, simhash) — 62-bit portable
+    SimHash from two polynomial token folds."""
     docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
     codes = lambda t: F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("bigint"))  # noqa: E731
-    th = F.transform(
-        "toks",
-        lambda t: F.aggregate(
-            codes(t),
-            F.lit(0).cast("bigint"),
-            lambda h, c: (h * 31 + c) % F.lit(_MHP_M).cast("bigint"),
-        ),
+
+    def fold(mult: int):
+        return F.transform(
+            "toks",
+            lambda t: F.aggregate(
+                codes(t),
+                F.lit(0).cast("bigint"),
+                lambda h, c: (h * mult + c) % F.lit(_MHP_M).cast("bigint"),
+            ),
+        )
+
+    hashes = docs.filter(F.size("toks") > 0).select(
+        "doc_id", fold(_SHP_MULTS[0]).alias("hs0"), fold(_SHP_MULTS[1]).alias("hs1")
     )
-    hashes = docs.filter(F.size("toks") > 0).select("doc_id", th.alias("hs"))
 
     def _vote(i: int):
         return lambda acc, h: acc + F.when(
@@ -1380,20 +1437,34 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(-1)
 
     sim = None
-    for i in range(_SHP_BITS):
-        v = F.aggregate("hs", F.lit(0), _vote(i))
-        bit = F.when(v > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sim = bit if sim is None else sim + bit
-    sig = hashes.select("doc_id", sim.alias("simhash"))
+    for f_i in range(2):
+        for i in range(_SHP_BITS_PER_FOLD):
+            v = F.aggregate(f"hs{f_i}", F.lit(0), _vote(i))
+            w = 1 << (f_i * _SHP_BITS_PER_FOLD + i)
+            bit = F.when(v > 0, F.lit(w).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            sim = bit if sim is None else sim + bit
+    return hashes.select("doc_id", sim.alias("simhash"))
+
+
+def _shp_pairs(sig: DataFrame) -> DataFrame:
+    """Spark twin of _shp_pairs_sql: blocking + occupancy cap + Hamming
+    filter over portable signatures."""
     chunks = ",".join(
-        f"struct({i} AS ci, pmod(shiftright(simhash, {_SHP_CB * i}), {1 << _SHP_CB}) AS cv)"
-        for i in range(_SHP_CHUNKS)
+        f"struct({i} AS ci, pmod(shiftright(simhash, {off}), {1 << w}) AS cv)"
+        for i, (off, w) in enumerate(_SHP_CHUNKS)
     )
     blocked = sig.select(
         "doc_id", F.expr(f"explode(array({chunks})) AS c")
     ).select("doc_id", "c.ci", "c.cv")
-    a = blocked.select(F.col("doc_id").alias("a_id"), "ci", "cv")
-    b = blocked.select(F.col("doc_id").alias("b_id"), "ci", "cv")
+    ok = (
+        blocked.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _SIMHASH_BUCKET_CAP)
+        .select("ci", "cv")
+    )
+    capped = blocked.join(ok, ["ci", "cv"])
+    a = capped.select(F.col("doc_id").alias("a_id"), "ci", "cv")
+    b = capped.select(F.col("doc_id").alias("b_id"), "ci", "cv")
     cand = (
         a.join(b, ["ci", "cv"])
         .filter(F.col("a_id") < F.col("b_id"))
@@ -1409,6 +1480,126 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= _SHP_HAMMING)
         .orderBy("a_id", "b_id")
+    )
+
+
+@register(
+    "q_dedup_simhash_portable",
+    oracle=f"""
+    WITH {_shp_sig_sql("documents")},
+    {_shp_pairs_sql()}
+    SELECT a_id, b_id, hamming FROM pairs ORDER BY a_id, b_id
+    """,
+    doc="SimHash near-dup detection, fully ORACLE-CHECKED: a 62-bit "
+    "signature from two portable polynomial token folds (multipliers "
+    "31/37 mod 2^31-1; each fold's 31 informative bits vote "
+    "independently), 4 disjoint ~16-bit chunks (pigeonhole recall at "
+    "the registered Hamming <= 3), and the occupancy cap on chunk "
+    "buckets — DuckDB reproduces every signature, bucket, cap "
+    "decision, and xor-popcount distance exactly. The correctness "
+    "anchor for the xxhash64 production rung (q_dedup_simhash, "
+    "rows-only by necessity) at the SAME blocking geometry: 2^15-2^16 "
+    "values per chunk instead of the old constant 64, plus the "
+    "O(N*cap) candidate bound, so the rung runs at every sweep SF "
+    "instead of being skipped at sf1 (r7 verdict task 1). Shape: "
+    "votes fold inside the scan stage per document (no token "
+    "shuffle), signatures are one long per doc, the occupancy gate is "
+    "one map-side-combined agg, candidates block on (chunk, value) "
+    "equi-join with bare id pairs deduped before the signature "
+    "re-join.",
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return _shp_pairs(_shp_sig(d))
+
+
+# Audit twin (r7 verdict task 1 "keep observable output at test SFs"):
+# at the honest Hamming<=3 cutoff the near-dup-free gate corpora emit
+# few or no pairs, so — q_dedup_lsh_recall_audit style — this rung
+# PLANTS deterministic near-dups on a bounded slice and runs the
+# EXACT production topology over slice + clones: every clone pair the
+# blocking finds is a measured recall datum, oracle-checked
+# bit-for-bit. Two clone classes: 'same_set' repeats an existing
+# token (distinct-token set unchanged ⇒ Hamming 0 — MUST be found, a
+# hard recall floor), 'one_token' appends one novel token (vote sums
+# shift by ±1 ⇒ distance is small but doc-dependent — found iff <= 3,
+# measuring how much one-token perturbations move a 62-bit SimHash).
+_SHA_SLICE = 300
+_SHA_SAME_OFF = 1_000_000
+_SHA_ONE_OFF = 2_000_000
+
+
+@register(
+    "q_dedup_simhash_audit",
+    oracle=f"""
+    WITH sliced AS (SELECT doc_id, text FROM documents WHERE doc_id < {_SHA_SLICE}),
+    fixture AS (
+      SELECT doc_id, text FROM sliced
+      UNION ALL
+      SELECT doc_id + {_SHA_SAME_OFF},
+             text || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[1]
+      FROM sliced WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+      UNION ALL
+      SELECT doc_id + {_SHA_ONE_OFF}, text || ' zqx7veil' FROM sliced
+    ),
+    {_shp_sig_sql("fixture")},
+    {_shp_pairs_sql()}
+    SELECT a_id, b_id, hamming,
+           CASE WHEN a_id < {_SHA_SLICE} AND b_id = a_id + {_SHA_SAME_OFF} THEN 'clone_same_set'
+                WHEN a_id < {_SHA_SLICE} AND b_id = a_id + {_SHA_ONE_OFF} THEN 'clone_one_token'
+                ELSE 'other' END AS pair_type
+    FROM pairs
+    ORDER BY a_id, b_id
+    """,
+    doc="SimHash blocking-quality audit at the production operating "
+    "point: plant two deterministic clone classes on a bounded slice "
+    "(same-distinct-token-set repeats — Hamming 0, so pigeonhole "
+    "guarantees the BLOCKING finds them and any miss is precisely the "
+    "occupancy cap's cost on docs inside over-cap identical clusters, "
+    "the recall/throughput trade the cap makes explicit — and "
+    "one-novel-token appends, whose found/missed split measures "
+    "signature stability under minimal edits), then run the "
+    "UNMODIFIED production topology (62-bit portable signature, "
+    "4-chunk blocking, occupancy cap, Hamming <= 3) over slice + "
+    "clones. Every emitted pair is oracle-checked bit-for-bit, so the "
+    "audit keeps the rung's output observable at gate SFs now that "
+    "the registered cutoff is the honest pigeonhole 3 instead of the "
+    "old flow-keeping 8 (r7 verdict task 1). Audit scope is a "
+    "deterministic slice for the same reason "
+    "q_dedup_lsh_recall_audit's is: at production this runs on a "
+    "hash-sample as a canary alongside the full rung.",
+)
+def q_dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _SHA_SLICE)
+    first_tok = F.element_at(F.filter(F.split(F.col("text"), " "), lambda t: t != ""), 1)
+    same_set = (
+        d.filter(F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")) > 0)
+        .select(
+            (F.col("doc_id") + _SHA_SAME_OFF).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), first_tok).alias("text"),
+        )
+    )
+    one_tok = d.select(
+        (F.col("doc_id") + _SHA_ONE_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqx7veil")).alias("text"),
+    )
+    fixture = d.select("doc_id", "text").unionAll(same_set).unionAll(one_tok)
+    pairs = _shp_pairs(_shp_sig(fixture))
+    pair_type = (
+        F.when(
+            (F.col("a_id") < _SHA_SLICE)
+            & (F.col("b_id") == F.col("a_id") + _SHA_SAME_OFF),
+            F.lit("clone_same_set"),
+        )
+        .when(
+            (F.col("a_id") < _SHA_SLICE)
+            & (F.col("b_id") == F.col("a_id") + _SHA_ONE_OFF),
+            F.lit("clone_one_token"),
+        )
+        .otherwise(F.lit("other"))
+    )
+    return pairs.select("a_id", "b_id", "hamming", pair_type.alias("pair_type")).orderBy(
+        "a_id", "b_id"
     )
 
 

@@ -38,12 +38,10 @@ from azurestorage_blueprints_spark.queries import load_all
 #: blocking key space), excluded only above the SF where the pair join
 #: leaves the tractable range. Key: query name → (min rows/sf marker,
 #: reason recorded in the artifact).
-SWEEP_SKIPS_ABOVE_SF01 = {
-    "q_dedup_simhash_portable": (
-        "skipped_at_sweep_sf: constant 256-bucket anchor rung — candidate "
-        "pairs grow Theta(N^2/256) (~1e9 at sf1); the rung's doc states it "
-        "is the bit-exact anchor, not the production path (dedup.py)"
-    ),
+SWEEP_SKIPS_ABOVE_SF01: dict[str, str] = {
+    # empty since r8: the SimHash rungs' 62/64-bit signatures + occupancy
+    # cap bound candidates at O(N*cap), so every rung runs at every sweep
+    # SF (r7 verdict task 1 closed the one documented skip)
 }
 
 

@@ -96,9 +96,11 @@ def test_simhash_is_deterministic(spark, sf_dir):
 def test_simhash_pairs_match_brute_force_hamming(spark):
     """Completeness gate for the SimHash pairing stage: the chunk-blocked
     join must find EXACTLY the pairs within the Hamming cutoff (pigeonhole:
-    4 chunks of 8 bits ⇒ any pair at distance <=3 shares a chunk). Planted
-    twins share the same distinct-token set, so distance 0 is guaranteed
-    and the expected set is non-trivially non-empty."""
+    4 disjoint 16-bit chunks of the 64-bit signature ⇒ any pair at distance
+    <=3 shares a chunk; the fixture's buckets all sit far below the
+    occupancy cap, so the cap cannot drop pairs here). Planted twins share
+    the same distinct-token set, so distance 0 is guaranteed and the
+    expected set is non-trivially non-empty."""
     import itertools
 
     from azurestorage_blueprints_spark.queries.dedup import (
@@ -302,3 +304,28 @@ def test_ivf_pq_composite_recall_vs_exact(spark, sf_dir):
     hits = sum(len(exact.get(qid, set()) & ns) for qid, ns in approx.items())
     recall = hits / sum(len(v) for v in exact.values())
     assert recall >= 0.12, f"IVF-PQ recall below measured floor (0.18 - margin): {recall}"
+
+
+def test_simhash_bucket_cap_drops_dense_clusters(spark):
+    """The occupancy cap's contract, both directions: an identical
+    cluster LARGER than the cap saturates all four chunk buckets and is
+    excluded from pairing (that class belongs to the exact-hash rung —
+    the bound that keeps candidates O(N * cap) at any corpus size),
+    while a cluster UNDER the cap is fully paired at Hamming 0."""
+    from azurestorage_blueprints_spark.queries.dedup import (
+        _SIMHASH_BUCKET_CAP,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    big = _SIMHASH_BUCKET_CAP + 8  # over-cap identical cluster
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(big)]
+    rows += [(100 + i, "omicron sigma tau upsilon phi chi psi omega") for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id) for r in simhash_pairs(simhash_signatures(d)).collect()}
+    import itertools
+
+    small_expected = {(a, b) for a, b in itertools.combinations(range(100, 105), 2)}
+    assert got == small_expected, (
+        f"expected only the under-cap cluster's {len(small_expected)} pairs, got {len(got)}"
+    )
