@@ -139,8 +139,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: after every older never-checked name so the driver's fixed check
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
-    "q_bpe_train", "q_dedup_incremental", "q_html_extract_text",
-    "q_multimodal_jpeg_progressive", "q_eval_auc",
+    "q_dedup_simhash_audit", "q_dedup_lsh_bucket_stats",
+    "q_dedup_exact_substring",
 })
 
 

@@ -1869,3 +1869,181 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("is_cand").cast("double")
         ).alias("precision"),
     )
+
+
+@register(
+    "q_dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_mhp_sig_sql()},
+    bands AS ({_mhp_bands_sql("sig")}),
+    occ AS (
+      SELECT band, bh, CAST(count(*) AS BIGINT) AS bucket_size
+      FROM bands GROUP BY band, bh
+    )
+    SELECT band, bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * bucket_size * (bucket_size - 1) / 2 AS BIGINT)
+             AS candidate_pairs
+    FROM occ GROUP BY band, bucket_size
+    ORDER BY band, bucket_size
+    """,
+    doc="MinHash-LSH bucket-occupancy audit (r7 verdict task 2): the "
+    "per-band histogram of band-bucket sizes, each size class "
+    "annotated with the candidate-pair mass it contributes "
+    "(n_buckets * C(size, 2) — the exact upper bound on what the "
+    "pairing join emits before the per-pair distinct). This is the "
+    "instrument that ATTRIBUTES candidate growth: genuine near-dup "
+    "density shows up as many small clusters at the duplication "
+    "multiplicity (the sf1 tiling's 10-copy clusters put the mass at "
+    "bucket_size 10), while degenerate blocking shows up as a few "
+    "huge buckets dominating candidate_pairs — the signal that the "
+    "band key needs the containment rung's df-cap discipline. Fully "
+    "oracle-checked over the portable signature arithmetic shared "
+    "with q_dedup_minhash_portable. Shape (100 TB): one "
+    "map-side-combined agg over (band, bh) — two longs per row — then "
+    "an agg over (band, size); output is histogram-sized. The "
+    "measured attribution for the sf0.1->sf1 growth lives in "
+    "SCALING.md 'Round-8 MinHash occupancy attribution'.",
+)
+def q_dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    occ = (
+        _mhp_bands(_mhp_sig(d))
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_size"))
+    )
+    return (
+        occ.groupBy("band", "bucket_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            (
+                F.count(F.lit(1)) * F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+            )
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band", "bucket_size")
+    )
+
+
+#: Lee et al. ("Deduplicating Training Data Makes Language Models
+#: Better") exact-substring window: a 50-token span appearing at two or
+#: more corpus positions is duplicated text
+_XSUB_W = 50
+
+
+@register(
+    "q_dedup_exact_substring",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, tk,
+             list_transform(tk, t -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % {_MHP_M})) AS hs
+      FROM toked WHERE len(tk) >= {_XSUB_W}),
+    win AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs[pos:pos + {_XSUB_W - 1}]),
+                         (a, x) -> (a * 31 + x) % {_MHP_M}) AS wh,
+             tk[pos] AS t0, tk[pos + {_XSUB_W - 1}] AS t1
+      FROM hashed, unnest(range(1, len(tk) - {_XSUB_W - 2})) AS u(pos)),
+    first_seen AS (
+      SELECT wh, t0, t1,
+             CAST(min(doc_id * 1048576 + pos) AS BIGINT) AS first_occ,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM win GROUP BY wh, t0, t1)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_windows,
+           CAST(sum(CASE WHEN w.doc_id * 1048576 + w.pos <> f.first_occ
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           CAST(sum(CASE WHEN w.doc_id * 1048576 + w.pos <> f.first_occ
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM win w JOIN first_seen f
+      ON w.wh = f.wh AND w.t0 = f.t0 AND w.t1 = f.t1
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+    doc="Exact substring-overlap dedup (the Lee et al. 50-token "
+    "ExactSubstr tier — the one standard LLM-pipeline dedup class the "
+    "ladder lacked, r7 verdict task 6): every 50-token window is "
+    "fingerprinted with a portable polynomial fold over the window's "
+    "token hashes, keyed on (fingerprint, first token, last token) so "
+    "a 2^31-space hash collision cannot mark false duplicates, and "
+    "reduced first-seen (min (doc_id, pos), the q_ngram_novelty "
+    "trick). Per document: window count, windows whose content occurs "
+    ">= 2 times corpus-wide (shared), NON-FIRST occurrences (what "
+    "ExactSubstr would remove; the first occurrence is kept), and the "
+    "removable fraction. No suffix array needed for the relational "
+    "form: the windows ARE the suffixes truncated at 50, and the "
+    "sorted-fingerprint-runs reduction is one map-side-combined agg "
+    "on the window key + one co-keyed rejoin, never a pair join. "
+    "Shape (100 TB): windows are ~tokens rows of (3 longs + 2 "
+    "strings); at production the key drops the guard tokens for pure "
+    "8-byte xxhash64 keys and the span-merge of adjacent duplicated "
+    "windows runs as a per-doc array fold, exactly like "
+    "q_dedup_segments' block merge. Docs shorter than 50 tokens have "
+    "no window and are absent by definition (they fall to the "
+    "whole-doc exact rung).",
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= _XSUB_W
+    )
+    codes = lambda t: F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("bigint"))  # noqa: E731
+    tok_h = F.transform(
+        "tk",
+        lambda t: F.aggregate(
+            codes(t),
+            F.lit(0).cast("bigint"),
+            lambda h, c: (h * 31 + c) % F.lit(_MHP_M).cast("bigint"),
+        ),
+    )
+    hashed = toked.select("doc_id", "tk", tok_h.alias("hs"))
+    win_fold = lambda i: F.aggregate(  # noqa: E731
+        F.slice("hs", i, _XSUB_W),
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * 31 + x) % F.lit(_MHP_M).cast("bigint"),
+    )
+    wins = hashed.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (_XSUB_W - 1)),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("pos"),
+                    win_fold(i).alias("wh"),
+                    F.element_at("tk", i).alias("t0"),
+                    F.element_at("tk", i + (_XSUB_W - 1)).alias("t1"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.pos", "w.wh", "w.t0", "w.t1")
+    occ_key = F.col("doc_id") * 1048576 + F.col("pos")
+    first_seen = wins.groupBy("wh", "t0", "t1").agg(
+        F.min(occ_key).cast("bigint").alias("first_occ"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+    )
+    joined = wins.join(first_seen, ["wh", "t0", "t1"])
+    is_dup = F.when(occ_key != F.col("first_occ"), 1).otherwise(0)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_windows"),
+            F.sum(is_dup).cast("bigint").alias("n_dup_windows"),
+            (F.sum(is_dup).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -91,7 +91,7 @@ def test_content_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
         # the dedup exchange must partition on the 64-bit fingerprint —
         # a shuffle keyed on the raw document is a scale-killer
         assert "xxhash64" in plan, f"{name}: dedup key must be a content fingerprint"
-        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
             assert "text#" not in m, f"{name}: exchange keyed on raw text: {m}"
 
 
@@ -152,8 +152,8 @@ def test_repetition_is_shuffle_free(spark, sf_dir):
     # mode (the loader's round-robin spread of the tiny test file is
     # expected and keyless)
     plan = _plan(spark, "q_text_repetition", sf_dir)
-    assert "Exchange hashpartitioning" not in plan
-    assert "Exchange rangepartitioning" not in plan
+    assert "hashpartitioning(" not in plan
+    assert "rangepartitioning(" not in plan
 
 
 def test_prefiltered_join_semi_joins_before_exact_join(spark, sf_dir):
@@ -171,7 +171,7 @@ def test_zorder_profile_is_single_agg(spark, sf_dir):
     # the key computation stopped being a pure projection
     import re
 
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert len(re.findall(r"hashpartitioning\(", plan)) <= 2
     assert "CartesianProduct" not in plan
 
 
@@ -378,8 +378,8 @@ def test_gopher_rules_are_shuffle_free(spark, sf_dir):
     plan = _plan(spark, "q_text_gopher_rules", sf_dir)
     # every Gopher signal is row-local codegen; a key shuffle means the
     # token stream is moving (the loader's round-robin spread is keyless)
-    assert "Exchange hashpartitioning" not in plan
-    assert "Exchange rangepartitioning" not in plan
+    assert "hashpartitioning(" not in plan
+    assert "rangepartitioning(" not in plan
 
 
 def test_semdedup_pairs_join_on_cluster_never_cartesian(spark, sf_dir):
@@ -616,16 +616,23 @@ def test_theil_sen_fact_work_is_one_daily_agg(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
-def test_components_minlabel_converged_at_registered_rounds(spark, sf_dir, monkeypatch):
-    """R=8 must already be past the graph's diameter at test SF: one
-    extra round may not change any label (otherwise the registered
-    round count silently under-propagates and the 'component' claim is
-    false). Also pins determinism of the fixed-round formulation."""
+
+@pytest.mark.parametrize("conv_sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_components_minlabel_converged_at_registered_rounds(spark, conv_sf, monkeypatch):
+    """R=8 must already be past the graph's diameter at BOTH the gate SF
+    and the largest shipped sweep SF: one extra round may not change any
+    label (otherwise the registered round count silently
+    under-propagates and the 'component' claim is false). sf0.1
+    coverage extends to the sf1 sweep by construction — make_sf1 tiles
+    sf0.1 with per-copy key offsets, so the sf1 part-supplier graph is
+    10 DISJOINT copies of the sf0.1 graph with identical diameter
+    (r7 verdict task 7). Also pins determinism of the fixed-round
+    formulation."""
     import azurestorage_blueprints_spark.queries.graph_q as g
 
-    base = sorted(map(tuple, g.q_graph_components_minlabel(spark, sf_dir).collect()))
+    base = sorted(map(tuple, g.q_graph_components_minlabel(spark, conv_sf).collect()))
     monkeypatch.setattr(g, "_CC_ROUNDS", g._CC_ROUNDS + 1)
-    plus = sorted(map(tuple, g.q_graph_components_minlabel(spark, sf_dir).collect()))
+    plus = sorted(map(tuple, g.q_graph_components_minlabel(spark, conv_sf).collect()))
     assert base == plus, "labels still moving at the registered round count"
 
 
@@ -719,7 +726,7 @@ def test_kfold_windows_and_agg_share_stratum_partitioning(spark, sf_dir):
     # one fact-scale exchange on lang for the rank window; the
     # (lang, fold) agg and the per-stratum report windows are
     # group-by-sized. Allow the final tiny ORDER BY rangepartitioning.
-    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    hash_exchanges = re.findall(r"hashpartitioning\(", plan)
     assert len(hash_exchanges) <= 2, plan.split("==")[1][:500]
 
 
@@ -796,3 +803,50 @@ def test_stream_dedup_static_side_is_broadcast(spark, sf_dir):
     bands = _mhp_bands(_mhp_sig(corpus))
     n = bands.count()
     assert 0 < n <= 4 * corpus.count()
+
+
+def test_exact_substring_exchanges_carry_fingerprints_not_arrays(spark, sf_dir):
+    """The window table that shuffles to the first-seen agg must carry
+    (wh, t0, t1) — the token/hash ARRAYS must be dropped before any
+    exchange (or the shuffle ships whole documents per window), and the
+    whole rung is two key shuffles: the window-key agg (reused by the
+    co-keyed rejoin) and the per-doc report agg."""
+    import re
+
+    plan = _plan(spark, "q_dedup_exact_substring", sf_dir)
+    assert "CartesianProduct" not in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "no key exchange found — plan shape changed"
+    for m in parts:
+        assert "tk#" not in m and "hs#" not in m, f"array column in exchange: {m}"
+    assert len(parts) <= 3, f"{len(parts)} key shuffles in the two-agg rung"
+
+
+def test_simhash_pair_distinct_carries_ids_not_signatures(spark, sf_dir):
+    """Candidate dedup aggregates on the bare (a_id, b_id) pair; the
+    64-bit signatures rejoin AFTER the distinct (two longs per row
+    through the wide shuffle — the shape the rung's doc claims), and no
+    exchange carries a signature column."""
+    import re
+
+    plan = _plan(spark, "q_dedup_simhash", sf_dir)
+    assert "CartesianProduct" not in plan
+    for keys in re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan):
+        assert "a_sim" not in keys and "b_sim" not in keys, (
+            f"signature column in an aggregate key: {keys}"
+        )
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "sim" not in m, f"signature column in an exchange key: {m}"
+
+
+def test_lsh_bucket_stats_is_pure_aggregation(spark, sf_dir):
+    """Occupancy audit = signature agg + (band, bh) occupancy agg +
+    (band, size) histogram agg; no join anywhere — the audit must stay
+    strictly cheaper than the pairing stage it diagnoses."""
+    import re
+
+    plan = _plan(spark, "q_dedup_lsh_bucket_stats", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "the occupancy audit must not join anything"
+    n = len(re.findall(r"hashpartitioning\(", plan))
+    assert n <= 3, f"{n} key shuffles in a three-agg histogram"

@@ -1,0 +1,101 @@
+"""Semantic gates for the round-8 dedup-scale operators — the
+properties their oracles alone can't state (an oracle proves both
+engines agree, not that the shared formula has the claimed property)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_exact_substring_counts_nest(spark, sf_dir):
+    """Per doc: removable (non-first) occurrences are a subset of
+    shared-content occurrences, which are a subset of all windows; a
+    doc with every window unique has zero in both dup columns."""
+    rows = REGISTRY["q_dedup_exact_substring"].fn(spark, sf_dir).collect()
+    assert rows, "corpus has 50-token docs; report must not be empty"
+    assert any(r.n_dup_windows > 0 for r in rows), (
+        "the corpus's identical-doc clusters must surface removable spans"
+    )
+    for r in rows:
+        assert 0 <= r.n_dup_windows <= r.n_shared_windows <= r.n_windows
+        assert abs(r.dup_frac - r.n_dup_windows / r.n_windows) < 1e-12
+
+
+def test_exact_substring_finds_planted_span(spark):
+    """A 50-token span copied between two otherwise-different documents
+    is detected: the copy's occurrence is non-first, the source's is
+    shared-but-first (ExactSubstr keeps the first occurrence)."""
+    span = " ".join(f"s{i}" for i in range(50))
+    docs = [
+        (1, span + " " + " ".join(f"a{i}" for i in range(30))),
+        (2, " ".join(f"b{i}" for i in range(30)) + " " + span),
+        (3, " ".join(f"c{i}" for i in range(80))),  # no shared content
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="xsub_fixture_")
+    pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r.doc_id: r for r in REGISTRY["q_dedup_exact_substring"].fn(spark, tmp).collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 1 holds the first occurrence of the planted span's windows:
+    # shared but nothing removable
+    assert got[1].n_shared_windows >= 1 and got[1].n_dup_windows == 0
+    # doc 2's copy is entirely removable (exactly the span's one window
+    # at W=50 — the span sits at the end, so only pos len-49 matches)
+    assert got[2].n_dup_windows >= 1
+    assert got[3].n_shared_windows == 0 and got[3].n_dup_windows == 0
+
+
+def test_lsh_bucket_stats_is_a_partition_of_docs(spark, sf_dir):
+    """Per band, bucket sizes weighted by bucket count must sum to the
+    number of signed documents (each doc sits in exactly one bucket per
+    band), and the candidate-pair column must be the exact pair count
+    for its size class."""
+    rows = REGISTRY["q_dedup_lsh_bucket_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    from azurestorage_blueprints_spark.queries.dedup import _mhp_sig
+    from azurestorage_blueprints_spark.tables import table
+
+    n_docs = _mhp_sig(table(spark, sf_dir, "documents")).count()
+    per_band: dict[int, int] = {}
+    for r in rows:
+        assert r.candidate_pairs == r.n_buckets * r.bucket_size * (r.bucket_size - 1) // 2
+        per_band[r.band] = per_band.get(r.band, 0) + r.n_buckets * r.bucket_size
+    assert set(per_band) == {0, 1, 2, 3}
+    for band, total in per_band.items():
+        assert total == n_docs, f"band {band}: {total} != {n_docs} docs"
+
+
+def test_simhash_audit_reports_cap_cost_honestly(spark, sf_dir):
+    """The audit's same-set clones have Hamming 0 by construction, so
+    every found one must report hamming == 0, and the found count plus
+    the over-cap losses must account for every clone (found <= planted,
+    and the blocking itself never misses an under-cap Hamming-0 pair —
+    spot-proven by at least one found clone per class at the gate SF)."""
+    rows = REGISTRY["q_dedup_simhash_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    same = [r for r in rows if r.pair_type == "clone_same_set"]
+    assert same, "no same-set clone found — blocking recall collapsed"
+    for r in same:
+        assert r.hamming == 0
+    # a one-token append may leave every vote sum's sign unchanged, so
+    # hamming 0 is legal; the cutoff bound is the invariant
+    one = [r for r in rows if r.pair_type == "clone_one_token"]
+    for r in one:
+        assert 0 <= r.hamming <= 3
+    from azurestorage_blueprints_spark.tables import table
+
+    n_planted = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & (F.size(F.split("text", " ")) > 0))
+        .count()
+    )
+    assert len(same) <= n_planted
