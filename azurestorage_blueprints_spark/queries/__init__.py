@@ -140,7 +140,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_dedup_simhash_audit", "q_dedup_lsh_bucket_stats",
-    "q_dedup_exact_substring",
+    "q_dedup_exact_substring", "q_dedup_substring_spans",
 })
 
 

@@ -294,6 +294,12 @@ def simhash_pairs(
     pair BEFORE signatures rejoin, so the distinct shuffles two longs
     per row.
     """
+    # the signature table feeds the chunk explode, the occupancy gate,
+    # and both sides of the candidate rejoin — checkpoint it (one long
+    # per doc) so the 64-fold vote pipeline runs ONCE, not per consumer
+    # (the q_decontaminate staging discipline; measured 2x on the
+    # audit rung)
+    sig = sig.localCheckpoint(eager=False)
     chunks = ",".join(
         f"struct({i} AS ci, pmod(shiftright(simhash, {16 * i}), 65536) AS cv)"
         for i in range(4)
@@ -790,7 +796,10 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "images sit at Hamming ~15, and candidates that far apart must "
     "already share a chunk by luck, so tighten to <=7 when the "
     "guarantee matters. The equi-join on (chunk, value) compares only "
-    "same-bucket images — never |images|^2). Both Python stages are "
+    "same-bucket images — never |images|^2 — and buckets over the "
+    "shared occupancy cap are excluded (r8, the simhash_pairs "
+    "discipline), bounding candidates at O(N*cap) despite the "
+    "constant 8-bit chunk space). Both Python stages are "
     "Arrow-batched mapInPandas; the pairing stage shuffles (id, chunk) "
     "longs, and signatures rejoin only the deduped candidate ID pairs. "
     "This is the image twin of q_dedup_simhash and exercises the full "
@@ -875,8 +884,19 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = sig.select("vec_id", F.expr(f"explode(array({chunks})) AS c")).select(
         "vec_id", "c.ci", "c.cv"
     )
-    a = blocked.select(F.col("vec_id").alias("a_id"), "ci", "cv")
-    b = blocked.select(F.col("vec_id").alias("b_id"), "ci", "cv")
+    # same occupancy discipline as simhash_pairs (r8): an over-cap
+    # (chunk, value) bucket is a dense identical-render cluster or a
+    # degenerate low-entropy chunk; skipping it bounds the candidate
+    # join at O(N * cap) instead of Theta(N^2 / 2048-bucket-space)
+    ok = (
+        blocked.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _SIMHASH_BUCKET_CAP)
+        .select("ci", "cv")
+    )
+    capped = blocked.join(ok, ["ci", "cv"])
+    a = capped.select(F.col("vec_id").alias("a_id"), "ci", "cv")
+    b = capped.select(F.col("vec_id").alias("b_id"), "ci", "cv")
     cand = (
         a.join(b, ["ci", "cv"])
         .filter(F.col("a_id") < F.col("b_id"))
@@ -1449,6 +1469,9 @@ def _shp_sig(d: DataFrame) -> DataFrame:
 def _shp_pairs(sig: DataFrame) -> DataFrame:
     """Spark twin of _shp_pairs_sql: blocking + occupancy cap + Hamming
     filter over portable signatures."""
+    # same staging as simhash_pairs: the 62-fold portable vote pipeline
+    # must run once, not once per consumer
+    sig = sig.localCheckpoint(eager=False)
     chunks = ",".join(
         f"struct({i} AS ci, pmod(shiftright(simhash, {off}), {1 << w}) AS cv)"
         for i, (off, w) in enumerate(_SHP_CHUNKS)
@@ -1932,10 +1955,12 @@ def q_dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XSUB_W = 50
 
 
-@register(
-    "q_dedup_exact_substring",
-    oracle=f"""
-    WITH toked AS (
+def _xsub_cte_sql() -> str:
+    """DuckDB CTE chain ``toked/hashed/win/first_seen``: every 50-token
+    window fingerprinted with the portable polynomial fold, keyed on
+    (fingerprint, first token, last token), first-seen reduced — shared
+    by the per-window report and the span-merge rungs."""
+    return f"""toked AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
       FROM documents),
     hashed AS (
@@ -1955,44 +1980,13 @@ _XSUB_W = 50
       SELECT wh, t0, t1,
              CAST(min(doc_id * 1048576 + pos) AS BIGINT) AS first_occ,
              CAST(count(*) AS BIGINT) AS n_occ
-      FROM win GROUP BY wh, t0, t1)
-    SELECT w.doc_id,
-           CAST(count(*) AS BIGINT) AS n_windows,
-           CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_shared_windows,
-           CAST(sum(CASE WHEN w.doc_id * 1048576 + w.pos <> f.first_occ
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-           CAST(sum(CASE WHEN w.doc_id * 1048576 + w.pos <> f.first_occ
-                         THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS dup_frac
-    FROM win w JOIN first_seen f
-      ON w.wh = f.wh AND w.t0 = f.t0 AND w.t1 = f.t1
-    GROUP BY w.doc_id
-    ORDER BY w.doc_id
-    """,
-    doc="Exact substring-overlap dedup (the Lee et al. 50-token "
-    "ExactSubstr tier — the one standard LLM-pipeline dedup class the "
-    "ladder lacked, r7 verdict task 6): every 50-token window is "
-    "fingerprinted with a portable polynomial fold over the window's "
-    "token hashes, keyed on (fingerprint, first token, last token) so "
-    "a 2^31-space hash collision cannot mark false duplicates, and "
-    "reduced first-seen (min (doc_id, pos), the q_ngram_novelty "
-    "trick). Per document: window count, windows whose content occurs "
-    ">= 2 times corpus-wide (shared), NON-FIRST occurrences (what "
-    "ExactSubstr would remove; the first occurrence is kept), and the "
-    "removable fraction. No suffix array needed for the relational "
-    "form: the windows ARE the suffixes truncated at 50, and the "
-    "sorted-fingerprint-runs reduction is one map-side-combined agg "
-    "on the window key + one co-keyed rejoin, never a pair join. "
-    "Shape (100 TB): windows are ~tokens rows of (3 longs + 2 "
-    "strings); at production the key drops the guard tokens for pure "
-    "8-byte xxhash64 keys and the span-merge of adjacent duplicated "
-    "windows runs as a per-doc array fold, exactly like "
-    "q_dedup_segments' block merge. Docs shorter than 50 tokens have "
-    "no window and are absent by definition (they fall to the "
-    "whole-doc exact rung).",
-)
-def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+      FROM win GROUP BY wh, t0, t1)"""
+
+
+def _xsub_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_xsub_cte_sql`: the window occurrences
+    joined to their first-seen reduction — (doc_id, pos, first_occ,
+    n_occ) plus the ``occ`` occurrence key."""
     d = table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
         F.size("tk") >= _XSUB_W
@@ -2026,13 +2020,58 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", "w.pos", "w.wh", "w.t0", "w.t1")
-    occ_key = F.col("doc_id") * 1048576 + F.col("pos")
+    occ_key = (F.col("doc_id") * 1048576 + F.col("pos")).alias("occ")
     first_seen = wins.groupBy("wh", "t0", "t1").agg(
-        F.min(occ_key).cast("bigint").alias("first_occ"),
+        F.min(F.col("doc_id") * 1048576 + F.col("pos")).cast("bigint").alias("first_occ"),
         F.count(F.lit(1)).cast("bigint").alias("n_occ"),
     )
-    joined = wins.join(first_seen, ["wh", "t0", "t1"])
-    is_dup = F.when(occ_key != F.col("first_occ"), 1).otherwise(0)
+    return wins.join(first_seen, ["wh", "t0", "t1"]).select(
+        "doc_id", "pos", occ_key, "first_occ", "n_occ"
+    )
+
+
+@register(
+    "q_dedup_exact_substring",
+    oracle=f"""
+    WITH {_xsub_cte_sql()}
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_windows,
+           CAST(sum(CASE WHEN w.doc_id * 1048576 + w.pos <> f.first_occ
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           CAST(sum(CASE WHEN w.doc_id * 1048576 + w.pos <> f.first_occ
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM win w JOIN first_seen f
+      ON w.wh = f.wh AND w.t0 = f.t0 AND w.t1 = f.t1
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+    doc="Exact substring-overlap dedup (the Lee et al. 50-token "
+    "ExactSubstr tier — the one standard LLM-pipeline dedup class the "
+    "ladder lacked, r7 verdict task 6): every 50-token window is "
+    "fingerprinted with a portable polynomial fold over the window's "
+    "token hashes, keyed on (fingerprint, first token, last token) so "
+    "a 2^31-space hash collision cannot mark false duplicates, and "
+    "reduced first-seen (min (doc_id, pos), the q_ngram_novelty "
+    "trick). Per document: window count, windows whose content occurs "
+    ">= 2 times corpus-wide (shared), NON-FIRST occurrences (what "
+    "ExactSubstr would remove; the first occurrence is kept), and the "
+    "removable fraction. No suffix array needed for the relational "
+    "form: the windows ARE the suffixes truncated at 50, and the "
+    "sorted-fingerprint-runs reduction is one map-side-combined agg "
+    "on the window key + one co-keyed rejoin, never a pair join. "
+    "Shape (100 TB): windows are ~tokens rows of (3 longs + 2 "
+    "strings); at production the key drops the guard tokens for pure "
+    "8-byte xxhash64 keys. The span-merge of adjacent duplicated "
+    "windows is q_dedup_substring_spans. Docs shorter than 50 tokens "
+    "have no window and are absent by definition (they fall to the "
+    "whole-doc exact rung).",
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _xsub_windows(spark, sf_dir)
+    is_dup = F.when(F.col("occ") != F.col("first_occ"), 1).otherwise(0)
     return (
         joined.groupBy("doc_id")
         .agg(
@@ -2044,6 +2083,91 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(is_dup).cast("double") / F.count(F.lit(1)).cast("double")).alias(
                 "dup_frac"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle=f"""
+    WITH {_xsub_cte_sql()},
+    dup AS (
+      SELECT w.doc_id, w.pos
+      FROM win w JOIN first_seen f
+        ON w.wh = f.wh AND w.t0 = f.t0 AND w.t1 = f.t1
+      WHERE w.doc_id * 1048576 + w.pos <> f.first_occ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                      CAST(-{_XSUB_W + 1} AS BIGINT)) + {_XSUB_W}
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked),
+    spans AS (
+      SELECT doc_id, island,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + {_XSUB_W - 1} AS BIGINT) AS span_end
+      FROM islands GROUP BY doc_id, island)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_end - span_start + 1) AS BIGINT) AS removable_tokens,
+           CAST(max(span_end - span_start + 1) AS BIGINT) AS longest_span
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Span-merge stage of ExactSubstr (completes "
+    "q_dedup_exact_substring into what Lee et al. actually REMOVE): "
+    "the non-first duplicated 50-token windows of each document merge "
+    "into maximal overlapping-or-adjacent spans (two windows merge "
+    "when their starts are within 50 — interval overlap or exact "
+    "adjacency), reported per doc as span count, total removable "
+    "tokens (exact: merged spans are disjoint by construction, so "
+    "end-start+1 sums never double-count a token), and the longest "
+    "removable span. Gaps-and-islands over the DUPLICATED occurrences "
+    "only: lag + running-sum break flags, both windows PARTITIONED BY "
+    "doc_id — never a corpus-ordered single partition — and the input "
+    "is the dup subset (|| << windows), so the window stage costs "
+    "less than the agg that feeds it. Fully oracle-checked on the "
+    "shared portable window fingerprints.",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    dup = (
+        _xsub_windows(spark, sf_dir)
+        .filter(F.col("occ") != F.col("first_occ"))
+        .select("doc_id", "pos")
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    marked = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.lag("pos").over(w_ord), F.lit(-(_XSUB_W + 1)).cast("bigint")
+            )
+            + _XSUB_W,
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("brk").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + (_XSUB_W - 1)).cast("bigint").alias("span_end"),
+    )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(span_len).cast("bigint").alias("removable_tokens"),
+            F.max(span_len).cast("bigint").alias("longest_span"),
         )
         .orderBy("doc_id")
     )

@@ -131,6 +131,7 @@ HEADLINE = [
     # (64-bit, occupancy-capped — its bench number tracks the pairing
     # join the r7 verdict flagged)
     "q_dedup_exact_substring",
+    "q_dedup_substring_spans",
     "q_dedup_lsh_bucket_stats",
     "q_dedup_simhash_audit",
     "q_dedup_simhash",

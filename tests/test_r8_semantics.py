@@ -99,3 +99,50 @@ def test_simhash_audit_reports_cap_cost_honestly(spark, sf_dir):
         .count()
     )
     assert len(same) <= n_planted
+
+
+def test_substring_spans_are_merged_and_consistent(spark, sf_dir):
+    """Span-merge invariants: every span is at least one whole window
+    (>= 50 tokens), merged spans are disjoint so removable_tokens >=
+    n_spans * 50, and the set of documents with spans is exactly the
+    set the per-window rung reports removable windows for."""
+    from azurestorage_blueprints_spark.queries.dedup import _XSUB_W
+
+    spans = {r.doc_id: r for r in REGISTRY["q_dedup_substring_spans"].fn(spark, sf_dir).collect()}
+    assert spans, "corpus has removable spans at the gate SF"
+    for r in spans.values():
+        assert r.n_spans >= 1
+        assert r.longest_span >= _XSUB_W
+        assert r.removable_tokens >= r.n_spans * _XSUB_W
+        assert r.removable_tokens >= r.longest_span
+    win = {r.doc_id: r for r in REGISTRY["q_dedup_exact_substring"].fn(spark, sf_dir).collect()}
+    dup_docs = {d for d, r in win.items() if r.n_dup_windows > 0}
+    assert set(spans) == dup_docs, "span docs != docs with removable windows"
+    for d, r in spans.items():
+        # a span of K consecutive windows covers K + 49 tokens, so
+        # removable tokens never exceed dup windows + 49 per span
+        assert r.removable_tokens <= win[d].n_dup_windows + r.n_spans * (_XSUB_W - 1)
+
+
+def test_substring_spans_merge_planted_overlap(spark):
+    """Two overlapping duplicated windows (a 51-token copied block =
+    two 50-token windows one apart) merge into ONE 51-token span."""
+    block = " ".join(f"s{i}" for i in range(51))
+    docs = [
+        (1, block + " " + " ".join(f"a{i}" for i in range(20))),
+        (2, " ".join(f"b{i}" for i in range(20)) + " " + block),
+    ]
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="xspan_fixture_")
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    got = {r.doc_id: r for r in REGISTRY["q_dedup_substring_spans"].fn(spark, tmp).collect()}
+    assert set(got) == {2}, "only the later copy is removable"
+    assert got[2].n_spans == 1, "overlapping windows must merge into one span"
+    assert got[2].removable_tokens == 51
+    assert got[2].longest_span == 51

@@ -46,8 +46,9 @@ PAIR_RUNGS = {
     "q_dedup_minhash_portable": ("documents", 16),
     # label-blocked embedding cosine: ~5 pairs/vector at sf1
     "q_dedup_embedding": ("embeddings", 16),
-    # aHash blocking (image twin of the SimHash rung): ~2 pairs/doc
-    "q_multimodal_image_ahash": ("documents", 16),
+    # aHash blocking (image twin of the SimHash rung, occupancy-capped
+    # like it): ~5 pairs/vector at sf1
+    "q_multimodal_image_ahash": ("embeddings", 16),
 }
 
 #: slack for tiny corpora where a single dense cluster dominates
