@@ -18,7 +18,7 @@ real and tested. Decode support is tiered:
   baseline cross-validated against libjpeg within ±2/pixel,
   progressive pinned bit-identical to the baseline path), PCM WAV,
   nearest-neighbor resize (``_nn_resize_rgb``);
-- the remaining codec tier (arithmetic/lossless/hierarchical JPEG,
+- the remaining codec tier (lossless/hierarchical JPEG,
   MP3 — formats whose decoders are large enough that production
   injects Pillow/libvips/ffmpeg into the worker) takes an injected
   decoder callback — such rows return ``ok=false`` instead of
@@ -662,6 +662,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     huff_dec: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    dac_dc: dict[int, tuple[int, int]] = {}  # DC conditioning: tbl -> (L, U)
+    dac_ac: dict[int, int] = {}  # AC conditioning: tbl -> Kx
     prog_coef = None  # progressive: per-component zigzag coefficient store
     i = 2
     while i + 4 <= len(b):
@@ -703,7 +705,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 vals = list(seg[j + 17 : j + 17 + nv])
                 huff_dec[(tc, th)] = _jpeg_canonical_codes(bits, vals)[0]
                 j += 17 + nv
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arithmetic
             prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -711,14 +713,32 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             for k in range(nc):
                 cid, hv, tq = seg[6 + 3 * k], seg[7 + 3 * k], seg[8 + 3 * k]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps, "progressive": m == 0xC2}
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("extended/arithmetic JPEG requires an injected decoder")
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "progressive": m == 0xC2,
+                "arith": m == 0xC9,
+            }
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("lossless/hierarchical JPEG requires an injected decoder")
+        elif m == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            j = 0
+            while j + 2 <= len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 15
+                cs = seg[j + 1]
+                if tc == 0:
+                    dac_dc[tb] = (cs & 15, cs >> 4)
+                else:
+                    dac_ac[tb] = cs
+                j += 2
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame.get("arith"):
+                return _jpeg_arith_scan(b, i, seg, frame, qt, dac_dc, dac_ac, restart)
             if frame["progressive"]:
                 if prog_coef is None:
                     prog_coef = _jpeg_prog_alloc(frame)
@@ -1392,8 +1412,8 @@ def decode_image(
     multi-scan progressive — see ``decode_jpeg``; baseline
     cross-validated against libjpeg within ±2/pixel, progressive
     pinned bit-identical to the baseline path on shared coefficients).
-    Remaining codec-backed variants (arithmetic-coded / lossless /
-    hierarchical JPEG) need an injected ``decoder(payload) -> (w, h,
+    Remaining codec-backed variants (lossless / hierarchical JPEG — the
+    formats with no deployed corpus presence) need an injected ``decoder(payload) -> (w, h,
     rgb_bytes)`` (production: Pillow / libvips inside the worker);
     without one those rows come back ok=false rather than failing the
     job — at 100 TB a corrupt or unsupported payload must never kill
@@ -1731,3 +1751,469 @@ def extract_spectral_features(
             )
 
     return df.select(id_col, content_col).mapInPandas(worker, schema=SPECTRAL_SCHEMA)
+
+
+# -- arithmetic-coded JPEG (T.81 Annex D QM-coder + Annex F sequential
+#    DCT statistical models) — the r8 tier that retires the injected-
+#    decoder fallback for SOF9 payloads -----------------------------------
+
+#: T.81 Table D.3 — the QM-coder probability-estimation state machine:
+#: (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS) per state, plus the
+#: non-adaptive 0.5-probability state at index 113 used for AC sign
+#: decisions (F.1.4.4.2.1). Values are the published spec constants,
+#: verified entry-for-entry against the system libjpeg's jpeg_aritab at
+#: extraction time (tests/test_jpeg_arith.py pins decode parity with
+#: libjpeg-produced streams, which re-proves the table end-to-end).
+_JPEG_ARITAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0), (0x080B, 18, 4, 0),
+    (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0), (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0),
+    (0x0036, 30, 9, 0), (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1), (0x3F25, 36, 16, 0),
+    (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0), (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0),
+    (0x0CEF, 43, 21, 0), (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0), (0x01B1, 54, 28, 0),
+    (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0), (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0),
+    (0x0068, 62, 33, 0), (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0), (0x2EF1, 67, 40, 0),
+    (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0), (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0),
+    (0x1177, 73, 45, 0), (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0), (0x04DE, 50, 52, 0),
+    (0x040F, 50, 53, 0), (0x0363, 51, 54, 0), (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0),
+    (0x01F8, 54, 57, 0), (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0), (0x008F, 61, 32, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0), (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0),
+    (0x2FE8, 83, 69, 0), (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0), (0x119C, 74, 76, 0),
+    (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0), (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0),
+    (0x5832, 80, 81, 1), (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0), (0x2516, 86, 71, 0),
+    (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0), (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0),
+    (0x3824, 99, 93, 0), (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0), (0x3C3D, 104, 100, 0),
+    (0x375E, 99, 93, 0), (0x5231, 105, 102, 0), (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0),
+    (0x415E, 103, 99, 0), (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1), (0x5522, 112, 109, 0),
+    (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+#: DC statistics bank layout (T.81 Table F.4): 5 conditioning groups of
+#: 4 contexts (S0, SS, SP, SN) at 0/4/8/12/16, the X1..X15 magnitude-
+#: category chain at 20..34, magnitude-bit banks M at X-position + 14.
+#: AC bank: (SE, S0, X1) triples at 3*(k-1), X2 chains at 189 (k <= Kx)
+#: and 217 (k > Kx), magnitude-bit banks again at +14.
+_JPEG_ARITH_AC_X2_LO = 189
+_JPEG_ARITH_AC_X2_HI = 217
+
+
+class _JpegArithDecoder:
+    """T.81 D.2 QM arithmetic decoder over an entropy-coded segment.
+
+    Register convention (validated decision-for-decision against
+    libjpeg-produced streams): the code value ``c`` carries the first
+    two data bytes plus ``ct`` fetched-but-unconsumed low bits; a
+    decision splits the current interval ``a`` at ``a - qe`` with the
+    MPS sub-interval at the bottom, conditional exchange per D.2.4/5,
+    and renormalization doubles ``a`` while consuming one code bit
+    (fetching a data byte whenever ``ct`` underflows). 0xFF bytes are
+    followed by a stuffed 0x00; a marker ends the segment and feeds
+    zero bytes from then on (D.2.7)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self._d = data
+        self.p = pos
+        self._marker = False
+        b0 = self._byte()
+        b1 = self._byte()
+        self._c = (b0 << 8) | b1
+        self._ct = 0
+        self._a = 0x10000
+
+    def _byte(self) -> int:
+        if self._marker:
+            return 0
+        d = self._d
+        if self.p >= len(d):
+            self._marker = True
+            return 0
+        x = d[self.p]
+        self.p += 1
+        if x != 0xFF:
+            return x
+        while self.p < len(d) and d[self.p] == 0xFF:
+            self.p += 1  # fill bytes (B.1.1.2)
+        if self.p < len(d) and d[self.p] == 0x00:
+            self.p += 1  # stuffed zero: the 0xFF was data
+            return 0xFF
+        self._marker = True  # marker reached: zero-feed from now on
+        self.p -= 1  # leave p AT the marker's 0xFF for the caller
+        return 0
+
+    def decode(self, bank: bytearray, mps: bytearray, idx: int) -> int:
+        qe, nlps, nmps, sw = _JPEG_ARITAB[bank[idx]]
+        m = mps[idx]
+        temp = self._a - qe
+        if self._c >= (temp << self._ct):
+            # code value in the TOP sub-interval
+            self._c -= temp << self._ct
+            if temp < qe:  # conditional exchange: top codes MPS
+                d = m
+                bank[idx] = nmps
+            else:
+                d = m ^ 1
+                bank[idx] = nlps
+                if sw:
+                    mps[idx] = m ^ 1
+            self._a = qe
+        else:
+            self._a = temp
+            if temp >= 0x8000:
+                return m  # short MPS path: no renorm, no adaptation
+            if temp < qe:  # conditional exchange: bottom codes LPS
+                d = m ^ 1
+                bank[idx] = nlps
+                if sw:
+                    mps[idx] = m ^ 1
+            else:
+                d = m
+                bank[idx] = nmps
+        while self._a < 0x8000:
+            self._a <<= 1
+            self._ct -= 1
+            if self._ct < 0:
+                self._c = (self._c << 8) | self._byte()
+                self._ct += 8
+        return d
+
+
+def _jpeg_arith_stats():
+    """Fresh per-scan statistics: 4 DC banks (64 contexts), 4 AC banks
+    (256 contexts), and the fixed non-adaptive bin (state 113)."""
+    dc = [(bytearray(64), bytearray(64)) for _ in range(4)]
+    ac = [(bytearray(256), bytearray(256)) for _ in range(4)]
+    fixed = (bytearray([113]), bytearray(1))
+    return dc, ac, fixed
+
+
+def _jpeg_arith_decode_dc(dec, bank, mps, dc_ctx, ci, L, U):
+    """T.81 F.2.4.1: one DC difference (also updates the conditioning
+    category for the next block of this component)."""
+    st = dc_ctx[ci]
+    if dec.decode(bank, mps, st) == 0:
+        dc_ctx[ci] = 0
+        return 0
+    sign = dec.decode(bank, mps, st + 1)
+    m = dec.decode(bank, mps, st + 2 + sign)
+    if m:
+        xi = 20
+        while dec.decode(bank, mps, xi):
+            m <<= 1
+            xi += 1
+            if m >= 0x8000:
+                raise ValueError("corrupt arithmetic DC magnitude")
+        v = m
+        mi = xi + 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            if dec.decode(bank, mps, mi):
+                v |= mm
+    else:
+        v = 0
+    if m < ((1 << L) >> 1):
+        dc_ctx[ci] = 0
+    elif m > ((1 << U) >> 1):
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    v += 1
+    return -v if sign else v
+
+
+def _jpeg_arith_decode_ac(dec, bank, mps, fixed, coeff, Kx):
+    """T.81 F.2.4.2: the 63 AC coefficients of one block into ``coeff``
+    (natural order via the zigzag map)."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(bank, mps, st):
+            break  # end-of-block
+        while dec.decode(bank, mps, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("corrupt arithmetic AC run")
+        sign = dec.decode(fixed[0], fixed[1], 0)
+        st += 2
+        m = dec.decode(bank, mps, st)
+        if m and dec.decode(bank, mps, st):
+            m <<= 1
+            st = _JPEG_ARITH_AC_X2_LO if k <= Kx else _JPEG_ARITH_AC_X2_HI
+            while dec.decode(bank, mps, st):
+                m <<= 1
+                st += 1
+                if m >= 0x8000:
+                    raise ValueError("corrupt arithmetic AC magnitude")
+        v = m
+        mi = st + 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            if dec.decode(bank, mps, mi):
+                v |= mm
+        v += 1
+        coeff[_JPEG_ZIGZAG[k]] = -v if sign else v
+        k += 1
+
+
+def _jpeg_arith_scan(b, i, seg, frame, qt, dac_dc, dac_ac, restart):
+    """Sequential arithmetic-coded scan (SOF9): MCU loop mirroring the
+    baseline-Huffman path with the QM decoder + Annex F models, into
+    the shared dequant → IDCT → assemble pipeline."""
+    import numpy as np
+
+    ns = seg[0]
+    scan = {}
+    for k in range(ns):
+        cs, tt = seg[1 + 2 * k], seg[2 + 2 * k]
+        scan[cs] = (tt >> 4, tt & 15)
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    C = _jpeg_dct_matrix()
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64) for c in comps
+    ]
+    dc_stats, ac_stats, fixed = _jpeg_arith_stats()
+    dec = _JpegArithDecoder(b, i)
+    pred = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                # restart marker: re-init registers AND statistics
+                p = dec.p
+                while not (b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
+                    p += 1
+                dc_stats, ac_stats, fixed = _jpeg_arith_stats()
+                dec = _JpegArithDecoder(b, p + 2)
+                pred = [0] * len(comps)
+                dc_ctx = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dtbl, atbl = scan[c["id"]]
+                L, U = dac_dc.get(dtbl, (0, 1))
+                Kx = dac_ac.get(atbl, 5)
+                dbank, dmps = dc_stats[dtbl]
+                abank, amps = ac_stats[atbl]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeff = np.zeros(64, dtype=np.int64)
+                        pred[ci] += _jpeg_arith_decode_dc(
+                            dec, dbank, dmps, dc_ctx, ci, L, U
+                        )
+                        coeff[0] = pred[ci]
+                        _jpeg_arith_decode_ac(dec, abank, amps, fixed, coeff, Kx)
+                        blk = (coeff * q).reshape(8, 8).astype(np.float64)
+                        sp = C.T @ blk @ C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = sp
+    return _jpeg_color_assemble(planes, comps, w, h, hmax, vmax)
+
+
+class _JpegArithEncoder:
+    """T.81 D.1 QM arithmetic encoder — exact dual of the decoder's
+    register convention: the code base accumulates as an unbounded
+    integer (one left shift per renormalization, so carry propagation
+    and byte stuffing reduce to one big-endian serialization at flush).
+    """
+
+    def __init__(self):
+        self._base = 0
+        self._shifts = 0
+        self._a = 0x10000
+
+    def code(self, bank: bytearray, mps: bytearray, idx: int, d: int) -> None:
+        qe, nlps, nmps, sw = _JPEG_ARITAB[bank[idx]]
+        m = mps[idx]
+        temp = self._a - qe
+        if d == m:
+            if temp >= 0x8000:
+                self._a = temp
+                return  # short MPS path: no renorm, no adaptation
+            if temp < qe:  # conditional exchange: MPS takes the TOP interval
+                self._base += temp
+                self._a = qe
+            else:
+                self._a = temp
+            bank[idx] = nmps
+        else:
+            if temp < qe:  # conditional exchange: LPS takes the BOTTOM
+                self._a = temp
+            else:
+                self._base += temp
+                self._a = qe
+            bank[idx] = nlps
+            if sw:
+                mps[idx] = m ^ 1
+        while self._a < 0x8000:
+            self._a <<= 1
+            self._base <<= 1
+            self._shifts += 1
+
+    def flush(self) -> bytes:
+        """Serialize the accumulated code point (the interval base is
+        itself a valid code value), byte-stuff 0xFF, drop value-free
+        trailing zero bytes (the decoder zero-feeds past the marker)."""
+        bits = 16 + self._shifts
+        pad = (-bits) % 8
+        raw = (self._base << pad).to_bytes((bits + pad) // 8, "big")
+        raw = raw.rstrip(b"\x00") or b"\x00"
+        out = bytearray()
+        for x in raw:
+            out.append(x)
+            if x == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def encode_jpeg_arith(width: int, height: int, rgb: bytes) -> bytes:
+    """Arithmetic-coded sequential JPEG encoder (SOF9, 4:4:4, quality
+    75): the same color transform / DCT / quantization as
+    ``encode_jpeg``, with the Annex D QM-coder + Annex F models as the
+    entropy layer — so baseline, progressive, and arithmetic streams
+    of one image decode to BIT-IDENTICAL pixels (the
+    q_multimodal_jpeg_arith equivalence gate). Conditioning is the
+    default (L=0, U=1, Kx=5), declared in an explicit DAC segment."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    y = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    cb = -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128.0
+    cr = 0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128.0
+    ql, qc = _jpeg_quant_tables(_JPEG_QUALITY)
+    C = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    bh, bwid = -(-height // 8), -(-width // 8)
+    pad_h, pad_w = bh * 8, bwid * 8
+    planes = []
+    for p in (y, cb, cr):
+        pp = np.empty((pad_h, pad_w), dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        planes.append(pp)
+    enc = _JpegArithEncoder()
+    dc_stats, ac_stats, fixed = _jpeg_arith_stats()
+    pred = [0, 0, 0]
+    dc_ctx = [0, 0, 0]
+    L, U, Kx = 0, 1, 5
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, p in enumerate(planes):
+                tbl = 0 if ci == 0 else 1
+                dbank, dmps = dc_stats[tbl]
+                abank, amps = ac_stats[tbl]
+                q = ql if ci == 0 else qc
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeff = C @ blk @ C.T
+                qz = np.round(coeff.reshape(64) / q.astype(np.float64)).astype(np.int64)
+                zig = qz[zz]
+                # ---- DC (F.1.4.1/F.1.4.4.1) ----
+                diff = int(zig[0]) - pred[ci]
+                pred[ci] = int(zig[0])
+                st = dc_ctx[ci]
+                if diff == 0:
+                    enc.code(dbank, dmps, st, 0)
+                    dc_ctx[ci] = 0
+                else:
+                    enc.code(dbank, dmps, st, 1)
+                    sign = 1 if diff < 0 else 0
+                    enc.code(dbank, dmps, st + 1, sign)
+                    sz = (-diff if sign else diff) - 1
+                    if sz == 0:
+                        enc.code(dbank, dmps, st + 2 + sign, 0)
+                        m = 0
+                    else:
+                        enc.code(dbank, dmps, st + 2 + sign, 1)
+                        m = 1
+                        xi = 20
+                        while sz >= (m << 1):
+                            enc.code(dbank, dmps, xi, 1)
+                            m <<= 1
+                            xi += 1
+                        enc.code(dbank, dmps, xi, 0)
+                        mi = xi + 14
+                        mm = m
+                        while mm > 1:
+                            mm >>= 1
+                            enc.code(dbank, dmps, mi, 1 if sz & mm else 0)
+                    if m < ((1 << L) >> 1):
+                        dc_ctx[ci] = 0
+                    elif m > ((1 << U) >> 1):
+                        dc_ctx[ci] = 12 + sign * 4
+                    else:
+                        dc_ctx[ci] = 4 + sign * 4
+                # ---- AC (F.1.4.2/F.1.4.4.2) ----
+                last_nz = int(np.max(np.nonzero(zig)[0])) if np.any(zig[1:]) else 0
+                k = 1
+                while k <= last_nz:
+                    st = 3 * (k - 1)
+                    enc.code(abank, amps, st, 0)  # not EOB
+                    while int(zig[k]) == 0:
+                        enc.code(abank, amps, st + 1, 0)
+                        st += 3
+                        k += 1
+                    enc.code(abank, amps, st + 1, 1)
+                    v = int(zig[k])
+                    sign = 1 if v < 0 else 0
+                    enc.code(fixed[0], fixed[1], 0, sign)
+                    sz = (-v if sign else v) - 1
+                    st += 2
+                    if sz == 0:
+                        enc.code(abank, amps, st, 0)
+                        m = 0
+                    else:
+                        enc.code(abank, amps, st, 1)
+                        if sz == 1:
+                            enc.code(abank, amps, st, 0)
+                            m = 1
+                        else:
+                            enc.code(abank, amps, st, 1)
+                            m = 2
+                            st = _JPEG_ARITH_AC_X2_LO if k <= Kx else _JPEG_ARITH_AC_X2_HI
+                            while sz >= (m << 1):
+                                enc.code(abank, amps, st, 1)
+                                m <<= 1
+                                st += 1
+                            enc.code(abank, amps, st, 0)
+                        mi = st + 14
+                        mm = m
+                        while mm > 1:
+                            mm >>= 1
+                            enc.code(abank, amps, mi, 1 if sz & mm else 0)
+                    k += 1
+                if last_nz < 63:
+                    enc.code(abank, amps, 3 * (k - 1), 1)  # EOB
+    body = enc.flush()
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq])
+        out += bytes(int(q[zz[k]]) for k in range(64))
+    out += b"\xff\xc9" + (17).to_bytes(2, "big") + b"\x08"
+    out += height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x03"
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    # DAC: default conditioning, declared explicitly (T.81 B.2.4.3)
+    out += b"\xff\xcc" + (10).to_bytes(2, "big")
+    out += bytes([0x00, 0x10, 0x10, 0x05, 0x01, 0x10, 0x11, 0x05])
+    out += b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)

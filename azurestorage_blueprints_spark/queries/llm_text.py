@@ -1194,6 +1194,68 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "q_multimodal_jpeg_arith",
+    oracle="""
+    SELECT vec_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(TRUE AS BOOLEAN) AS arith_equals_baseline
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="Arithmetic-JPEG equivalence gate, ORACLE-CHECKED (r8 — the "
+    "tier that retires the last injected-codec fallback): each "
+    "embedding renders to the 8x8 grayscale fixture, compresses "
+    "through BOTH encode_jpeg (baseline Huffman SOF0) and "
+    "encode_jpeg_arith (SOF9 — the T.81 Annex D QM arithmetic coder "
+    "with the Annex F sequential DC/AC statistical models and "
+    "adaptive probability-state machine), and both streams decode "
+    "through the REAL multi-mode decode_jpeg. Entropy coding is "
+    "lossless over identical quantized coefficients, so the decoded "
+    "pixels must agree BIT-FOR-BIT: DuckDB predicts the verdict "
+    "column, and any defect in the QM registers (renormalization, "
+    "byte stuffing, conditional exchange), the conditioning contexts, "
+    "or the magnitude-category trees flips a verdict and breaks the "
+    "value hash. The codec itself is foreign-validated in "
+    "tests/test_jpeg_arith.py: byte-pinned libjpeg-produced streams "
+    "decode within the IDCT envelope, and libjpeg decodes OUR streams "
+    "(pinned at fixture-generation time via scripts/jpeg_arith_tool.c). "
+    "Shape: ONE Arrow-batched mapInPandas pass, zero shuffles — "
+    "embarrassingly parallel over payload partitions at 100 TB.",
+)
+def q_multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    enc_base, enc_arith, dec = MM.encode_jpeg, MM.encode_jpeg_arith, MM.decode_jpeg
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def gate(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(vec, dtype=np.float64)
+                lo, hi = float(a.min()), float(a.max())
+                if hi > lo:
+                    g = np.floor((a - lo) * (255.0 / (hi - lo)) + 0.5).astype(np.uint8)
+                else:
+                    g = np.zeros(len(a), dtype=np.uint8)
+                rgb = np.repeat(g, 3).tobytes()
+                wb, hb, pb = dec(enc_base(8, 8, rgb))
+                wa, ha, pa = dec(enc_arith(8, 8, rgb))
+                rows.append((int(vid), wa, ha, (wb, hb, pb) == (wa, ha, pa)))
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "width", "height", "arith_equals_baseline"]
+            )
+
+    return e.mapInPandas(
+        gate, "vec_id long, width int, height int, arith_equals_baseline boolean"
+    ).orderBy("vec_id")
+
+
+@register(
     "q_multimodal_png_roundtrip",
     oracle="""
     WITH g AS (

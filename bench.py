@@ -135,6 +135,8 @@ HEADLINE = [
     "q_dedup_lsh_bucket_stats",
     "q_dedup_simhash_audit",
     "q_dedup_simhash",
+    # round-8: the arithmetic-JPEG (Annex D QM-coder) equivalence gate
+    "q_multimodal_jpeg_arith",
 ]
 
 
