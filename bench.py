@@ -136,7 +136,9 @@ HEADLINE = [
     "q_dedup_simhash_audit",
     "q_dedup_simhash",
     # round-8: the arithmetic-JPEG (Annex D QM-coder) equivalence gate
+    # and the quality-classifier training loop
     "q_multimodal_jpeg_arith",
+    "q_quality_classifier_train",
 ]
 
 

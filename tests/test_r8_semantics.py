@@ -146,3 +146,28 @@ def test_substring_spans_merge_planted_overlap(spark):
     assert got[2].n_spans == 1, "overlapping windows must merge into one span"
     assert got[2].removable_tokens == 51
     assert got[2].longest_span == 51
+
+
+def test_quality_classifier_actually_learns(spark, sf_dir):
+    """Training-loop semantics the oracle can't state: round 1 starts
+    from the zero vector (every doc misclassified — margin 0 counts as
+    a mistake), the trajectory ends well above chance, n_docs is
+    constant, and accuracy is exactly 1 - mistakes/docs."""
+    rows = sorted(
+        REGISTRY["q_quality_classifier_train"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    from azurestorage_blueprints_spark.queries.curation import _PCT_ROUNDS
+
+    assert [r.round for r in rows] == list(range(1, _PCT_ROUNDS + 1))
+    assert rows[0].n_mistakes == rows[0].n_docs, "round 1 must start from w=0"
+    n = rows[0].n_docs
+    for r in rows:
+        assert r.n_docs == n
+        assert abs(r.accuracy - (1.0 - r.n_mistakes / r.n_docs)) < 1e-15
+    # measured: 0.958 at sf0.01, 0.89 at the sf0.001 gate corpus — both
+    # far above the 0.512 the oscillating pre-fix trajectory plateaued at
+    assert rows[-1].accuracy >= 0.85, (
+        f"classifier failed to learn the length rule: {rows[-1].accuracy}"
+    )
+    assert rows[-1].accuracy > rows[1].accuracy - 1e-12
