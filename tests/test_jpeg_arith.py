@@ -201,3 +201,42 @@ def test_aritab_state_machine_invariants():
     qe, nlps, nmps, sw = _JPEG_ARITAB[113]
     assert (qe, nlps, nmps, sw) == (0x5A1D, 113, 113, 0), "fixed 0.5 state"
     assert _JPEG_ARITAB[0] == (0x5A1D, 1, 1, 1)
+
+
+def test_qm_coder_roundtrips_random_decision_sequences():
+    """Property fuzz for the QM layer in isolation: any sequence of
+    (context, decision) pairs encoded by _JpegArithEncoder must decode
+    to the identical sequence through _JpegArithDecoder with identical
+    adaptive state — covering renormalization cascades, conditional
+    exchange on both paths, 0xFF stuffing, and the zero-feed tail far
+    beyond what image fixtures exercise."""
+    import random
+
+    from azurestorage_blueprints_spark.operators.multimodal import (
+        _JpegArithDecoder,
+        _JpegArithEncoder,
+    )
+
+    rng = random.Random(20260815)
+    for trial in range(40):
+        n_ctx = rng.randrange(1, 8)
+        n = rng.randrange(1, 400)
+        # biased decision streams reach the deep (skewed-Qe) states;
+        # uniform ones stress exchange/renorm churn
+        bias = rng.choice([0.03, 0.2, 0.5, 0.8, 0.97])
+        seq = [
+            (rng.randrange(n_ctx), 1 if rng.random() < bias else 0)
+            for _ in range(n)
+        ]
+        enc = _JpegArithEncoder()
+        e_bank, e_mps = bytearray(n_ctx), bytearray(n_ctx)
+        for ctx, d in seq:
+            enc.code(e_bank, e_mps, ctx, d)
+        body = enc.flush() + b"\xff\xd9"  # marker-terminated like a scan
+        dec = _JpegArithDecoder(body, 0)
+        d_bank, d_mps = bytearray(n_ctx), bytearray(n_ctx)
+        got = [(ctx, dec.decode(d_bank, d_mps, ctx)) for ctx, _ in seq]
+        assert got == seq, f"trial {trial}: decision stream diverged"
+        assert bytes(d_bank) == bytes(e_bank) and bytes(d_mps) == bytes(e_mps), (
+            f"trial {trial}: adaptive state diverged"
+        )
