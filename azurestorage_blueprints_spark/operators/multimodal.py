@@ -1994,10 +1994,17 @@ def _jpeg_arith_scan(b, i, seg, frame, qt, dac_dc, dac_ac, restart):
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
-                # restart marker: re-init registers AND statistics
+                # restart marker: re-init registers AND statistics.
+                # Bounded scan (r8 ADVICE): a truncated stream must
+                # raise the decoder's documented ValueError, not an
+                # IndexError from running off the buffer.
                 p = dec.p
-                while not (b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
+                while p + 1 < len(b) and not (
+                    b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7
+                ):
                     p += 1
+                if p + 1 >= len(b):
+                    raise ValueError("missing restart marker")
                 dc_stats, ac_stats, fixed = _jpeg_arith_stats()
                 dec = _JpegArithDecoder(b, p + 2)
                 pred = [0] * len(comps)
@@ -2028,14 +2035,27 @@ def _jpeg_arith_scan(b, i, seg, frame, qt, dac_dc, dac_ac, restart):
 
 class _JpegArithEncoder:
     """T.81 D.1 QM arithmetic encoder — exact dual of the decoder's
-    register convention: the code base accumulates as an unbounded
-    integer (one left shift per renormalization, so carry propagation
-    and byte stuffing reduce to one big-endian serialization at flush).
+    register convention: the code base accumulates as a left-shifting
+    integer, with settled high bytes drained incrementally into a byte
+    buffer (r8 ADVICE: an unbounded accumulator made each operation
+    O(bits emitted) and total encode cost O(n^2); draining keeps the
+    live integer under _DRAIN_BITS so cost is O(n) in entropy-stream
+    length). A carry out of the live window ripples into the drained
+    buffer — the classic byte-out ripple, amortized O(1) because each
+    rippled 0xFF becomes 0x00 — and the interval invariant
+    base < 2^total_bits means the ripple can never run off the front.
+    Carry propagation within the live window and byte stuffing still
+    reduce to plain integer arithmetic + one serialization at flush.
     """
+
+    #: live-window bit ceiling: drain above this, keep _KEEP_BITS live
+    _DRAIN_BITS = 2048
+    _KEEP_BITS = 64
 
     def __init__(self):
         self._base = 0
-        self._shifts = 0
+        self._width = 16  # bit-width of the live window (base < 2^width + carry)
+        self._buf = bytearray()  # drained, unstuffed high bytes
         self._a = 0x10000
 
     def code(self, bank: bytearray, mps: bytearray, idx: int, d: int) -> None:
@@ -2064,15 +2084,45 @@ class _JpegArithEncoder:
         while self._a < 0x8000:
             self._a <<= 1
             self._base <<= 1
-            self._shifts += 1
+            self._width += 1
+        if self._width >= self._DRAIN_BITS:
+            self._drain()
+
+    def _carry_out(self) -> None:
+        """Fold any carry bits above the live window into the drained
+        buffer (ripple increment; cannot run off the front because the
+        code point stays below 2^total_bits by the interval invariant)."""
+        carry = self._base >> self._width
+        if not carry:
+            return
+        self._base &= (1 << self._width) - 1
+        i = len(self._buf) - 1
+        while carry and i >= 0:
+            v = self._buf[i] + carry
+            self._buf[i] = v & 0xFF
+            carry = v >> 8
+            i -= 1
+
+    def _drain(self) -> None:
+        self._carry_out()
+        drop = self._width - self._KEEP_BITS
+        drop -= drop % 8
+        if drop <= 0:
+            return
+        keep = self._width - drop
+        self._buf += (self._base >> keep).to_bytes(drop // 8, "big")
+        self._base &= (1 << keep) - 1
+        self._width = keep
 
     def flush(self) -> bytes:
         """Serialize the accumulated code point (the interval base is
         itself a valid code value), byte-stuff 0xFF, drop value-free
         trailing zero bytes (the decoder zero-feeds past the marker)."""
-        bits = 16 + self._shifts
-        pad = (-bits) % 8
-        raw = (self._base << pad).to_bytes((bits + pad) // 8, "big")
+        self._carry_out()
+        pad = (-self._width) % 8
+        raw = bytes(self._buf) + (self._base << pad).to_bytes(
+            (self._width + pad) // 8, "big"
+        )
         raw = raw.rstrip(b"\x00") or b"\x00"
         out = bytearray()
         for x in raw:

@@ -244,14 +244,58 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: background collisions.
 _SIMHASH_BUCKET_CAP = 32
 
+#: ceiling for FULL pairing inside identical-signature groups (r8
+#: verdict task 1, the occupancy-cap recall hole): a Hamming-0 clone
+#: whose every chunk bucket is over _SIMHASH_BUCKET_CAP never enters
+#: the blocking join, yet byte-different same-signature docs are
+#: invisible to the exact-content rung too — dense near-dup clusters
+#: are exactly what crawl corpora contain. The rescue pairs docs
+#: INSIDE each identical-signature group directly: groups up to this
+#: cap emit all C(g,2) pairs (<= cap/2 extra candidates per doc — the
+#: same O(N*cap) discipline as the blocking join itself), larger
+#: groups fall back to a star on the min-doc_id representative
+#: (O(group) candidates; the connected-components rung closes the
+#: cluster transitively). Net: EVERY identical-signature pair is
+#: either emitted directly or joined through its group representative,
+#: and the candidate bound stays O(N*cap) by construction.
+_IDENT_GROUP_CAP = 64
+
+
+def _ident_pairs(sig: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """(a_id, b_id) rescue candidates for identical-``sig_col`` groups:
+    full pairing for groups <= _IDENT_GROUP_CAP, min-id star above it
+    (see _IDENT_GROUP_CAP). One map-side-combined agg + one equi-join
+    on the signature value — never a pair join outside a group."""
+    groups = sig.groupBy(sig_col).agg(
+        F.count(F.lit(1)).alias("gn"), F.min(id_col).alias("rep")
+    )
+    g = sig.join(groups, sig_col).select(id_col, sig_col, "gn", "rep")
+    small = g.filter((F.col("gn") >= 2) & (F.col("gn") <= _IDENT_GROUP_CAP))
+    full = (
+        small.select(F.col(id_col).alias("a_id"), sig_col)
+        .join(small.select(F.col(id_col).alias("b_id"), sig_col), sig_col)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    star = (
+        g.filter((F.col("gn") > _IDENT_GROUP_CAP) & (F.col(id_col) != F.col("rep")))
+        .select(F.col("rep").alias("a_id"), F.col(id_col).alias("b_id"))
+    )
+    return full.unionAll(star)
+
 
 def simhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash from the sign of per-bit
     token-hash votes — bit i = sign of sum over distinct tokens of
     (+1/-1 per xxhash64 bit i). 64 bits (r7 verdict task 1, was 32):
     the signature must carry enough chunk entropy that 16-bit blocking
-    chunks are meaningful."""
-    docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    chunks are meaningful. Token-less documents are excluded (r8
+    ADVICE: every vote sum is 0 so they'd all share signature 0 and
+    form a spurious mutual Hamming-0 cluster; the portable twin
+    _shp_sig has always filtered them — now both sides agree)."""
+    docs = d.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
     hashes = docs.select(
         "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
     )
@@ -290,9 +334,15 @@ def simhash_pairs(
     clusters (exact rung's job) or degenerate chunks, and skipping
     them bounds candidates at O(N * cap) — the property that keeps
     this rung linear across a 100x scale-up instead of Theta(N^2 /
-    constant-bucket-space). Candidates dedup on the bare (a_id, b_id)
-    pair BEFORE signatures rejoin, so the distinct shuffles two longs
-    per row.
+    constant-bucket-space). Docs inside over-cap buckets are NOT
+    dropped outright (r8 verdict task 1): identical-signature groups
+    are paired directly via _ident_pairs (full pairing up to
+    _IDENT_GROUP_CAP, min-id star above), so a Hamming-0 clone whose
+    every chunk bucket is over cap still reaches the output — the
+    recall hole the r8 audit measured (43/300 planted clones) is
+    closed without giving up the O(N*cap) bound. Candidates dedup on
+    the bare (a_id, b_id) pair BEFORE signatures rejoin, so the
+    distinct shuffles two longs per row.
     """
     # the signature table feeds the chunk explode, the occupancy gate,
     # and both sides of the candidate rejoin — checkpoint it (one long
@@ -322,6 +372,7 @@ def simhash_pairs(
         a.join(b, ["ci", "cv"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
+        .unionAll(_ident_pairs(sig, "doc_id", "simhash"))
         .distinct()
     )
     sig_a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
@@ -342,9 +393,11 @@ def simhash_pairs(
     "signature from per-bit xxhash64 token votes, 4x16-bit chunk-blocked "
     "candidate join (pigeonhole guarantees recall at the registered "
     "Hamming<=3 cutoff) with an occupancy cap on chunk buckets "
-    "(over-cap buckets are dense identical clusters — the exact rung's "
-    "job — or degenerate chunks; skipping them bounds candidates at "
-    "O(N*cap)), then bit_count(xor) Hamming filter. Output across the "
+    "(over-cap buckets are dense identical clusters or degenerate "
+    "chunks; skipping them bounds candidates at O(N*cap), and the "
+    "r9 identical-signature rescue pairs their Hamming-0 members "
+    "directly so the cap costs no recall), then bit_count(xor) "
+    "Hamming filter. Output across the "
     "sf0.01/0.1/1 sweeps grows with true near-dup density, not "
     "corpus^2 (r7 verdict task 1 — the old 32-bit/1024-bucket/"
     "Hamming<=8 geometry emitted 727M rows at sf1). Recall on planted "
@@ -799,7 +852,9 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same-bucket images — never |images|^2 — and buckets over the "
     "shared occupancy cap are excluded (r8, the simhash_pairs "
     "discipline), bounding candidates at O(N*cap) despite the "
-    "constant 8-bit chunk space). Both Python stages are "
+    "constant 8-bit chunk space; identical-ahash groups are paired "
+    "directly via the r9 _ident_pairs rescue so the cap never costs "
+    "Hamming-0 recall). Both Python stages are "
     "Arrow-batched mapInPandas; the pairing stage shuffles (id, chunk) "
     "longs, and signatures rejoin only the deduped candidate ID pairs. "
     "This is the image twin of q_dedup_simhash and exercises the full "
@@ -897,10 +952,16 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = blocked.join(ok, ["ci", "cv"])
     a = capped.select(F.col("vec_id").alias("a_id"), "ci", "cv")
     b = capped.select(F.col("vec_id").alias("b_id"), "ci", "cv")
+    # identical-ahash rescue (r8 verdict task 1, shared with
+    # simhash_pairs): images whose every chunk bucket is over cap are
+    # dense identical-render clusters — pair them directly inside the
+    # hash group so the cap costs throughput headroom, never Hamming-0
+    # recall
     cand = (
         a.join(b, ["ci", "cv"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
+        .unionAll(_ident_pairs(sig, "vec_id", "ahash"))
         .distinct()
     )
     sa = sig.select(F.col("vec_id").alias("a_id"), F.col("ahash").alias("a_h"))
@@ -1402,9 +1463,11 @@ def _shp_sig_sql(src: str) -> str:
 
 def _shp_pairs_sql() -> str:
     """SQL CTE chain: from CTE ``sig`` to a ``pairs(a_id, b_id,
-    hamming)`` CTE — 4-chunk blocking, occupancy cap, Hamming filter
-    (the exact shape of the Spark side's simhash_pairs). Callers
-    append their own final SELECT over ``pairs``."""
+    hamming)`` CTE — 4-chunk blocking, occupancy cap, identical-
+    signature rescue (_ident_pairs: full pairing for groups <=
+    _IDENT_GROUP_CAP, min-id star above — r8 verdict task 1), Hamming
+    filter (the exact shape of the Spark side's simhash_pairs).
+    Callers append their own final SELECT over ``pairs``."""
     blocked = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS ci, (simhash // {1 << off}) % {1 << w} AS cv FROM sig"
         for i, (off, w) in enumerate(_SHP_CHUNKS)
@@ -1416,10 +1479,30 @@ def _shp_pairs_sql() -> str:
       HAVING count(*) <= {_SIMHASH_BUCKET_CAP}
     ),
     capped AS (SELECT b.* FROM blocked b JOIN ok USING (ci, cv)),
+    gsz AS (
+      SELECT simhash, count(*) AS gn, min(doc_id) AS rep
+      FROM sig GROUP BY simhash
+    ),
+    ident AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sig a
+      JOIN gsz g ON a.simhash = g.simhash
+                AND g.gn >= 2 AND g.gn <= {_IDENT_GROUP_CAP}
+      JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT g.rep AS a_id, s.doc_id AS b_id
+      FROM sig s
+      JOIN gsz g ON s.simhash = g.simhash
+                AND g.gn > {_IDENT_GROUP_CAP} AND s.doc_id <> g.rep
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM capped a JOIN capped b
-        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+      SELECT DISTINCT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM capped a JOIN capped b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a_id, b_id FROM ident
+      )
     ),
     pairs AS (
       SELECT c.a_id, c.b_id,
@@ -1467,8 +1550,9 @@ def _shp_sig(d: DataFrame) -> DataFrame:
 
 
 def _shp_pairs(sig: DataFrame) -> DataFrame:
-    """Spark twin of _shp_pairs_sql: blocking + occupancy cap + Hamming
-    filter over portable signatures."""
+    """Spark twin of _shp_pairs_sql: blocking + occupancy cap +
+    identical-signature rescue + Hamming filter over portable
+    signatures."""
     # same staging as simhash_pairs: the 62-fold portable vote pipeline
     # must run once, not once per consumer
     sig = sig.localCheckpoint(eager=False)
@@ -1492,6 +1576,7 @@ def _shp_pairs(sig: DataFrame) -> DataFrame:
         a.join(b, ["ci", "cv"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
+        .unionAll(_ident_pairs(sig, "doc_id", "simhash"))
         .distinct()
     )
     sig_a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
@@ -1517,9 +1602,10 @@ def _shp_pairs(sig: DataFrame) -> DataFrame:
     "signature from two portable polynomial token folds (multipliers "
     "31/37 mod 2^31-1; each fold's 31 informative bits vote "
     "independently), 4 disjoint ~16-bit chunks (pigeonhole recall at "
-    "the registered Hamming <= 3), and the occupancy cap on chunk "
-    "buckets — DuckDB reproduces every signature, bucket, cap "
-    "decision, and xor-popcount distance exactly. The correctness "
+    "the registered Hamming <= 3), the occupancy cap on chunk "
+    "buckets, and the r9 identical-signature rescue — DuckDB "
+    "reproduces every signature, bucket, cap decision, rescue pair, "
+    "and xor-popcount distance exactly. The correctness "
     "anchor for the xxhash64 production rung (q_dedup_simhash, "
     "rows-only by necessity) at the SAME blocking geometry: 2^15-2^16 "
     "values per chunk instead of the old constant 64, plus the "
@@ -1576,10 +1662,10 @@ _SHA_ONE_OFF = 2_000_000
     """,
     doc="SimHash blocking-quality audit at the production operating "
     "point: plant two deterministic clone classes on a bounded slice "
-    "(same-distinct-token-set repeats — Hamming 0, so pigeonhole "
-    "guarantees the BLOCKING finds them and any miss is precisely the "
-    "occupancy cap's cost on docs inside over-cap identical clusters, "
-    "the recall/throughput trade the cap makes explicit — and "
+    "(same-distinct-token-set repeats — Hamming 0, guaranteed found "
+    "since r9: under-cap buckets by pigeonhole blocking, over-cap "
+    "identical clusters by the _ident_pairs rescue, which closed the "
+    "r8-measured 43/300 cap recall hole — and "
     "one-novel-token appends, whose found/missed split measures "
     "signature stability under minimal edits), then run the "
     "UNMODIFIED production topology (62-bit portable signature, "
@@ -1954,6 +2040,14 @@ def q_dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: more corpus positions is duplicated text
 _XSUB_W = 50
 
+#: first-occurrence key = doc_id * 2^32 + pos (r8 ADVICE: the old 2^20
+#: shift overflowed for documents past ~1M tokens, silently colliding
+#: (doc_id, pos) keys in BOTH engines so the differential gate couldn't
+#: see it). Documented bounds: pos < 2^32 (a single document would need
+#: >4e9 tokens to overflow — beyond any real training document) and
+#: doc_id < 2^31 (the product stays inside a signed 64-bit long).
+_XSUB_POS_SHIFT = 1 << 32
+
 
 def _xsub_cte_sql() -> str:
     """DuckDB CTE chain ``toked/hashed/win/first_seen``: every 50-token
@@ -1978,7 +2072,7 @@ def _xsub_cte_sql() -> str:
       FROM hashed, unnest(range(1, len(tk) - {_XSUB_W - 2})) AS u(pos)),
     first_seen AS (
       SELECT wh, t0, t1,
-             CAST(min(doc_id * 1048576 + pos) AS BIGINT) AS first_occ,
+             CAST(min(doc_id * 4294967296 + pos) AS BIGINT) AS first_occ,
              CAST(count(*) AS BIGINT) AS n_occ
       FROM win GROUP BY wh, t0, t1)"""
 
@@ -2020,9 +2114,9 @@ def _xsub_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", "w.pos", "w.wh", "w.t0", "w.t1")
-    occ_key = (F.col("doc_id") * 1048576 + F.col("pos")).alias("occ")
+    occ_key = (F.col("doc_id") * _XSUB_POS_SHIFT + F.col("pos")).alias("occ")
     first_seen = wins.groupBy("wh", "t0", "t1").agg(
-        F.min(F.col("doc_id") * 1048576 + F.col("pos")).cast("bigint").alias("first_occ"),
+        F.min(F.col("doc_id") * _XSUB_POS_SHIFT + F.col("pos")).cast("bigint").alias("first_occ"),
         F.count(F.lit(1)).cast("bigint").alias("n_occ"),
     )
     return wins.join(first_seen, ["wh", "t0", "t1"]).select(
@@ -2038,9 +2132,9 @@ def _xsub_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_windows,
            CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_shared_windows,
-           CAST(sum(CASE WHEN w.doc_id * 1048576 + w.pos <> f.first_occ
+           CAST(sum(CASE WHEN w.doc_id * 4294967296 + w.pos <> f.first_occ
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-           CAST(sum(CASE WHEN w.doc_id * 1048576 + w.pos <> f.first_occ
+           CAST(sum(CASE WHEN w.doc_id * 4294967296 + w.pos <> f.first_occ
                          THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS dup_frac
     FROM win w JOIN first_seen f
@@ -2096,7 +2190,7 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w.doc_id, w.pos
       FROM win w JOIN first_seen f
         ON w.wh = f.wh AND w.t0 = f.t0 AND w.t1 = f.t1
-      WHERE w.doc_id * 1048576 + w.pos <> f.first_occ),
+      WHERE w.doc_id * 4294967296 + w.pos <> f.first_occ),
     marked AS (
       SELECT doc_id, pos,
              CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),

@@ -306,26 +306,39 @@ def test_ivf_pq_composite_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.12, f"IVF-PQ recall below measured floor (0.18 - margin): {recall}"
 
 
-def test_simhash_bucket_cap_drops_dense_clusters(spark):
-    """The occupancy cap's contract, both directions: an identical
-    cluster LARGER than the cap saturates all four chunk buckets and is
-    excluded from pairing (that class belongs to the exact-hash rung —
-    the bound that keeps candidates O(N * cap) at any corpus size),
-    while a cluster UNDER the cap is fully paired at Hamming 0."""
+def test_simhash_cap_rescue_contract(spark):
+    """The occupancy cap + identical-signature rescue contract (r9,
+    closing the r8 cap recall hole) in all three regimes: an identical
+    cluster under the bucket cap is fully paired by the blocking join;
+    a cluster OVER the bucket cap but within _IDENT_GROUP_CAP
+    saturates all four chunk buckets yet is STILL fully paired — by
+    the _ident_pairs rescue, at O(cluster^2) <= O(N * cap) cost; and a
+    cluster over _IDENT_GROUP_CAP degrades to a min-doc_id star
+    (O(cluster) pairs) that connected components closes transitively.
+    No Hamming-0 pair is ever silently dropped."""
+    import itertools
+
     from azurestorage_blueprints_spark.queries.dedup import (
+        _IDENT_GROUP_CAP,
         _SIMHASH_BUCKET_CAP,
         simhash_pairs,
         simhash_signatures,
     )
 
-    big = _SIMHASH_BUCKET_CAP + 8  # over-cap identical cluster
-    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(big)]
+    mid = _SIMHASH_BUCKET_CAP + 8  # over bucket cap, under ident cap
+    huge = _IDENT_GROUP_CAP + 10  # over both caps -> star
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(mid)]
     rows += [(100 + i, "omicron sigma tau upsilon phi chi psi omega") for i in range(5)]
+    rows += [(1000 + i, "lorem ipsum dolor sit amet consectetur adi") for i in range(huge)]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.a_id, r.b_id) for r in simhash_pairs(simhash_signatures(d)).collect()}
-    import itertools
 
-    small_expected = {(a, b) for a, b in itertools.combinations(range(100, 105), 2)}
-    assert got == small_expected, (
-        f"expected only the under-cap cluster's {len(small_expected)} pairs, got {len(got)}"
-    )
+    small = {(a, b) for a, b in itertools.combinations(range(100, 105), 2)}
+    rescued = {(a, b) for a, b in itertools.combinations(range(mid), 2)}
+    star = {(1000, 1000 + i) for i in range(1, huge)}
+    assert small <= got, "under-cap cluster must be fully paired by blocking"
+    assert rescued <= got, "over-bucket-cap identical cluster must be rescued in full"
+    assert star <= got, "over-ident-cap cluster must keep its min-id star"
+    extra_huge = {p for p in got if p[0] >= 1000} - star
+    assert not extra_huge, f"over-ident-cap cluster must emit ONLY the star: {extra_huge}"
+    assert got == small | rescued | star, f"unexpected cross-cluster pairs: {got - (small | rescued | star)}"

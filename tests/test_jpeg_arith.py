@@ -240,3 +240,42 @@ def test_qm_coder_roundtrips_random_decision_sequences():
         assert bytes(d_bank) == bytes(e_bank) and bytes(d_mps) == bytes(e_mps), (
             f"trial {trial}: adaptive state diverged"
         )
+
+
+def test_qm_encoder_drains_incrementally_on_long_streams():
+    """The r9 incremental byte-out (r8 ADVICE: the unbounded-int
+    accumulator was O(n^2) in entropy-stream length): a long decision
+    stream must cross the drain threshold many times — live window
+    pinned under _DRAIN_BITS, settled bytes in the drain buffer, carry
+    ripples applied there — and still roundtrip decision-exact with
+    identical adaptive state."""
+    import random
+
+    from azurestorage_blueprints_spark.operators.multimodal import (
+        _JpegArithDecoder,
+        _JpegArithEncoder,
+    )
+
+    rng = random.Random(7)
+    n_ctx = 4
+    # alternating bias segments force dense renorm churn AND long MPS
+    # runs (the carry-heavy regime where += temp ripples far)
+    seq = []
+    for seg in range(20):
+        bias = 0.97 if seg % 2 == 0 else 0.35
+        seq += [
+            (rng.randrange(n_ctx), 1 if rng.random() < bias else 0)
+            for _ in range(1500)
+        ]
+    enc = _JpegArithEncoder()
+    e_bank, e_mps = bytearray(n_ctx), bytearray(n_ctx)
+    for ctx, d in seq:
+        enc.code(e_bank, e_mps, ctx, d)
+        assert enc._width < enc._DRAIN_BITS + 16, "live window not drained"
+    assert len(enc._buf) > 0, "stream too short to exercise the drain path"
+    body = enc.flush() + b"\xff\xd9"
+    dec = _JpegArithDecoder(body, 0)
+    d_bank, d_mps = bytearray(n_ctx), bytearray(n_ctx)
+    got = [(ctx, dec.decode(d_bank, d_mps, ctx)) for ctx, _ in seq]
+    assert got == seq, "long-stream decision roundtrip diverged"
+    assert bytes(d_bank) == bytes(e_bank) and bytes(d_mps) == bytes(e_mps)

@@ -825,8 +825,11 @@ def test_exact_substring_exchanges_carry_fingerprints_not_arrays(spark, sf_dir):
 def test_simhash_pair_distinct_carries_ids_not_signatures(spark, sf_dir):
     """Candidate dedup aggregates on the bare (a_id, b_id) pair; the
     64-bit signatures rejoin AFTER the distinct (two longs per row
-    through the wide shuffle — the shape the rung's doc claims), and no
-    exchange carries a signature column."""
+    through the wide shuffle — the shape the rung's doc claims), so no
+    exchange or aggregate key may carry a REJOINED signature column
+    (a_sim/b_sim). Exchanges keyed on the bare `simhash` are the r9
+    identical-group rescue's group/self-join over the N-row signature
+    table — one long per row, by design."""
     import re
 
     plan = _plan(spark, "q_dedup_simhash", sf_dir)
@@ -836,7 +839,9 @@ def test_simhash_pair_distinct_carries_ids_not_signatures(spark, sf_dir):
             f"signature column in an aggregate key: {keys}"
         )
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
-        assert "sim" not in m, f"signature column in an exchange key: {m}"
+        assert "a_sim" not in m and "b_sim" not in m, (
+            f"rejoined signature column in an exchange key: {m}"
+        )
 
 
 def test_lsh_bucket_stats_is_pure_aggregation(spark, sf_dir):

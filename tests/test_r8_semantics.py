@@ -76,10 +76,13 @@ def test_lsh_bucket_stats_is_a_partition_of_docs(spark, sf_dir):
 
 def test_simhash_audit_reports_cap_cost_honestly(spark, sf_dir):
     """The audit's same-set clones have Hamming 0 by construction, so
-    every found one must report hamming == 0, and the found count plus
-    the over-cap losses must account for every clone (found <= planted,
-    and the blocking itself never misses an under-cap Hamming-0 pair —
-    spot-proven by at least one found clone per class at the gate SF)."""
+    every found one must report hamming == 0 — and since the r9
+    identical-signature rescue, EVERY planted same-set clone must be
+    found (the r8 cap recall hole — 43/300 clones inside over-cap
+    identical clusters never entered the pairing join — is closed;
+    the gate-SF slices' largest identical cluster is 18 docs = 36
+    fixture members, within _IDENT_GROUP_CAP, so full direct pairing
+    is the contract, not just reachability)."""
     rows = REGISTRY["q_dedup_simhash_audit"].fn(spark, sf_dir).collect()
     assert rows
     same = [r for r in rows if r.pair_type == "clone_same_set"]
@@ -95,10 +98,15 @@ def test_simhash_audit_reports_cap_cost_honestly(spark, sf_dir):
 
     n_planted = (
         table(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < 300) & (F.size(F.split("text", " ")) > 0))
+        .filter(
+            (F.col("doc_id") < 300)
+            & (F.size(F.filter(F.split("text", " "), lambda t: t != "")) > 0)
+        )
         .count()
     )
-    assert len(same) <= n_planted
+    assert len(same) == n_planted, (
+        f"rescue must recover every planted Hamming-0 clone: {len(same)}/{n_planted}"
+    )
 
 
 def test_substring_spans_are_merged_and_consistent(spark, sf_dir):
