@@ -139,9 +139,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: after every older never-checked name so the driver's fixed check
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
-    "q_dedup_simhash_audit", "q_dedup_lsh_bucket_stats",
-    "q_dedup_exact_substring", "q_dedup_substring_spans",
-    "q_multimodal_jpeg_arith", "q_quality_classifier_train",
+    "q_quality_classifier_apply", "q_dedup_substring_incremental",
 })
 
 

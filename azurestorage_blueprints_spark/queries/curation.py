@@ -578,7 +578,8 @@ _WATERFALL_ORACLE = f"""
       SELECT (n_tokens >= {{C4_MIN}} AND max_tok_len <= {{C4_MAXTOK}}
               AND n_chars <= {{C4_RATIO}} * n_tokens) AS c4,
              {_GOPHER_PASS} AS gopher,
-             ({{LANG_GUESS}}) = lang AS lang_ok
+             ({{LANG_GUESS}}) = lang AS lang_ok,
+             ({{QC_SCORE}}) > 0 AS qc
       FROM ints
     )
     SELECT CAST(count(*) AS BIGINT) AS n_all,
@@ -587,13 +588,19 @@ _WATERFALL_ORACLE = f"""
              AS n_after_gopher,
            CAST(sum(CASE WHEN c4 AND gopher AND lang_ok THEN 1 ELSE 0 END) AS BIGINT)
              AS n_after_langid,
+           CAST(sum(CASE WHEN c4 AND gopher AND lang_ok AND qc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_classifier,
            CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS BIGINT) AS c4_retention,
            CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE) AS gopher_retention,
            CAST(sum(CASE WHEN c4 AND gopher AND lang_ok THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS DOUBLE)
-             AS langid_retention
+             AS langid_retention,
+           CAST(sum(CASE WHEN c4 AND gopher AND lang_ok AND qc THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(sum(CASE WHEN c4 AND gopher AND lang_ok THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS classifier_retention
     FROM flags
 """
 
@@ -604,12 +611,14 @@ _WATERFALL_ORACLE = f"""
     doc="Curation-pipeline waterfall report: the survival counts a "
     "corpus team watches as filters stack — all documents, then C4 "
     "rule survivors, then C4+Gopher survivors, then C4+Gopher+"
-    "language-routing-agreement survivors — with per-stage retention "
-    "rates. Every per-document verdict is the EXACT rule expression "
-    "of its standalone query (q_text_c4_filters, q_text_gopher_rules, "
-    "q_text_langid shared SQL texts), so the waterfall cannot drift "
-    "from the filters it summarizes. ONE codegen scan computes all "
-    "three verdicts row-locally and a single map-side-combined "
+    "language-routing-agreement survivors, then (r9) the trained "
+    "quality-classifier keeps — with per-stage retention rates. Every "
+    "per-document verdict is the EXACT rule expression of its "
+    "standalone query (q_text_c4_filters, q_text_gopher_rules, "
+    "q_text_langid shared SQL texts, q_quality_classifier_apply's "
+    "frozen-weight score), so the waterfall cannot drift from the "
+    "filters it summarizes. ONE codegen scan computes all four "
+    "verdicts row-locally and a single map-side-combined "
     "aggregate emits the one-row report — at 100 TB this costs "
     "exactly one pass over the corpus, which is why waterfalls are "
     "reported this way rather than by materializing each stage.",
@@ -649,8 +658,12 @@ def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gopher_ok = F.expr(_GOPHER_PASS)
     lang_ok = X.lang_guess(F.col("text")) == F.col("lang")
+    qc_ok = _pct_apply_score_col() > 0
     flags = ints.select(
-        c4_ok.alias("c4"), gopher_ok.alias("gopher"), lang_ok.alias("lang_ok")
+        c4_ok.alias("c4"),
+        gopher_ok.alias("gopher"),
+        lang_ok.alias("lang_ok"),
+        qc_ok.alias("qc"),
     )
     n = F.count(F.lit(1)).cast("bigint")
     s1 = F.sum(F.when(F.col("c4"), 1).otherwise(0)).cast("bigint")
@@ -658,14 +671,20 @@ def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = F.sum(
         F.when(F.col("c4") & F.col("gopher") & F.col("lang_ok"), 1).otherwise(0)
     ).cast("bigint")
+    s4 = F.sum(
+        F.when(F.col("c4") & F.col("gopher") & F.col("lang_ok") & F.col("qc"), 1)
+        .otherwise(0)
+    ).cast("bigint")
     return flags.agg(
         n.alias("n_all"),
         s1.alias("n_after_c4"),
         s2.alias("n_after_gopher"),
         s3.alias("n_after_langid"),
+        s4.alias("n_after_classifier"),
         (s1.cast("double") / n).alias("c4_retention"),
         (s2.cast("double") / s1.cast("double")).alias("gopher_retention"),
         (s3.cast("double") / s2.cast("double")).alias("langid_retention"),
+        (s4.cast("double") / s3.cast("double")).alias("classifier_retention"),
     )
 
 
@@ -685,13 +704,18 @@ def _bind_waterfall_oracle() -> None:
     sql = sql.replace("{C4_MAXTOK}", str(_MAX_TOK_LEN))
     sql = sql.replace("{C4_RATIO}", str(_MAX_CHARS_PER_TOK))
     sql = sql.replace("{LANG_GUESS}", _sql_lang_guess())
+    sql = sql.replace(
+        "{QC_SCORE}",
+        _pct_apply_score_sql("list_filter(string_split(text, ' '), t -> t <> '')"),
+    )
     q = REGISTRY["q_curation_waterfall"]
     REGISTRY["q_curation_waterfall"] = Query(
         name=q.name, fn=q.fn, oracle=sql, doc=q.doc
     )
 
 
-_bind_waterfall_oracle()
+# bound at the END of the module: the classifier-stage score needs the
+# _PCT_* constants and _pct_apply_score_sql defined further down
 
 
 # ---------------------------------------------------------------------------
@@ -1045,3 +1069,114 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [StructField(f"w{i}", LongType(), False) for i in range(5)]
     )
     return spark.createDataFrame(rows, schema).orderBy("round")
+
+
+#: FROZEN round-6 weights from q_quality_classifier_train at the sf0.01
+#: reference run (trajectory 0 -> 0.512 -> 0.94 -> 0.958; see the
+#: training rung's doc). The apply rung ships them as literals — the
+#: production train-once/score-many split (r8 verdict task 2): training
+#: runs occasionally on a labeled slice, while THIS query is what the
+#: pipeline runs daily over the full corpus. Integer weights on binary
+#: indicators keep the score exact on both engines.
+_PCT_W = (-241, 205, 66, 12, 106)
+
+
+def _pct_apply_score_sql(tk: str = "tk") -> str:
+    """SQL scalar: the frozen-weight integer score over the training
+    rung's feature expressions; ``tk`` is the SQL expression for the
+    token list (a column name, or an inline string_split for callers
+    that don't carry one — the waterfall)."""
+    lst = ", ".join(f"'{w}'" for w in _PCT_STOPWORDS)
+    return (
+        f"{_PCT_W[0]} "
+        f"+ {_PCT_W[1]} * (CASE WHEN len({tk}) >= {_PCT_TOK_T1} THEN 1 ELSE 0 END) "
+        f"+ {_PCT_W[2]} * (CASE WHEN len(list_filter({tk}, t -> list_contains([{lst}], t))) "
+        f">= {_PCT_STOP_T} THEN 1 ELSE 0 END) "
+        f"+ {_PCT_W[3]} * (CASE WHEN len(list_filter({tk}, t -> length(t) > {_PCT_LONG_LEN})) "
+        f">= {_PCT_LONG_T} THEN 1 ELSE 0 END) "
+        f"+ {_PCT_W[4]} * (CASE WHEN len({tk}) >= {_PCT_TOK_T2} THEN 1 ELSE 0 END)"
+    )
+
+
+def _pct_apply_score_col() -> "F.Column":
+    """Spark twin of _pct_apply_score_sql over the documents `text`
+    column: exact integer score with the frozen weights."""
+    tk = tokens(F.col("text"))
+    sw = list(_PCT_STOPWORDS)
+    xs = [
+        F.lit(1).cast("bigint"),
+        (F.size(tk) >= _PCT_TOK_T1).cast("bigint"),
+        (F.size(F.filter(tk, lambda t: t.isin(sw))) >= _PCT_STOP_T).cast("bigint"),
+        (F.size(F.filter(tk, lambda t: F.length(t) > _PCT_LONG_LEN)) >= _PCT_LONG_T)
+        .cast("bigint"),
+        (F.size(tk) >= _PCT_TOK_T2).cast("bigint"),
+    ]
+    return sum(
+        (F.lit(_PCT_W[i]).cast("bigint") * xs[i] for i in range(5)),
+        F.lit(0).cast("bigint"),
+    )
+
+
+@register(
+    "q_quality_classifier_apply",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CASE WHEN n_chars >= {_PCT_LABEL_CHARS} THEN 1 ELSE -1 END AS y,
+             {_pct_apply_score_sql()} AS s
+      FROM (SELECT source, n_chars,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN s > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_drop,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS keep_rate,
+           CAST(sum(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(sum(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS agree_rate
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="Quality-classifier APPLY rung (r8 verdict task 2 — the half of "
+    "the CCNet loop a pipeline actually runs daily): score every "
+    "document with the FROZEN round-6 perceptron weights from "
+    "q_quality_classifier_train (literals in the query — the "
+    "production train-once/score-many split; no training, no joins, "
+    "no iteration) and report per-source keep/drop counts, keep rate, "
+    "and agreement with the deterministic length label the classifier "
+    "was trained against. Keep rule: integer score > 0 (the "
+    "perceptron's prediction convention — margin 0 counted as a "
+    "mistake in training for both labels). Shape (100 TB): ONE "
+    "codegen scan computes the five binary indicators and the integer "
+    "dot product row-locally; the only shuffle is the tiny per-source "
+    "map-side-combined aggregate. All counts are exact integers and "
+    "both rates divide the same exact integers on both engines.",
+)
+def q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    y = F.when(F.col("n_chars") >= _PCT_LABEL_CHARS, 1).otherwise(-1).cast("bigint")
+    scored = d.select("source", y.alias("y"), _pct_apply_score_col().alias("s"))
+    keep = F.col("s") > 0
+    agree = keep == (F.col("y") == 1)
+    n = F.count(F.lit(1)).cast("bigint")
+    nk = F.sum(F.when(keep, 1).otherwise(0)).cast("bigint")
+    nd = F.sum(F.when(keep, 0).otherwise(1)).cast("bigint")
+    na = F.sum(F.when(agree, 1).otherwise(0)).cast("bigint")
+    return (
+        scored.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            nk.alias("n_keep"),
+            nd.alias("n_drop"),
+            (nk.cast("double") / n.cast("double")).alias("keep_rate"),
+            na.alias("n_agree"),
+            (na.cast("double") / n.cast("double")).alias("agree_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_bind_waterfall_oracle()

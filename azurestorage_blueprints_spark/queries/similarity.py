@@ -162,27 +162,38 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_knn_ivf",
-    oracle=None,  # centroid means are order-sensitive double sums — rows-only
-    doc="IVF-style ANN: coarse centroids (per-label means — the inverted-file "
-    "assignment structure), queries multi-probe their 2 nearest centroids' "
-    "lists (nprobe=2 recovers neighbors that fall just across a Voronoi "
-    "boundary — the standard recall/cost knob). Demonstrates the two-stage "
-    "coarse-quantize → fine-score plan; at 100 TB the lists are "
-    "pre-partitioned so a probe touches nprobe partitions.",
-)
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    dim = F.size("embedding")
-    # centroid per label: element-wise mean via posexplode + groupBy
+def _ivf_mean_centroids(e: DataFrame) -> DataFrame:
+    """(label, centroid): per-label element-wise mean via posexplode +
+    groupBy — the coarse quantizer of the fast IVF rungs. Double means
+    are order-sensitive, which is why the consuming rungs are rows-only
+    AND why the persisted model table matters: freezing the trained
+    centroids removes run-to-run combine-order jitter from serving."""
     comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    centroids = (
+    return (
         comp.groupBy("label", "pos")
         .agg(F.avg("x").alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+@register(
+    "q_knn_ivf",
+    oracle=None,  # centroid means are order-sensitive double sums — rows-only
+    doc="IVF-style ANN: coarse centroids (per-label means — the inverted-file "
+    "assignment structure) read from the PERSISTED model table (r9: the "
+    "train-once/score-many split — the query pays probe + scoring cost, "
+    "training runs once per dataset), queries multi-probe their 2 nearest "
+    "centroids' lists (nprobe=2 recovers neighbors that fall just across a "
+    "Voronoi boundary — the standard recall/cost knob). Demonstrates the "
+    "two-stage coarse-quantize → fine-score plan; at 100 TB the lists are "
+    "pre-partitioned so a probe touches nprobe partitions.",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    centroids = _persisted_model(
+        spark, sf_dir, "ivf_centroids_mean", lambda: _ivf_mean_centroids(e)
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
@@ -985,7 +996,7 @@ _PQ_TRAIN_CAP = 4096
 )
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    codebook, codes = _pq_train(e)
+    codebook, codes = _pq_model(spark, e, sf_dir)
     adc = _pq_adc(e, codebook)
     # scoring join: corpus code triples x broadcast ADC table
     approx = (
@@ -1011,11 +1022,34 @@ _PQ_L2SQ = (
 )
 
 
-def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Train the PQ codebook (seed slices + one exact-quantized Lloyd
-    recenter pass) and encode the corpus against it. Returns
-    (codebook (j, s, cw), codes (vec_id, s, code)) — shared by the flat
-    PQ rung (q_knn_pq) and the IVF-PQ composite (q_knn_ivf_pq)."""
+def _pq_corpus_sub(e: DataFrame) -> DataFrame:
+    """(vec_id, s, sv): every vector exploded into its M subspace
+    slices — the input of both training assignment and encoding."""
+    sub = F.expr(_PQ_SUB)
+    return e.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"), "embedding"
+    ).select("vec_id", "s", sub.alias("sv"))
+
+
+def _pq_assign(src: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per (vector, subspace): the nearest codeword index, argmin over
+    exact IEEE distances with deterministic tie-break."""
+    l2sq = F.expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    rn = F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "j"))
+    scored = src.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "j", "sv", l2sq.alias("d")
+    )
+    return scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+
+
+def _pq_codebook_train(e: DataFrame) -> DataFrame:
+    """TRAIN the PQ codebook: seed slices + one exact-quantized Lloyd
+    recenter pass — (j, s, cw), M*K tiny rows. Deterministic at any
+    parallelism (bigint cell sums), so persisting it and re-reading is
+    bit-identical to retraining (pinned in tests/test_model_tables.py)."""
     sub = F.expr(_PQ_SUB)
     # initial codebook: seed j's subspace-s slice, M*K tiny rows
     codebook0 = (
@@ -1024,23 +1058,7 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("j", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"), "embedding")
         .select("j", "s", sub.alias("cw"))
     )
-    corpus_sub = e.select(
-        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"), "embedding"
-    ).select("vec_id", "s", sub.alias("sv"))
-    l2sq = F.expr(
-        "aggregate(zip_with(sv, cw, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
-        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    rn = F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "j"))
-
-    def assign(cb, src=None):
-        """Per (vector, subspace): the nearest codeword index, argmin
-        over exact IEEE distances with deterministic tie-break."""
-        scored = (src if src is not None else corpus_sub).join(
-            F.broadcast(cb), "s"
-        ).select("vec_id", "s", "j", "sv", l2sq.alias("d"))
-        return scored.withColumn("rn", rn).filter(F.col("rn") == 1)
-
+    corpus_sub = _pq_corpus_sub(e)
     # codebook TRAINING runs on a bounded deterministic hash-sample
     # (the production PQ recipe: train on a sample, encode the corpus
     # once). The sample rate keeps ~_PQ_TRAIN_CAP vectors at any corpus
@@ -1056,7 +1074,7 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     # nano-quantized mean of its assigned sub-vectors (bigint sums per
     # (s, code, dim) cell — 64*K cells at any corpus size), keeping the
     # seed codeword for cells that attracted no members
-    a0 = assign(codebook0, src=train_sub).select("s", F.col("j").alias("code"), "sv")
+    a0 = _pq_assign(train_sub, codebook0).select("s", F.col("j").alias("code"), "sv")
     cell = a0.select(
         "s", "code", F.posexplode(F.col("sv")).alias("dim", "x")
     ).groupBy("s", "code", "dim").agg(
@@ -1072,22 +1090,94 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).alias("cw_t")
         )
     )
-    codebook = (
+    return (
         codebook0.join(
             trained,
             (codebook0.s == trained.s) & (codebook0.j == trained.code),
             "left",
         )
-        .select(codebook0.j, codebook0.s, F.coalesce("cw_t", "cw").alias("cw"))
+        .select(
+            codebook0.j,
+            codebook0.s,
+            F.coalesce(F.col("cw_t"), F.transform("cw", lambda x: x.cast("double")))
+            .alias("cw"),
+        )
     )
-    # corpus codes: per (vector, subspace) the nearest TRAINED codeword.
+
+
+def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """IN-QUERY training path: train the PQ codebook and encode the
+    corpus against it. Returns (codebook (j, s, cw), codes (vec_id, s,
+    code)). Production rungs read the PERSISTED codebook instead
+    (_pq_model); this path remains the parity anchor the model table is
+    tested against."""
     # Both outputs feed two consumers each (codes -> scoring join, the
     # codebook -> codes AND the ADC tables): persist so the Lloyd
     # training DAG runs once per query, not once per consumer — callers
     # release both via finalize_bounded once their bounded top-k
     # materializes (cache-hygiene contract)
-    codebook = codebook.persist()
-    codes = assign(codebook).select("vec_id", "s", F.col("j").alias("code")).persist()
+    codebook = _pq_codebook_train(e).persist()
+    codes = (
+        _pq_assign(_pq_corpus_sub(e), codebook)
+        .select("vec_id", "s", F.col("j").alias("code"))
+        .persist()
+    )
+    return codebook, codes
+
+
+# ---------------------------------------------------------------------------
+# Persisted model tables (r8 verdict task 3) — the production
+# train-once/score-many split. The Lloyd-trained PQ codebook and the
+# IVF coarse-centroid tables are tiny (M*K rows / one row per label)
+# and fully deterministic (bigint-quantized sums), so each is written
+# ONCE per dataset as a parquet model table under <repo>/models/ and
+# every scoring rung READS it — re-running a kNN query pays encoding +
+# scoring cost only, never the training aggregates. The path carries
+# the geometry constants, so changing any of them orphans (never
+# poisons) an existing model; parquet stores IEEE doubles exactly, so
+# read-back equals retraining bit-for-bit (tests/test_model_tables.py).
+# The q_knn_ivf mean-centroid model is additionally what makes that
+# rung STABLE: its double means are order-sensitive, and freezing them
+# in a model table is precisely how production removes that run-to-run
+# jitter from the serving path.
+
+_MODEL_VERSION = f"v1_K{_PQ_K}_D{_PQ_D}_QZ{_PQ_QZ}_CAP{_PQ_TRAIN_CAP}"
+
+
+def _model_path(sf_dir: str, name: str) -> str:
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir, os.pardir, "models"
+    )
+    return os.path.join(os.path.normpath(root), f"{name}_{_MODEL_VERSION}_{base}")
+
+
+def _persisted_model(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Read the ``name`` model table for ``sf_dir``, training and
+    writing it first iff absent (the _SUCCESS marker is the atomicity
+    contract of a parquet write)."""
+    import os
+
+    path = _model_path(sf_dir, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _pq_model(spark: SparkSession, e: DataFrame, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Score-many path: the persisted PQ codebook + freshly encoded
+    corpus codes. Same (codebook, codes) contract as _pq_train, without
+    the in-query Lloyd pass."""
+    codebook = _persisted_model(
+        spark, sf_dir, "pq_codebook", lambda: _pq_codebook_train(e)
+    ).persist()
+    codes = (
+        _pq_assign(_pq_corpus_sub(e), codebook)
+        .select("vec_id", "s", F.col("j").alias("code"))
+        .persist()
+    )
     return codebook, codes
 
 
@@ -1137,19 +1227,16 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_knn_ivf_pq(spark: SparkSession, sf_dir: str):
     """Plan builder (pre-finalize): returns (result, persisted codebook,
-    persisted codes) so the physical-plan gates can inspect the join."""
+    persisted codes) so the physical-plan gates can inspect the join.
+    Both models come from the persisted tables (r9): the query pays
+    encode + probe + ADC scoring cost; the Lloyd pass ran once."""
     e = table(spark, sf_dir, "embeddings")
-    codebook, codes = _pq_train(e)
+    codebook, codes = _pq_model(spark, e, sf_dir)
     adc = _pq_adc(e, codebook)
-    # coarse stage (q_knn_ivf shape): per-label mean centroids, queries
-    # probe their nprobe nearest lists
-    comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    centroids = (
-        comp.groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    # coarse stage (q_knn_ivf shape): per-label mean centroids from the
+    # model table, queries probe their nprobe nearest lists
+    centroids = _persisted_model(
+        spark, sf_dir, "ivf_centroids_mean", lambda: _ivf_mean_centroids(e)
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
@@ -1551,6 +1638,29 @@ def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFX_QZ = 1_000_000_000
 
 
+def _ivf_exact_centroids(e: DataFrame) -> DataFrame:
+    """(label, centroid): per-label centroids as nano-quantized bigint
+    sums divided once — order-insensitive, bit-identical at any
+    parallelism, so the persisted model table reads back exactly what
+    the oracle recomputes from the data."""
+    comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.sum(F.expr(f"cast(round(x * {_IVFX_QZ}.0) as bigint)")).alias("qs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.expr(f"CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_IVFX_QZ}.0)").alias("c"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
 @register(
     "q_knn_ivf_exact",
     oracle=f"""
@@ -1601,25 +1711,15 @@ _IVFX_QZ = 1_000_000_000
     "cosine with deterministic tie-break, candidate scoring as an "
     "equi-join on the list key — the join shape that survives 100 TB "
     "(a probe touches nprobe pre-partitioned lists, never the "
-    "corpus). Centroid-build cost is one (label x dim) hash-agg.",
+    "corpus). Centroid-build cost is one (label x dim) hash-agg, paid "
+    "ONCE per dataset: the centroids live in a persisted model table "
+    "(r9 train-once/score-many) and being exact bigint-quantized sums "
+    "they read back bit-identical, so the oracle still matches.",
 )
 def q_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    centroids = (
-        comp.groupBy("label", "pos")
-        .agg(
-            F.sum(F.expr(f"cast(round(x * {_IVFX_QZ}.0) as bigint)")).alias("qs"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-        .select(
-            "label",
-            "pos",
-            F.expr(f"CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_IVFX_QZ}.0)").alias("c"),
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    centroids = _persisted_model(
+        spark, sf_dir, "ivf_centroids_exact", lambda: _ivf_exact_centroids(e)
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")

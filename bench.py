@@ -139,6 +139,14 @@ HEADLINE = [
     # and the quality-classifier training loop
     "q_multimodal_jpeg_arith",
     "q_quality_classifier_train",
+    # round-9 additions: the classifier APPLY rung (train-once/
+    # score-many scoring pass), incremental ExactSubstr (arrival-batch
+    # window overlap vs the standing corpus), and q_knn_pq now that it
+    # reads the persisted codebook (its bench number tracks pure
+    # encode+ADC scoring cost next to q_knn_ivf_pq's)
+    "q_quality_classifier_apply",
+    "q_dedup_substring_incremental",
+    "q_knn_pq",
 ]
 
 
@@ -187,6 +195,16 @@ RUNS_PER_QUERY = 3
 #: ±15% target).
 EXTRA_RUNS = {"q_knn_ivf_pq": 7}
 
+#: adaptive generalization of EXTRA_RUNS (r8 verdict task 7): ANY rung
+#: whose first RUNS_PER_QUERY samples have a median at or above this
+#: threshold continues to LONG_RUNS samples — the expensive rungs are
+#: exactly where session-position noise moves absolute seconds, so
+#: they all get the median-of-7 treatment, not just the one that was
+#: flagged. Cheap rungs keep 3 samples (7 would stretch the suite for
+#: no precision gain on sub-second medians).
+ADAPTIVE_THRESH_SEC = 2.0
+LONG_RUNS = 7
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -214,11 +232,21 @@ def main() -> None:
             run_query(registry[name].fn(spark, sf_dir))
             spark.catalog.clearCache()
             samples = []
-            for _ in range(EXTRA_RUNS.get(name, RUNS_PER_QUERY)):
+            n_runs = EXTRA_RUNS.get(name, RUNS_PER_QUERY)
+            while len(samples) < n_runs:
                 t0 = time.perf_counter()
                 run_query(registry[name].fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
+                # adaptive extension (r8 verdict task 7): once the
+                # base samples are in, an expensive rung widens to
+                # LONG_RUNS so every >=2 s median is a median-of-7
+                if (
+                    len(samples) == n_runs
+                    and n_runs < LONG_RUNS
+                    and sorted(samples)[len(samples) // 2] >= ADAPTIVE_THRESH_SEC
+                ):
+                    n_runs = LONG_RUNS
             # JVM-state reset at the QUERY boundary only: a System.gc()
             # between timed runs flushes JITed code and the deopt bleeds
             # into the next sample (measured +10 s across the suite);

@@ -855,3 +855,32 @@ def test_lsh_bucket_stats_is_pure_aggregation(spark, sf_dir):
     assert "Join" not in plan, "the occupancy audit must not join anything"
     n = len(re.findall(r"hashpartitioning\(", plan))
     assert n <= 3, f"{n} key shuffles in a three-agg histogram"
+
+
+def test_classifier_apply_is_single_scan_no_joins(spark, sf_dir):
+    """The apply rung's contract (r9): frozen weights as literals mean
+    NO join anywhere — one codegen scan computes the indicators and
+    the integer dot product, and the only exchange is the tiny
+    per-source aggregate. Training cost must never leak back into the
+    daily scoring pass."""
+    import re
+
+    plan = _plan(spark, "q_quality_classifier_apply", sf_dir)
+    assert "Join" not in plan, "scoring pass must not join anything"
+    assert "CartesianProduct" not in plan
+    n = len(re.findall(r"hashpartitioning\(", plan))
+    assert n <= 1, f"{n} exchanges in a scan + one-source-agg plan"
+    assert "ReadSchema" in plan and "text" in plan
+
+
+def test_incremental_substring_joins_on_window_key_not_arrays(spark, sf_dir):
+    """Arrival x standing-corpus overlap joins on the window
+    fingerprint key; no exchange may carry the token or hash ARRAYS
+    (the r7 exact-substring discipline), and there is no pair join —
+    the plan's joins are the key equi-join only."""
+    import re
+
+    plan = _plan(spark, "q_dedup_substring_incremental", sf_dir)
+    assert "CartesianProduct" not in plan
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "tk#" not in m and "hs#" not in m, f"array column in exchange: {m}"

@@ -34,6 +34,17 @@ ARTIFACTS = [
     ("ORACLE_LOCAL_SF1.json", {"documents": 50_000, "embeddings": 20_000}),
 ]
 
+#: r9 verdict task 6: the sf10 PAIR-RUNG spot sweep (rows-only, six
+#: rungs — scripts/make_sf10_pairs.py + scripts/sweep_sf10_pairs.py)
+#: extends the linearity evidence one more decade. Its tiling keeps
+#: the sf1 duplicate-multiplicity regime (10 verbatim copies inside
+#: each of 10 token-salted super-blocks), so the same c values apply.
+#: Used by the linear gate only — the completeness check needs a FULL
+#: registry artifact, which this deliberately is not.
+SPOT_ARTIFACTS = [
+    ("ORACLE_LOCAL_SF10_PAIRS.json", {"documents": 500_000, "embeddings": 200_000}),
+]
+
 #: rung -> (N basis table, c). Output rows must be <= c * N + FLOOR.
 PAIR_RUNGS = {
     # SimHash ladder: occupancy cap bounds candidates at O(N * cap);
@@ -67,7 +78,7 @@ def _load(name: str) -> dict | None:
 def test_pair_rung_output_stays_linear(rung):
     basis, c = PAIR_RUNGS[rung]
     checked = 0
-    for art_name, bases in ARTIFACTS:
+    for art_name, bases in ARTIFACTS + SPOT_ARTIFACTS:
         art = _load(art_name)
         if art is None:  # sf1 artifact is gitignored-data derived; may lag
             continue
