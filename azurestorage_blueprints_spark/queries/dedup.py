@@ -2080,7 +2080,14 @@ def _xsub_cte_sql() -> str:
 def _xsub_win(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the ``win`` CTE in :func:`_xsub_cte_sql`: every
     50-token window occurrence — (doc_id, pos, wh, t0, t1)."""
-    d = table(spark, sf_dir, "documents")
+    return _xsub_win_of(table(spark, sf_dir, "documents"))
+
+
+def _xsub_win_of(d: DataFrame) -> DataFrame:
+    """Window fingerprints of any (doc_id, text) frame. Every
+    expression is ROW-LOCAL (select/filter/explode, no window, no
+    aggregation), so the same pipeline is streaming-legal — the
+    property q_stream_substring_incremental rides."""
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
         F.size("tk") >= _XSUB_W
     )

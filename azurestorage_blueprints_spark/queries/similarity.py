@@ -1144,6 +1144,28 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
 _MODEL_VERSION = f"v1_K{_PQ_K}_D{_PQ_D}_QZ{_PQ_QZ}_CAP{_PQ_TRAIN_CAP}"
 
 
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the dataset all three models are
+    trained from: size + first/last 64 KB of embeddings.parquet. A
+    regenerated dataset (even under the same directory name) changes
+    the fingerprint, so a committed model can go STALE-AND-ORPHANED but
+    never stale-and-silently-reused — the hazard a name-keyed model
+    store has that a production feature store solves the same way."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.sha1()
+    size = os.path.getsize(p)
+    h.update(str(size).encode())
+    with open(p, "rb") as f:
+        h.update(f.read(65536))
+        if size > 65536:
+            f.seek(-65536, os.SEEK_END)
+            h.update(f.read(65536))
+    return h.hexdigest()[:10]
+
+
 def _model_path(sf_dir: str, name: str) -> str:
     import os
 
@@ -1151,7 +1173,10 @@ def _model_path(sf_dir: str, name: str) -> str:
     root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), os.pardir, os.pardir, "models"
     )
-    return os.path.join(os.path.normpath(root), f"{name}_{_MODEL_VERSION}_{base}")
+    return os.path.join(
+        os.path.normpath(root),
+        f"{name}_{_MODEL_VERSION}_{base}_{_embeddings_fingerprint(sf_dir)}",
+    )
 
 
 def _persisted_model(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:

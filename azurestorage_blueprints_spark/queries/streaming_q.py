@@ -634,3 +634,72 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(verdicted, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stream_substring_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.dedup import _xsub_cte_sql
+
+    return f"""
+    WITH {_xsub_cte_sql()},
+    arr AS (SELECT doc_id, pos, wh, t0, t1 FROM win WHERE doc_id % 10 = 0),
+    standing AS (SELECT DISTINCT wh, t0, t1 FROM win WHERE doc_id % 10 <> 0)
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN s.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corpus_dup_windows,
+           CAST(sum(CASE WHEN s.wh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS corpus_dup_frac
+    FROM arr a LEFT JOIN standing s
+      ON a.wh = s.wh AND a.t0 = s.t0 AND a.t1 = s.t1
+    GROUP BY a.doc_id
+    """
+
+
+@register(
+    "q_stream_substring_incremental",
+    oracle=_stream_substring_oracle(),
+    doc="Streaming incremental ExactSubstr — the readStream form of "
+    "q_dedup_substring_incremental, completing the family the MinHash "
+    "tier already has (q_stream_dedup_incremental): arrival documents "
+    "replay as file-source micro-batches, each fingerprints its "
+    "50-token windows ROW-LOCALLY (the _xsub_win_of pipeline is pure "
+    "select/filter/explode — no window function, no pre-aggregation — "
+    "which is what makes this ONE legal streaming plan), LEFT-joins "
+    "the standing corpus's DISTINCT window-key table (stream-static on "
+    "(fingerprint, guard tokens) — the persisted signature-store "
+    "pattern), and one complete-mode aggregation per arrival doc "
+    "counts total vs already-in-corpus windows. Arithmetically "
+    "identical to the batch split, which the oracle proves by "
+    "reproducing every count from the shared window CTE. Shape "
+    "(100 TB): per-arrival work is O(doc tokens); the static side is a "
+    "stored key table reused across micro-batches; state is one "
+    "counter pair per in-flight arrival doc.",
+)
+def q_stream_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries.dedup import _xsub_win_of
+
+    staged = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    a_win = _xsub_win_of(arrivals)
+    corpus = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    standing = (
+        _xsub_win_of(corpus)
+        .select("wh", "t0", "t1")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    joined = a_win.join(F.broadcast(standing), ["wh", "t0", "t1"], "left")
+    n = F.count(F.lit(1)).cast("bigint")
+    nd = F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0)).cast("bigint")
+    agg = joined.groupBy("doc_id").agg(
+        n.alias("n_windows"),
+        nd.alias("n_corpus_dup_windows"),
+        (nd.cast("double") / n.cast("double")).alias("corpus_dup_frac"),
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
