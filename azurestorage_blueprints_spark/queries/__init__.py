@@ -140,7 +140,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_quality_classifier_apply", "q_dedup_substring_incremental",
-    "q_stream_substring_incremental",
+    "q_stream_substring_incremental", "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_audit",
 })
 
 

@@ -147,6 +147,8 @@ HEADLINE = [
     "q_quality_classifier_apply",
     "q_dedup_substring_incremental",
     "q_knn_pq",
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_audit",
 ]
 
 

@@ -32,6 +32,7 @@ PAIR_RUNGS = [
     "q_dedup_minhash_lsh",
     "q_dedup_minhash_portable",
     "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
     "q_multimodal_image_ahash",
 ]
 

@@ -92,3 +92,29 @@ def test_incremental_substring_nests_in_full_rung(spark, sf_dir):
     assert any(r.n_corpus_dup_windows > 0 for r in inc.values()), (
         "the corpus's identical-doc clusters must surface cross-split overlap"
     )
+
+
+def test_embedding_lsh_audit_full_identical_recall(spark, sf_dir):
+    """Planted byte-identical vector clones have signature-equal
+    Hamming 0 and cosine exactly 1.0 — EVERY one must be found (the
+    blocking + identical-signature rescue recall floor), and perturbed
+    clones must stay within the pigeonhole cutoff when found."""
+    from azurestorage_blueprints_spark.queries.dedup import _ELA_SLICE
+    from azurestorage_blueprints_spark.tables import table
+
+    rows = REGISTRY["q_dedup_embedding_lsh_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    ident = [r for r in rows if r.pair_type == "clone_identical"]
+    n_planted = table(spark, sf_dir, "embeddings").filter(
+        f"vec_id < {_ELA_SLICE}"
+    ).count()
+    assert len(ident) == n_planted, (
+        f"identical-clone recall must be total: {len(ident)}/{n_planted}"
+    )
+    for r in ident:
+        # the sequential-fold cosine of identical vectors can land a
+        # few ulp under 1.0 (dot vs nrm*nrm round differently); the
+        # oracle hash-matches the exact value, the gate pins ~1
+        assert r.hamming == 0 and r.sim >= 1.0 - 1e-12
+    for r in rows:
+        assert 0 <= r.hamming <= 3 and r.sim >= 0.8

@@ -57,6 +57,9 @@ PAIR_RUNGS = {
     "q_dedup_minhash_portable": ("documents", 16),
     # label-blocked embedding cosine: ~5 pairs/vector at sf1
     "q_dedup_embedding": ("embeddings", 16),
+    # sign-LSH embedding blocking (r9): shares the simhash machinery
+    # (occupancy cap + identical-signature rescue), same density basis
+    "q_dedup_embedding_lsh": ("embeddings", 16),
     # aHash blocking (image twin of the SimHash rung, occupancy-capped
     # like it): ~5 pairs/vector at sf1
     "q_multimodal_image_ahash": ("embeddings", 16),
