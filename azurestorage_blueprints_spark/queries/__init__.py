@@ -141,7 +141,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_quality_classifier_apply", "q_dedup_substring_incremental",
     "q_stream_substring_incremental", "q_dedup_embedding_lsh",
-    "q_dedup_embedding_lsh_audit",
+    "q_dedup_embedding_lsh_audit", "q_knn_pq_codebook",
 })
 
 

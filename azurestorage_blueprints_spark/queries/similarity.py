@@ -966,6 +966,12 @@ _PQ_QZ = 1_000_000_000
 #: sample); below the cap the whole corpus trains, so test-SF results
 #: are identical to full training
 _PQ_TRAIN_CAP = 4096
+#: portable training-sample hash: (vec_id * KNUTH) % 2^31, residue mod
+#: train_mod — integer-exact on both engines (q_knn_pq_codebook's
+#: oracle reproduces the sample, the Lloyd assignment, and every
+#: recentred codeword)
+_PQ_SAMPLE_MULT = 2654435761
+_PQ_SAMPLE_M = 1 << 31
 
 
 @register(
@@ -1066,19 +1072,29 @@ def _pq_codebook_train(e: DataFrame) -> DataFrame:
     # test-SF results (and the recall-gate floors) are unchanged.
     n_vecs = e.count()
     train_mod = max(1, n_vecs // _PQ_TRAIN_CAP)
-    # xxhash64, not a multiplicative stride: (id * K) % m == 0 is
-    # exactly id % m == 0 for prime K, which under periodic id
-    # assignment (round-robin shards) would train on one shard only
-    train_sub = corpus_sub.filter(F.pmod(F.xxhash64("vec_id"), F.lit(train_mod)) == 0)
+    # PORTABLE sample hash (r9: was xxhash64, which kept the trained
+    # codebook un-oracle-checkable — q_knn_pq_codebook now reproduces
+    # the whole Lloyd pass in DuckDB): Knuth's multiplicative mix
+    # folded mod 2^31 BEFORE the residue, so unlike a bare
+    # (id * K) % m stride the kept set is not periodic in id (the
+    # round-robin-shard hazard the old comment guarded against).
+    # Below _PQ_TRAIN_CAP vectors train_mod == 1 and the whole corpus
+    # trains — test-SF codebooks are unchanged by the hash swap.
+    h = F.pmod(F.col("vec_id") * F.lit(_PQ_SAMPLE_MULT), F.lit(_PQ_SAMPLE_M))
+    train_sub = corpus_sub.filter(F.pmod(h, F.lit(train_mod)) == 0)
     # one Lloyd iteration: recenter each codeword on the exact
     # nano-quantized mean of its assigned sub-vectors (bigint sums per
     # (s, code, dim) cell — 64*K cells at any corpus size), keeping the
     # seed codeword for cells that attracted no members
     a0 = _pq_assign(train_sub, codebook0).select("s", F.col("j").alias("code"), "sv")
+    # floor(x*QZ + 0.5), not round(): the engines' round() semantics
+    # differ on negative halves (the q_knn_int8 convention) — with the
+    # r9 oracle twin (q_knn_pq_codebook) the quantizer must be the
+    # same expression on both sides
     cell = a0.select(
         "s", "code", F.posexplode(F.col("sv")).alias("dim", "x")
     ).groupBy("s", "code", "dim").agg(
-        F.sum(F.expr(f"cast(round(cast(x as double) * {_PQ_QZ}) as bigint)")).alias("qsum"),
+        F.sum(F.expr(f"cast(floor(cast(x as double) * {_PQ_QZ} + 0.5) as bigint)")).alias("qsum"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     trained = (
@@ -1141,7 +1157,7 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
 # in a model table is precisely how production removes that run-to-run
 # jitter from the serving path.
 
-_MODEL_VERSION = f"v1_K{_PQ_K}_D{_PQ_D}_QZ{_PQ_QZ}_CAP{_PQ_TRAIN_CAP}"
+_MODEL_VERSION = f"v2_K{_PQ_K}_D{_PQ_D}_QZ{_PQ_QZ}_CAP{_PQ_TRAIN_CAP}"
 
 
 def _embeddings_fingerprint(sf_dir: str) -> str:
@@ -1204,6 +1220,91 @@ def _pq_model(spark: SparkSession, e: DataFrame, sf_dir: str) -> tuple[DataFrame
         .persist()
     )
     return codebook, codes
+
+
+def _pq_codebook_oracle_sql() -> str:
+    """DuckDB twin of the ENTIRE _pq_codebook_train Lloyd pass: portable
+    sample → seed assignment (argmin over exact sequential-fold L2^2
+    with the (d, j) tie-break) → nano-quantized recenter → seed
+    fallback for empty cells. Long (s, code, dim, cw) format so every
+    codeword component is a hash-checked scalar."""
+    l2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, 9), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), "
+        "(a, x) -> a + x)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT greatest(1, count(*) // {_PQ_TRAIN_CAP}) AS train_mod FROM e),
+    seeds AS (
+      SELECT vec_id AS j, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS cw
+      FROM e, unnest(range(0, {_PQ_M})) AS u(s) WHERE vec_id < {_PQ_K}),
+    sub AS (
+      SELECT vec_id, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sv
+      FROM e, unnest(range(0, {_PQ_M})) AS u(s)
+      WHERE ((vec_id * {_PQ_SAMPLE_MULT}) % {_PQ_SAMPLE_M})
+            % (SELECT train_mod FROM nv) = 0),
+    scored AS (
+      SELECT sub.vec_id, sub.s, seeds.j, sub.sv, {l2} AS d
+      FROM sub JOIN seeds ON sub.s = seeds.s),
+    assigned AS (
+      SELECT t.s, t.j AS code, t.sv FROM (
+        SELECT scored.*, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM scored) t WHERE t.rn = 1),
+    cells AS (
+      SELECT s, code, u.dim,
+             CAST(sum(CAST(floor(sv[u.dim + 1] * {_PQ_QZ} + 0.5) AS BIGINT)) AS BIGINT)
+               AS qsum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM assigned, unnest(range(0, {_PQ_D})) AS u(dim)
+      GROUP BY s, code, u.dim),
+    trained AS (
+      SELECT s, code, dim,
+             cast(qsum as double) / (cast(n as double) * {_PQ_QZ}) AS m
+      FROM cells),
+    seedex AS (
+      SELECT s, j AS code, u.dim, CAST(cw[u.dim + 1] AS DOUBLE) AS seed_val
+      FROM seeds, unnest(range(0, {_PQ_D})) AS u(dim))
+    SELECT se.s, se.code, se.dim, coalesce(t.m, se.seed_val) AS cw
+    FROM seedex se
+    LEFT JOIN trained t ON se.s = t.s AND se.code = t.code AND se.dim = t.dim
+    ORDER BY se.s, se.code, se.dim
+    """
+
+
+@register(
+    "q_knn_pq_codebook",
+    oracle=_pq_codebook_oracle_sql(),
+    doc="The Lloyd-trained PQ codebook ITSELF as an oracle-checked "
+    "query (r9): until now the codebook was only Spark-parity-tested "
+    "(model table == in-query retraining), which proves determinism "
+    "but not correctness — this rung makes DuckDB reproduce the ENTIRE "
+    "training pass bit-for-bit: the portable multiplicative sample "
+    "hash, the seed-slice initial codebook, every sub-vector's argmin "
+    "assignment over exact sequential-fold L2^2 distances with the "
+    "(distance, index) tie-break, the nano-quantized bigint recenter "
+    "sums, and the seed fallback for empty cells. Output is the long "
+    "(subspace, code, dim, component) table — 8x16x8 = 1,024 scalar "
+    "rows — the exact content of the persisted pq_codebook model "
+    "table, so the train-once/score-many split's stored artifact is "
+    "now differential-checked, not just reproducible. Shape (100 TB): "
+    "training reads a capped ~4096-vector sample at any corpus size; "
+    "the recenter is a 1,024-cell integer agg — this query costs the "
+    "same as the training step it audits, by construction.",
+)
+def q_knn_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook_train(e)
+    return (
+        cb.select(
+            "s",
+            F.col("j").alias("code"),
+            F.posexplode("cw").alias("dim", "cw_val"),
+        )
+        .select("s", "code", "dim", F.col("cw_val").alias("cw"))
+        .orderBy("s", "code", "dim")
+    )
 
 
 def _pq_adc(e: DataFrame, codebook: DataFrame) -> DataFrame:

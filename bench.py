@@ -149,6 +149,7 @@ HEADLINE = [
     "q_knn_pq",
     "q_dedup_embedding_lsh",
     "q_dedup_embedding_lsh_audit",
+    "q_knn_pq_codebook",
 ]
 
 
