@@ -1222,19 +1222,24 @@ def _pq_model(spark: SparkSession, e: DataFrame, sf_dir: str) -> tuple[DataFrame
     return codebook, codes
 
 
-def _pq_codebook_oracle_sql() -> str:
-    """DuckDB twin of the ENTIRE _pq_codebook_train Lloyd pass: portable
-    sample → seed assignment (argmin over exact sequential-fold L2^2
-    with the (d, j) tie-break) → nano-quantized recenter → seed
-    fallback for empty cells. Long (s, code, dim, cw) format so every
-    codeword component is a hash-checked scalar."""
-    l2 = (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(range(1, 9), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), "
-        "(a, x) -> a + x)"
-    )
-    return f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+#: shared sequential-fold L2^2 between a sub-vector ``sv`` and a
+#: codeword ``cw`` — the exact expression _pq_assign folds in Spark
+_PQ_L2_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 9), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), "
+    "(a, x) -> a + x)"
+)
+
+
+def _pq_codebook_cte_sql() -> str:
+    """DuckDB CTE chain reproducing the ENTIRE _pq_codebook_train Lloyd
+    pass — portable sample → seed assignment (argmin over exact
+    sequential-fold L2^2 with the (d, j) tie-break) → nano-quantized
+    recenter → seed fallback — ending in ``cbl(s, code, dim, cw)``
+    (long format) and ``cwl(s, code, cw LIST)``. Shared by the codebook
+    equivalence rung and the model-drift monitor."""
+    l2 = _PQ_L2_SQL
+    return f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     nv AS (SELECT greatest(1, count(*) // {_PQ_TRAIN_CAP}) AS train_mod FROM e),
     seeds AS (
@@ -1265,11 +1270,19 @@ def _pq_codebook_oracle_sql() -> str:
       FROM cells),
     seedex AS (
       SELECT s, j AS code, u.dim, CAST(cw[u.dim + 1] AS DOUBLE) AS seed_val
-      FROM seeds, unnest(range(0, {_PQ_D})) AS u(dim))
-    SELECT se.s, se.code, se.dim, coalesce(t.m, se.seed_val) AS cw
-    FROM seedex se
-    LEFT JOIN trained t ON se.s = t.s AND se.code = t.code AND se.dim = t.dim
-    ORDER BY se.s, se.code, se.dim
+      FROM seeds, unnest(range(0, {_PQ_D})) AS u(dim)),
+    cbl AS (
+      SELECT se.s, se.code, se.dim, coalesce(t.m, se.seed_val) AS cw
+      FROM seedex se
+      LEFT JOIN trained t ON se.s = t.s AND se.code = t.code AND se.dim = t.dim),
+    cwl AS (
+      SELECT s, code, list(cw ORDER BY dim) AS cw FROM cbl GROUP BY s, code)"""
+
+
+def _pq_codebook_oracle_sql() -> str:
+    return f"""
+    WITH {_pq_codebook_cte_sql()}
+    SELECT s, code, dim, cw FROM cbl ORDER BY s, code, dim
     """
 
 
@@ -1304,6 +1317,80 @@ def q_knn_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s", "code", "dim", F.col("cw_val").alias("cw"))
         .orderBy("s", "code", "dim")
+    )
+
+
+#: drift-report distance quantum: squared-L2 errors fold to exact
+#: micro-unit bigints before the order-free total (the Cramér's-V /
+#: TV-drift convention)
+_PQ_DRIFT_QZ = 1_000_000
+
+
+@register(
+    "q_knn_model_drift",
+    oracle=f"""
+    WITH {_pq_codebook_cte_sql()},
+    allsub AS (
+      SELECT vec_id, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sv
+      FROM e, unnest(range(0, {_PQ_M})) AS u(s)),
+    drift_scored AS (
+      SELECT allsub.vec_id, allsub.s, {_PQ_L2_SQL} AS d
+      FROM allsub JOIN cwl ON allsub.s = cwl.s),
+    best AS (
+      SELECT vec_id, s, min(d) AS dmin FROM drift_scored GROUP BY vec_id, s)
+    SELECT s,
+           CAST(count(*) AS BIGINT) AS n_subvecs,
+           CAST(sum(CAST(floor(dmin * {_PQ_DRIFT_QZ} + 0.5) AS BIGINT)) AS BIGINT)
+             AS qerr_total_micro,
+           cast(sum(CAST(floor(dmin * {_PQ_DRIFT_QZ} + 0.5) AS BIGINT)) as double)
+             / (cast(count(*) as double) * {_PQ_DRIFT_QZ}) AS mean_qerr
+    FROM best GROUP BY s ORDER BY s
+    """,
+    doc="PQ model-drift monitor — the 'when to retrain' instrument that "
+    "completes the r9 train-once/score-many story (the role "
+    "q_dedup_lsh_bucket_stats plays for banding): score EVERY corpus "
+    "sub-vector against the PERSISTED codebook and report, per "
+    "subspace, the corpus quantization error (min squared L2 to any "
+    "codeword, micro-quantized to exact bigints before the order-free "
+    "total). In production this snapshot is the time-series data "
+    "point compared against the training-time error: a rising "
+    "mean_qerr means the corpus distribution has walked away from the "
+    "codebook and the ANN index needs retraining. ORACLE-CHECKED with "
+    "a twist that makes it double-duty: Spark reads the STORED model "
+    "table while DuckDB RETRAINS the codebook from the data — a hash "
+    "match therefore certifies the persisted artifact equals "
+    "retraining, bit for bit, on every round's data. Shape (100 TB): "
+    "one corpus scan, a broadcast 128-row codebook join, a min-per-"
+    "(vector, subspace) partial agg, then an 8-row report — exactly "
+    "the ADC scoring pass's cost, by construction.",
+)
+def q_knn_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    codebook = _persisted_model(
+        spark, sf_dir, "pq_codebook", lambda: _pq_codebook_train(e)
+    )
+    l2sq = F.expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored = _pq_corpus_sub(e).join(F.broadcast(codebook), "s").select(
+        "vec_id", "s", l2sq.alias("d")
+    )
+    best = scored.groupBy("vec_id", "s").agg(F.min("d").alias("dmin"))
+    micro = F.expr(f"cast(floor(dmin * {_PQ_DRIFT_QZ} + 0.5) as bigint)")
+    n = F.count(F.lit(1)).cast("bigint")
+    tot = F.sum(micro).cast("bigint")
+    return (
+        best.groupBy("s")
+        .agg(
+            n.alias("n_subvecs"),
+            tot.alias("qerr_total_micro"),
+            F.expr(
+                f"cast(sum(cast(floor(dmin * {_PQ_DRIFT_QZ} + 0.5) as bigint)) as double)"
+                f" / (cast(count(1) as double) * {_PQ_DRIFT_QZ})"
+            ).alias("mean_qerr"),
+        )
+        .orderBy("s")
     )
 
 

@@ -150,6 +150,7 @@ HEADLINE = [
     "q_dedup_embedding_lsh",
     "q_dedup_embedding_lsh_audit",
     "q_knn_pq_codebook",
+    "q_knn_model_drift",
 ]
 
 
