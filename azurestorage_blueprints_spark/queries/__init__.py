@@ -142,7 +142,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_quality_classifier_apply", "q_dedup_substring_incremental",
     "q_stream_substring_incremental", "q_dedup_embedding_lsh",
     "q_dedup_embedding_lsh_audit", "q_knn_pq_codebook",
-    "q_knn_model_drift",
+    "q_knn_model_drift", "q_stream_curation_gate",
 })
 
 

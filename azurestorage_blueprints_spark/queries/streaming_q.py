@@ -703,3 +703,154 @@ def q_stream_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         (nd.cast("double") / n.cast("double")).alias("corpus_dup_frac"),
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stream_curation_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.corpus_ops import (
+        _MAX_CHARS_PER_TOK,
+        _MAX_TOK_LEN,
+        _MIN_TOKENS,
+    )
+    from azurestorage_blueprints_spark.queries.curation import (
+        _GOPHER_PASS,
+        _STOP_LIST,
+        _pct_apply_score_sql,
+    )
+
+    qc_score = _pct_apply_score_sql("list_filter(string_split(text, ' '), t -> t <> '')")
+    return f"""
+    WITH ints AS (
+      SELECT text,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+               AS n_tokens,
+             CAST(coalesce(list_max(list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               x -> len(x))), 0) AS BIGINT) AS max_tok_len,
+             CAST(coalesce(list_aggregate(
+               list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                              t -> length(t)), 'sum'), 0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '' AND regexp_matches(t, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (len(string_split(text, '...')) - 1) AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains([{_STOP_LIST}], t))) AS BIGINT)
+               AS n_stop
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    flags AS (
+      SELECT (n_tokens >= {_MIN_TOKENS} AND max_tok_len <= {_MAX_TOK_LEN}
+              AND n_chars <= {_MAX_CHARS_PER_TOK} * n_tokens) AS c4,
+             {_GOPHER_PASS} AS gopher,
+             ({qc_score}) > 0 AS qc
+      FROM ints
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_all,
+           CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_c4,
+           CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_gopher,
+           CAST(sum(CASE WHEN c4 AND gopher AND qc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_classifier,
+           CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS BIGINT) AS c4_retention,
+           CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE) AS gopher_retention,
+           CAST(sum(CASE WHEN c4 AND gopher AND qc THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS DOUBLE)
+             AS classifier_retention
+    FROM flags
+    """
+
+
+@register(
+    "q_stream_curation_gate",
+    oracle=_stream_curation_oracle(),
+    doc="INGEST-TIME curation gate — the streaming form of "
+    "q_curation_waterfall's rule stack (the batch waterfall audits the "
+    "standing corpus; THIS is what runs on documents as they arrive): "
+    "micro-batched arrival documents compute the exact C4 rule, the "
+    "exact Gopher rule, and the frozen-weight quality-classifier score "
+    "ROW-LOCALLY (every signal is a pure projection of text — one "
+    "legal streaming plan with a single complete-mode aggregate), and "
+    "the sink holds the running survival funnel with per-stage "
+    "retentions. Language routing is the one batch stage omitted: its "
+    "verdict needs the stored lang column, which an ingest stream "
+    "checks post-hoc. All counts are exact integers and every rule "
+    "expression is shared verbatim with the batch rungs "
+    "(q_text_c4_filters / q_text_gopher_rules / "
+    "q_quality_classifier_apply), so DuckDB reproduces the funnel "
+    "bit-for-bit from the arrival split. Shape (100 TB ingest): "
+    "per-arrival work is one codegen scan; state is ONE row of "
+    "counters; no shuffle wider than the 1-row aggregate.",
+)
+def q_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions.text import (
+        STOPWORDS,
+        tokens,
+        word_set_occurrences,
+    )
+    from azurestorage_blueprints_spark.queries.corpus_ops import (
+        _MAX_CHARS_PER_TOK,
+        _MAX_TOK_LEN,
+        _MIN_TOKENS,
+    )
+    from azurestorage_blueprints_spark.queries.curation import (
+        _GOPHER_PASS,
+        _pct_apply_score_col,
+    )
+
+    staged = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    tk = tokens(F.col("text"))
+    ints = arrivals.select(
+        "text",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.array_max(F.transform(tk, F.length)), F.lit(0))
+        .cast("bigint")
+        .alias("max_tok_len"),
+        F.aggregate(tk, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)).alias(
+            "sum_len"
+        ),
+        F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+            + (F.size(F.split(F.col("text"), r"\.\.\.", -1)) - 1)
+        )
+        .cast("bigint")
+        .alias("n_symbols"),
+        word_set_occurrences(F.col("text"), STOPWORDS).cast("bigint").alias("n_stop"),
+    )
+    c4 = F.expr(
+        f"n_tokens >= {_MIN_TOKENS} AND max_tok_len <= {_MAX_TOK_LEN}"
+        f" AND n_chars <= {_MAX_CHARS_PER_TOK} * n_tokens"
+    )
+    flags = ints.select(
+        c4.alias("c4"),
+        F.expr(_GOPHER_PASS).alias("gopher"),
+        (_pct_apply_score_col() > 0).alias("qc"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    s1 = F.sum(F.when(F.col("c4"), 1).otherwise(0)).cast("bigint")
+    s2 = F.sum(F.when(F.col("c4") & F.col("gopher"), 1).otherwise(0)).cast("bigint")
+    s3 = F.sum(
+        F.when(F.col("c4") & F.col("gopher") & F.col("qc"), 1).otherwise(0)
+    ).cast("bigint")
+    agg = flags.agg(
+        n.alias("n_all"),
+        s1.alias("n_after_c4"),
+        s2.alias("n_after_gopher"),
+        s3.alias("n_after_classifier"),
+        (s1.cast("double") / n).alias("c4_retention"),
+        (s2.cast("double") / s1.cast("double")).alias("gopher_retention"),
+        (s3.cast("double") / s2.cast("double")).alias("classifier_retention"),
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
