@@ -966,12 +966,23 @@ _PQ_QZ = 1_000_000_000
 #: sample); below the cap the whole corpus trains, so test-SF results
 #: are identical to full training
 _PQ_TRAIN_CAP = 4096
-#: portable training-sample hash: (vec_id * KNUTH) % 2^31, residue mod
-#: train_mod — integer-exact on both engines (q_knn_pq_codebook's
-#: oracle reproduces the sample, the Lloyd assignment, and every
-#: recentred codeword)
+#: portable training-sample hash (r10 fix of the r9 version): vec_id is
+#: MASKED to 31 bits before the multiply (any id is then overflow-safe
+#: on both engines: (2^31-1) * 2654435761 < 2^63, where an unmasked id
+#: past ~3.46e9 would wrap silently in Spark but raise in DuckDB), and
+#: the folded hash h = (masked * KNUTH) % 2^31 is XOR-SHIFT mixed
+#: (h ^ (h >> 15)) before the train_mod residue. The mix matters: an
+#: odd multiplier is a bijection on LOW bits and mod 2^31 keeps them,
+#: so (h % train_mod) for a power-of-two train_mod would select a pure
+#: residue class of vec_id — the round-robin-shard stride the sample
+#: hash exists to avoid. After the xor-shift every residue bit mixes
+#: bits 15..30 of the product, which DO vary chaotically with id.
+#: All-integer, so q_knn_pq_codebook's oracle reproduces the sample,
+#: the Lloyd assignment, and every recentred codeword exactly.
 _PQ_SAMPLE_MULT = 2654435761
 _PQ_SAMPLE_M = 1 << 31
+_PQ_SAMPLE_MASK = (1 << 31) - 1
+_PQ_SAMPLE_SHIFT = 15
 
 
 @register(
@@ -1072,16 +1083,16 @@ def _pq_codebook_train(e: DataFrame) -> DataFrame:
     # test-SF results (and the recall-gate floors) are unchanged.
     n_vecs = e.count()
     train_mod = max(1, n_vecs // _PQ_TRAIN_CAP)
-    # PORTABLE sample hash (r9: was xxhash64, which kept the trained
-    # codebook un-oracle-checkable — q_knn_pq_codebook now reproduces
-    # the whole Lloyd pass in DuckDB): Knuth's multiplicative mix
-    # folded mod 2^31 BEFORE the residue, so unlike a bare
-    # (id * K) % m stride the kept set is not periodic in id (the
-    # round-robin-shard hazard the old comment guarded against).
-    # Below _PQ_TRAIN_CAP vectors train_mod == 1 and the whole corpus
-    # trains — test-SF codebooks are unchanged by the hash swap.
-    h = F.pmod(F.col("vec_id") * F.lit(_PQ_SAMPLE_MULT), F.lit(_PQ_SAMPLE_M))
-    train_sub = corpus_sub.filter(F.pmod(h, F.lit(train_mod)) == 0)
+    # PORTABLE sample hash (constants doc at _PQ_SAMPLE_MULT): mask →
+    # multiply → fold mod 2^31 → xor-shift mix → residue. Below
+    # _PQ_TRAIN_CAP vectors train_mod == 1 and the whole corpus trains,
+    # so test-SF codebooks don't depend on the hash at all.
+    h = F.pmod(
+        F.col("vec_id").bitwiseAND(F.lit(_PQ_SAMPLE_MASK)) * F.lit(_PQ_SAMPLE_MULT),
+        F.lit(_PQ_SAMPLE_M),
+    )
+    hmix = h.bitwiseXOR(F.shiftright(h, _PQ_SAMPLE_SHIFT))
+    train_sub = corpus_sub.filter(F.pmod(hmix, F.lit(train_mod)) == 0)
     # one Lloyd iteration: recenter each codeword on the exact
     # nano-quantized mean of its assigned sub-vectors (bigint sums per
     # (s, code, dim) cell — 64*K cells at any corpus size), keeping the
@@ -1157,7 +1168,15 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame]:
 # in a model table is precisely how production removes that run-to-run
 # jitter from the serving path.
 
-_MODEL_VERSION = f"v2_K{_PQ_K}_D{_PQ_D}_QZ{_PQ_QZ}_CAP{_PQ_TRAIN_CAP}"
+# Every TRAINING-AFFECTING constant appears in the version string, not
+# just the geometry (r9 ADVICE): the sample-hash recipe (multiplier,
+# xor-shift width) and the floor(x+0.5) quantizer convention ("FLQ")
+# are folded in so a future change to either orphans stale persisted
+# codebooks instead of silently reusing them.
+_MODEL_VERSION = (
+    f"v3_K{_PQ_K}_D{_PQ_D}_QZ{_PQ_QZ}_CAP{_PQ_TRAIN_CAP}"
+    f"_SM{_PQ_SAMPLE_MULT}x{_PQ_SAMPLE_SHIFT}_FLQ"
+)
 
 
 def _embeddings_fingerprint(sf_dir: str) -> str:
@@ -1248,7 +1267,9 @@ def _pq_codebook_cte_sql() -> str:
     sub AS (
       SELECT vec_id, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sv
       FROM e, unnest(range(0, {_PQ_M})) AS u(s)
-      WHERE ((vec_id * {_PQ_SAMPLE_MULT}) % {_PQ_SAMPLE_M})
+      WHERE xor(((vec_id & {_PQ_SAMPLE_MASK}) * {_PQ_SAMPLE_MULT}) % {_PQ_SAMPLE_M},
+                (((vec_id & {_PQ_SAMPLE_MASK}) * {_PQ_SAMPLE_MULT}) % {_PQ_SAMPLE_M})
+                  // {1 << _PQ_SAMPLE_SHIFT})
             % (SELECT train_mod FROM nv) = 0),
     scored AS (
       SELECT sub.vec_id, sub.s, seeds.j, sub.sv, {l2} AS d

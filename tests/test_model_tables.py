@@ -84,7 +84,9 @@ def test_model_path_is_versioned_by_geometry(sf_dir):
     any of them orphans the old table instead of silently reusing it."""
     p = _model_path(sf_dir, "pq_codebook")
     assert _MODEL_VERSION in p
-    for tok in ("K16", "D8", "QZ1000000000", "CAP4096"):
+    # geometry tokens + (r10) every training-affecting constant: the
+    # sample-hash recipe and the floor(x+0.5) quantizer convention
+    for tok in ("K16", "D8", "QZ1000000000", "CAP4096", "SM2654435761x15", "FLQ"):
         assert tok in p, f"geometry token {tok} missing from model path"
     assert os.path.basename(os.path.normpath(sf_dir)) in p
     assert os.path.basename(os.path.dirname(p)) == "models"
