@@ -162,38 +162,110 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_mean_centroids(e: DataFrame) -> DataFrame:
-    """(label, centroid): per-label element-wise mean via posexplode +
-    groupBy — the coarse quantizer of the fast IVF rungs. Double means
-    are order-sensitive, which is why the consuming rungs are rows-only
-    AND why the persisted model table matters: freezing the trained
-    centroids removes run-to-run combine-order jitter from serving."""
+#: exact-centroid quantization for the oracle-checked IVF family (the
+#: q_embed_centroid_update convention: nano-unit bigint sums)
+_IVFX_QZ = 1_000_000_000
+
+
+def _ivf_exact_centroids(e: DataFrame) -> DataFrame:
+    """(label, centroid): per-label centroids as nano-quantized bigint
+    sums divided once — order-insensitive, bit-identical at any
+    parallelism, so the persisted model table reads back exactly what
+    the oracle recomputes from the data. The ONLY coarse quantizer of
+    the IVF family since r10: the old F.avg mean centroid was
+    order-sensitive (its rungs could never be oracle-checked), and at
+    a 1e-9 quantum the quantized mean is statistically identical while
+    being deterministic — strictly better, so the mean variant is
+    retired rather than kept as a second model table."""
     comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
     return (
         comp.groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
+        .agg(
+            F.sum(F.expr(f"cast(round(x * {_IVFX_QZ}.0) as bigint)")).alias("qs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.expr(f"CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_IVFX_QZ}.0)").alias("c"),
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
     )
 
 
+def _ivf_cent_cte_sql() -> str:
+    """DuckDB CTE chain ``el/comp/cent/centv`` reproducing
+    :func:`_ivf_exact_centroids` from the embeddings view — shared by
+    every oracle-checked IVF rung (q_knn_ivf, q_knn_ivf_exact,
+    q_knn_ivf_pq). ``el`` carries the label column; the PQ codebook CTE
+    chain defines its own label-free ``e``, so the two compose in one
+    WITH without name collisions."""
+    return f"""el AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    comp AS (
+      SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      FROM el),
+    cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(x * {_IVFX_QZ}.0) AS BIGINT)) AS BIGINT) AS qs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM comp GROUP BY label, pos),
+    centv AS (
+      SELECT label,
+             list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_IVFX_QZ}.0)
+                  ORDER BY pos) AS centroid
+      FROM cent GROUP BY label)"""
+
+
+def _ivf_probe_cte_sql(nprobe: int) -> str:
+    """DuckDB CTE chain ``q/qc``: each query vector's ``nprobe``
+    nearest coarse lists by clamp-free cosine with the label
+    tie-break — the exact probe expression of the Spark rungs."""
+    return f"""q AS (SELECT vec_id AS q_id, v AS qv FROM el WHERE vec_id < {_N_QUERIES}),
+    qc AS (
+      SELECT q_id, qv, label FROM (
+        SELECT q.q_id, q.qv, c.label,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_cosine_similarity(q.qv, c.centroid) DESC, c.label) AS rn
+        FROM q CROSS JOIN centv c
+      ) t WHERE rn <= {nprobe})"""
+
+
 @register(
     "q_knn_ivf",
-    oracle=None,  # centroid means are order-sensitive double sums — rows-only
-    doc="IVF-style ANN: coarse centroids (per-label means — the inverted-file "
-    "assignment structure) read from the PERSISTED model table (r9: the "
-    "train-once/score-many split — the query pays probe + scoring cost, "
-    "training runs once per dataset), queries multi-probe their 2 nearest "
-    "centroids' lists (nprobe=2 recovers neighbors that fall just across a "
-    "Voronoi boundary — the standard recall/cost knob). Demonstrates the "
-    "two-stage coarse-quantize → fine-score plan; at 100 TB the lists are "
-    "pre-partitioned so a probe touches nprobe partitions.",
+    oracle=f"""
+    WITH {_ivf_cent_cte_sql()},
+    {_ivf_probe_cte_sql(1)},
+    scored AS (
+      SELECT qc.q_id, el.vec_id AS n_id, el.label,
+             list_cosine_similarity(qc.qv, el.v) AS sim
+      FROM qc JOIN el ON el.label = qc.label AND el.vec_id <> qc.q_id),
+    ranked AS (
+      SELECT q_id, n_id, label, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, n_id, label, sim, rnk FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+    doc="IVF ANN at nprobe=1 — the cheapest member of the IVF family: "
+    "each query visits exactly ONE coarse list (its nearest centroid's), "
+    "the recall floor of the nprobe knob whose nprobe=2 twin is "
+    "q_knn_ivf_exact; comparing the two IS the standard recall/cost "
+    "trade a production deployment tunes. Coarse centroids come from "
+    "the PERSISTED model table (train-once/score-many) and are exact "
+    "nano-quantized means (r10: the order-sensitive F.avg centroid is "
+    "retired — determinism makes this rung fully ORACLE-CHECKED, with "
+    "DuckDB retraining the centroids from the data, so a hash match "
+    "also re-certifies the stored model table every round). Shape "
+    "(100 TB): broadcast centroid table, probe = one equi-join on the "
+    "list key touching 1/k of the corpus per query.",
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     centroids = _persisted_model(
-        spark, sf_dir, "ivf_centroids_mean", lambda: _ivf_mean_centroids(e)
+        spark, sf_dir, "ivf_centroids_exact", lambda: _ivf_exact_centroids(e)
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
@@ -205,7 +277,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rn", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("csim"), "label"))
         )
-        .filter(F.col("rn") <= 2)  # nprobe=2
+        .filter(F.col("rn") <= 1)  # nprobe=1
         .select("q_id", "qv", "label")
     )
     cand = e.join(F.broadcast(qc), "label").filter(F.col("vec_id") != F.col("q_id"))
@@ -983,12 +1055,116 @@ _PQ_SAMPLE_MULT = 2654435761
 _PQ_SAMPLE_M = 1 << 31
 _PQ_SAMPLE_MASK = (1 << 31) - 1
 _PQ_SAMPLE_SHIFT = 15
+#: ADC-cell quantum (r10): per-(query, codeword) L2^2 table cells fold
+#: to exact micro-unit bigints BEFORE the per-candidate 8-cell sum, so
+#: the ADC total is order-free and the PQ scoring rungs oracle-check
+#: (the Cramér's-V / TV-drift integer-sum convention). Overflow bound:
+#: 8 cells x |L2^2| x 1e6 stays far under 2^63 for any real embedding.
+_PQ_ADC_QZ = 1_000_000
+
+#: shared sequential-fold L2^2 between a sub-vector ``sv`` and a
+#: codeword ``cw`` — the exact expression _pq_assign folds in Spark
+_PQ_L2_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 9), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), "
+    "(a, x) -> a + x)"
+)
+
+
+def _pq_scoring_cte_sql() -> str:
+    """DuckDB CTE chain appended to :func:`_pq_codebook_cte_sql`:
+    ``allsub`` (every corpus sub-vector) → ``pcodes`` (the corpus
+    encoded against the retrained codebook — the argmin assignment with
+    the (d, code) tie-break, exactly :func:`_pq_assign`) → ``adc``
+    (per-query micro-quantized ADC cells, exactly :func:`_pq_adc`).
+    Shared by the q_knn_pq and q_knn_ivf_pq oracles; because the Spark
+    side reads the PERSISTED codebook while this chain retrains it, a
+    hash match on either rung also re-certifies the stored model table
+    (the q_knn_model_drift double-duty)."""
+    return f"""allsub AS (
+      SELECT vec_id, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sv
+      FROM e, unnest(range(0, {_PQ_M})) AS u(s)),
+    enc AS (
+      SELECT allsub.vec_id, allsub.s, cwl.code, {_PQ_L2_SQL} AS d
+      FROM allsub JOIN cwl ON allsub.s = cwl.s),
+    pcodes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT enc.*, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        FROM enc) t WHERE t.rn = 1),
+    adc AS (
+      SELECT a.vec_id AS q_id, a.s, cwl.code AS j,
+             CAST(floor(({_PQ_L2_SQL}) * {_PQ_ADC_QZ} + 0.5) AS BIGINT) AS tq
+      FROM allsub a JOIN cwl ON a.s = cwl.s WHERE a.vec_id < {_N_QUERIES})"""
+
+
+def _pq_codebook_cte_sql() -> str:
+    """DuckDB CTE chain reproducing the ENTIRE _pq_codebook_train Lloyd
+    pass — portable sample → seed assignment (argmin over exact
+    sequential-fold L2^2 with the (d, j) tie-break) → nano-quantized
+    recenter → seed fallback — ending in ``cbl(s, code, dim, cw)``
+    (long format) and ``cwl(s, code, cw LIST)``. Shared by the codebook
+    equivalence rung and the model-drift monitor."""
+    l2 = _PQ_L2_SQL
+    return f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT greatest(1, count(*) // {_PQ_TRAIN_CAP}) AS train_mod FROM e),
+    seeds AS (
+      SELECT vec_id AS j, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS cw
+      FROM e, unnest(range(0, {_PQ_M})) AS u(s) WHERE vec_id < {_PQ_K}),
+    sub AS (
+      SELECT vec_id, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sv
+      FROM e, unnest(range(0, {_PQ_M})) AS u(s)
+      WHERE xor(((vec_id & {_PQ_SAMPLE_MASK}) * {_PQ_SAMPLE_MULT}) % {_PQ_SAMPLE_M},
+                (((vec_id & {_PQ_SAMPLE_MASK}) * {_PQ_SAMPLE_MULT}) % {_PQ_SAMPLE_M})
+                  // {1 << _PQ_SAMPLE_SHIFT})
+            % (SELECT train_mod FROM nv) = 0),
+    scored AS (
+      SELECT sub.vec_id, sub.s, seeds.j, sub.sv, {l2} AS d
+      FROM sub JOIN seeds ON sub.s = seeds.s),
+    assigned AS (
+      SELECT t.s, t.j AS code, t.sv FROM (
+        SELECT scored.*, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM scored) t WHERE t.rn = 1),
+    cells AS (
+      SELECT s, code, u.dim,
+             CAST(sum(CAST(floor(sv[u.dim + 1] * {_PQ_QZ} + 0.5) AS BIGINT)) AS BIGINT)
+               AS qsum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM assigned, unnest(range(0, {_PQ_D})) AS u(dim)
+      GROUP BY s, code, u.dim),
+    trained AS (
+      SELECT s, code, dim,
+             cast(qsum as double) / (cast(n as double) * {_PQ_QZ}) AS m
+      FROM cells),
+    seedex AS (
+      SELECT s, j AS code, u.dim, CAST(cw[u.dim + 1] AS DOUBLE) AS seed_val
+      FROM seeds, unnest(range(0, {_PQ_D})) AS u(dim)),
+    cbl AS (
+      SELECT se.s, se.code, se.dim, coalesce(t.m, se.seed_val) AS cw
+      FROM seedex se
+      LEFT JOIN trained t ON se.s = t.s AND se.code = t.code AND se.dim = t.dim),
+    cwl AS (
+      SELECT s, code, list(cw ORDER BY dim) AS cw FROM cbl GROUP BY s, code)"""
+
 
 
 @register(
     "q_knn_pq",
-    oracle=None,  # ADC sums are float; code argmins are hash-free but the
-    # pipeline is rows-only like the LSH/IVF rungs (recall-gated in tests)
+    oracle=f"""
+    WITH {_pq_codebook_cte_sql()},
+    {_pq_scoring_cte_sql()},
+    fscored AS (
+      SELECT adc.q_id, pcodes.vec_id, CAST(sum(adc.tq) AS BIGINT) AS l2q
+      FROM pcodes JOIN adc ON adc.s = pcodes.s AND adc.j = pcodes.code
+      WHERE pcodes.vec_id <> adc.q_id
+      GROUP BY adc.q_id, pcodes.vec_id),
+    ranked AS (
+      SELECT q_id, vec_id AS n_id, l2q,
+             row_number() OVER (PARTITION BY q_id ORDER BY l2q, vec_id) AS rnk
+      FROM fscored)
+    SELECT q_id, n_id, CAST(l2q AS DOUBLE) / {_PQ_ADC_QZ} AS approx_l2sq, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    """,
     doc="Product-quantization ANN (the FAISS-style memory-scale rung "
     "next to LSH and IVF): every vector compresses to 8 x 4-bit codes "
     "— per 8-dim subspace, the index of the nearest of 16 TRAINED "
@@ -1009,24 +1185,34 @@ _PQ_SAMPLE_SHIFT = 15
     "sample, encode the corpus exactly once); below the cap the "
     "sample is the whole corpus, so test-SF results are identical to "
     "full training. Recall vs the exact scan is gated in "
-    "tests/test_ann_recall.py.",
+    "tests/test_ann_recall.py. ORACLE-CHECKED since r10: ADC cells are "
+    "micro-quantized bigints (_PQ_ADC_QZ), so the per-candidate sum is "
+    "order-free and DuckDB reproduces the whole pipeline — retraining "
+    "the codebook it scores with, which re-certifies the persisted "
+    "model table every time the hash matches.",
 )
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     codebook, codes = _pq_model(spark, e, sf_dir)
     adc = _pq_adc(e, codebook)
-    # scoring join: corpus code triples x broadcast ADC table
+    # scoring join: corpus code triples x broadcast ADC table; the
+    # ADC cells are exact micro-unit bigints, so this sum is order-free
     approx = (
         codes.join(F.broadcast(adc), (codes.s == adc.s) & (codes.code == adc.j))
         .groupBy("q_id", "vec_id")
-        .agg(F.sum("t").alias("approx_l2sq"))
+        .agg(F.sum("tq").cast("bigint").alias("l2q"))
         .filter(F.col("vec_id") != F.col("q_id"))
     )
-    w = W.partitionBy("q_id").orderBy("approx_l2sq", "vec_id")
+    w = W.partitionBy("q_id").orderBy("l2q", "vec_id")
     out = (
         approx.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
-        .select("q_id", F.col("vec_id").alias("n_id"), "approx_l2sq", "rnk")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.expr(f"cast(l2q as double) / {_PQ_ADC_QZ}").alias("approx_l2sq"),
+            "rnk",
+        )
     )
     return finalize_bounded(out, codebook, codes)
 
@@ -1241,65 +1427,6 @@ def _pq_model(spark: SparkSession, e: DataFrame, sf_dir: str) -> tuple[DataFrame
     return codebook, codes
 
 
-#: shared sequential-fold L2^2 between a sub-vector ``sv`` and a
-#: codeword ``cw`` — the exact expression _pq_assign folds in Spark
-_PQ_L2_SQL = (
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(range(1, 9), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), "
-    "(a, x) -> a + x)"
-)
-
-
-def _pq_codebook_cte_sql() -> str:
-    """DuckDB CTE chain reproducing the ENTIRE _pq_codebook_train Lloyd
-    pass — portable sample → seed assignment (argmin over exact
-    sequential-fold L2^2 with the (d, j) tie-break) → nano-quantized
-    recenter → seed fallback — ending in ``cbl(s, code, dim, cw)``
-    (long format) and ``cwl(s, code, cw LIST)``. Shared by the codebook
-    equivalence rung and the model-drift monitor."""
-    l2 = _PQ_L2_SQL
-    return f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-    nv AS (SELECT greatest(1, count(*) // {_PQ_TRAIN_CAP}) AS train_mod FROM e),
-    seeds AS (
-      SELECT vec_id AS j, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS cw
-      FROM e, unnest(range(0, {_PQ_M})) AS u(s) WHERE vec_id < {_PQ_K}),
-    sub AS (
-      SELECT vec_id, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sv
-      FROM e, unnest(range(0, {_PQ_M})) AS u(s)
-      WHERE xor(((vec_id & {_PQ_SAMPLE_MASK}) * {_PQ_SAMPLE_MULT}) % {_PQ_SAMPLE_M},
-                (((vec_id & {_PQ_SAMPLE_MASK}) * {_PQ_SAMPLE_MULT}) % {_PQ_SAMPLE_M})
-                  // {1 << _PQ_SAMPLE_SHIFT})
-            % (SELECT train_mod FROM nv) = 0),
-    scored AS (
-      SELECT sub.vec_id, sub.s, seeds.j, sub.sv, {l2} AS d
-      FROM sub JOIN seeds ON sub.s = seeds.s),
-    assigned AS (
-      SELECT t.s, t.j AS code, t.sv FROM (
-        SELECT scored.*, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
-        FROM scored) t WHERE t.rn = 1),
-    cells AS (
-      SELECT s, code, u.dim,
-             CAST(sum(CAST(floor(sv[u.dim + 1] * {_PQ_QZ} + 0.5) AS BIGINT)) AS BIGINT)
-               AS qsum,
-             CAST(count(*) AS BIGINT) AS n
-      FROM assigned, unnest(range(0, {_PQ_D})) AS u(dim)
-      GROUP BY s, code, u.dim),
-    trained AS (
-      SELECT s, code, dim,
-             cast(qsum as double) / (cast(n as double) * {_PQ_QZ}) AS m
-      FROM cells),
-    seedex AS (
-      SELECT s, j AS code, u.dim, CAST(cw[u.dim + 1] AS DOUBLE) AS seed_val
-      FROM seeds, unnest(range(0, {_PQ_D})) AS u(dim)),
-    cbl AS (
-      SELECT se.s, se.code, se.dim, coalesce(t.m, se.seed_val) AS cw
-      FROM seedex se
-      LEFT JOIN trained t ON se.s = t.s AND se.code = t.code AND se.dim = t.dim),
-    cwl AS (
-      SELECT s, code, list(cw ORDER BY dim) AS cw FROM cbl GROUP BY s, code)"""
-
-
 def _pq_codebook_oracle_sql() -> str:
     return f"""
     WITH {_pq_codebook_cte_sql()}
@@ -1416,8 +1543,16 @@ def q_knn_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc(e: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Per-query ADC lookup table: the exact L2^2 distance from each
-    query's subspace slice to every codeword (q_id, s, j, t)."""
+    """Per-query ADC lookup table: the L2^2 distance from each query's
+    subspace slice to every codeword, MICRO-QUANTIZED to an exact
+    bigint (q_id, s, j, tq). Quantizing the table cells — one fold per
+    (query, codeword), exact IEEE, then floor(x*1e6+0.5) — makes the
+    downstream per-candidate SUM of 8 cells an order-free integer
+    total, which is what lets the PQ scoring rungs be oracle-checked
+    (r10): a double sum over shuffled cells is combine-order-sensitive,
+    an integer sum never is. At a 1e-6 quantum on L2^2 cells the
+    ranking is unchanged except on exact ties, which the vec_id
+    tie-break already owns."""
     sub = F.expr(_PQ_SUB)
     q_sub = (
         e.filter(F.col("vec_id") < _N_QUERIES)
@@ -1428,7 +1563,10 @@ def _pq_adc(e: DataFrame, codebook: DataFrame) -> DataFrame:
         .select("q_id", "s", sub.alias("sv"))
     )
     return q_sub.join(F.broadcast(codebook), "s").select(
-        "q_id", "s", "j", F.expr(_PQ_L2SQ).alias("t")
+        "q_id",
+        "s",
+        "j",
+        F.expr(f"cast(floor(({_PQ_L2SQ}) * {_PQ_ADC_QZ} + 0.5) as bigint)").alias("tq"),
     )
 
 
@@ -1438,21 +1576,43 @@ _IVFPQ_NPROBE = 2
 
 @register(
     "q_knn_ivf_pq",
-    oracle=None,  # composes two rows-only rungs (IVF lists + PQ codes);
-    # recall vs the exact scan is gated in tests/test_ann_recall.py
+    oracle=f"""
+    WITH {_pq_codebook_cte_sql()},
+    {_ivf_cent_cte_sql()},
+    {_ivf_probe_cte_sql(_IVFPQ_NPROBE)},
+    cand AS (
+      SELECT qc.q_id, el.vec_id
+      FROM qc JOIN el ON el.label = qc.label AND el.vec_id <> qc.q_id),
+    {_pq_scoring_cte_sql()},
+    fscored AS (
+      SELECT c.q_id, c.vec_id, CAST(sum(adc.tq) AS BIGINT) AS l2q
+      FROM cand c
+      JOIN pcodes ON pcodes.vec_id = c.vec_id
+      JOIN adc ON adc.q_id = c.q_id AND adc.s = pcodes.s AND adc.j = pcodes.code
+      GROUP BY c.q_id, c.vec_id),
+    ranked AS (
+      SELECT q_id, vec_id AS n_id, l2q,
+             row_number() OVER (PARTITION BY q_id ORDER BY l2q, vec_id) AS rnk
+      FROM fscored)
+    SELECT q_id, n_id, CAST(l2q AS DOUBLE) / {_PQ_ADC_QZ} AS approx_l2sq, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    """,
     doc="IVF-PQ composite ANN — the production-standard pairing (FAISS "
     "IVFPQ): the coarse inverted-file stage bounds WHICH vectors are "
     "scored (each query visits nprobe=2 per-label lists instead of the "
     "corpus) and product quantization bounds WHAT moves per scored "
     "vector (8 codes + a broadcast per-query ADC table instead of the "
     "float array). Both stages reuse their single-rung implementations "
-    "unchanged: the per-label mean centroids of q_knn_ivf, the Lloyd-"
-    "trained 16-codeword codebook and corpus codes of q_knn_pq "
-    "(_pq_train), and the per-query ADC tables (_pq_adc). The scoring "
-    "join is candidate (q_id, vec_id) pairs x code triples x broadcast "
-    "ADC — at 100 TB nothing vector-sized appears after the coarse "
-    "assignment, which is exactly why this is the only ANN shape that "
-    "holds at memory scale.",
+    "unchanged: the exact nano-quantized centroids of the IVF family, "
+    "the Lloyd-trained 16-codeword codebook and corpus codes of "
+    "q_knn_pq, and the per-query micro-quantized ADC tables (_pq_adc). "
+    "The scoring join is candidate (q_id, vec_id) pairs x code triples "
+    "x broadcast ADC — at 100 TB nothing vector-sized appears after "
+    "the coarse assignment, which is exactly why this is the only ANN "
+    "shape that holds at memory scale. ORACLE-CHECKED since r10 "
+    "(deterministic centroids + integer ADC sums): DuckDB retrains "
+    "BOTH models the Spark side reads from the persisted tables, so a "
+    "hash match re-certifies both stored artifacts.",
 )
 def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, codebook, codes = build_knn_ivf_pq(spark, sf_dir)
@@ -1467,10 +1627,10 @@ def build_knn_ivf_pq(spark: SparkSession, sf_dir: str):
     e = table(spark, sf_dir, "embeddings")
     codebook, codes = _pq_model(spark, e, sf_dir)
     adc = _pq_adc(e, codebook)
-    # coarse stage (q_knn_ivf shape): per-label mean centroids from the
-    # model table, queries probe their nprobe nearest lists
+    # coarse stage (q_knn_ivf shape): exact nano-quantized centroids
+    # from the model table, queries probe their nprobe nearest lists
     centroids = _persisted_model(
-        spark, sf_dir, "ivf_centroids_mean", lambda: _ivf_mean_centroids(e)
+        spark, sf_dir, "ivf_centroids_exact", lambda: _ivf_exact_centroids(e)
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
@@ -1495,13 +1655,18 @@ def build_knn_ivf_pq(spark: SparkSession, sf_dir: str):
         .join(F.broadcast(adc), ["q_id", "s"])
         .filter(F.col("code") == F.col("j"))
         .groupBy("q_id", "vec_id")
-        .agg(F.sum("t").alias("approx_l2sq"))
+        .agg(F.sum("tq").cast("bigint").alias("l2q"))
     )
-    w = W.partitionBy("q_id").orderBy("approx_l2sq", "vec_id")
+    w = W.partitionBy("q_id").orderBy("l2q", "vec_id")
     out = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
-        .select("q_id", F.col("vec_id").alias("n_id"), "approx_l2sq", "rnk")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.expr(f"cast(l2q as double) / {_PQ_ADC_QZ}").alias("approx_l2sq"),
+            "rnk",
+        )
     )
     return out, codebook, codes
 
@@ -1867,75 +2032,25 @@ def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: exact-centroid quantization for the oracle-checked IVF rung (the
-#: q_embed_centroid_update convention: nano-unit bigint sums)
-_IVFX_QZ = 1_000_000_000
-
-
-def _ivf_exact_centroids(e: DataFrame) -> DataFrame:
-    """(label, centroid): per-label centroids as nano-quantized bigint
-    sums divided once — order-insensitive, bit-identical at any
-    parallelism, so the persisted model table reads back exactly what
-    the oracle recomputes from the data."""
-    comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    return (
-        comp.groupBy("label", "pos")
-        .agg(
-            F.sum(F.expr(f"cast(round(x * {_IVFX_QZ}.0) as bigint)")).alias("qs"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-        .select(
-            "label",
-            "pos",
-            F.expr(f"CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_IVFX_QZ}.0)").alias("c"),
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
-    )
-
-
 @register(
     "q_knn_ivf_exact",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label,
-                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-    comp AS (
-      SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-      FROM e),
-    cent AS (
-      SELECT label, pos,
-             CAST(sum(CAST(round(x * {_IVFX_QZ}.0) AS BIGINT)) AS BIGINT) AS qs,
-             CAST(count(*) AS BIGINT) AS n
-      FROM comp GROUP BY label, pos),
-    centv AS (
-      SELECT label,
-             list(CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * {_IVFX_QZ}.0)
-                  ORDER BY pos) AS centroid
-      FROM cent GROUP BY label),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
-    qc AS (
-      SELECT q_id, qv, label FROM (
-        SELECT q.q_id, q.qv, c.label,
-               row_number() OVER (PARTITION BY q.q_id ORDER BY
-                 list_cosine_similarity(q.qv, c.centroid) DESC, c.label) AS rn
-        FROM q CROSS JOIN centv c
-      ) t WHERE rn <= 2),
+    WITH {_ivf_cent_cte_sql()},
+    {_ivf_probe_cte_sql(2)},
     scored AS (
-      SELECT qc.q_id, e.vec_id AS n_id, e.label,
-             list_cosine_similarity(qc.qv, e.v) AS sim
-      FROM qc JOIN e ON e.label = qc.label AND e.vec_id <> qc.q_id),
+      SELECT qc.q_id, el.vec_id AS n_id, el.label,
+             list_cosine_similarity(qc.qv, el.v) AS sim
+      FROM qc JOIN el ON el.label = qc.label AND el.vec_id <> qc.q_id),
     ranked AS (
       SELECT q_id, n_id, label, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
       FROM scored)
     SELECT q_id, n_id, label, sim, rnk FROM ranked WHERE rnk <= {_TOP_K}
     """,
-    doc="IVF ANN with EXACT centroids — the ORACLE-CHECKED member of "
-    "the IVF family: the fast rung (q_knn_ivf) stays rows-only because "
-    "its per-label centroid is an order-sensitive double mean, while "
-    "this rung accumulates each centroid component as a nano-quantized "
+    doc="IVF ANN at nprobe=2 — the wider-probe member of the IVF "
+    "family (q_knn_ivf is the nprobe=1 floor; since r10 both are "
+    "fully oracle-checked from the same shared CTE text): "
+    "each centroid component accumulates as a nano-quantized "
     "bigint sum (the q_embed_centroid_update convention — "
     "order-insensitive, bit-identical at any parallelism) and derives "
     "the double centroid via shared expression text, so DuckDB "
