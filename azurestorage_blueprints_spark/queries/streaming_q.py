@@ -694,7 +694,12 @@ def q_stream_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
         .withColumn("seen", F.lit(1))
     )
-    joined = a_win.join(F.broadcast(standing), ["wh", "t0", "t1"], "left")
+    # NO broadcast hint (r9 ADVICE): the standing side is the DISTINCT
+    # window-key table of ~90% of the CORPUS — corpus-scale, exactly
+    # what must never be forced onto the driver. The stream-static left
+    # join is legal without a hint (the batch twin
+    # q_dedup_substring_incremental leaves the strategy to AQE too).
+    joined = a_win.join(standing, ["wh", "t0", "t1"], "left")
     n = F.count(F.lit(1)).cast("bigint")
     nd = F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0)).cast("bigint")
     agg = joined.groupBy("doc_id").agg(
@@ -716,11 +721,12 @@ def _stream_curation_oracle() -> str:
         _STOP_LIST,
         _pct_apply_score_sql,
     )
+    from azurestorage_blueprints_spark.queries.llm_text import _sql_lang_guess
 
     qc_score = _pct_apply_score_sql("list_filter(string_split(text, ' '), t -> t <> '')")
     return f"""
     WITH ints AS (
-      SELECT text,
+      SELECT text, lang,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
                AS n_tokens,
@@ -744,6 +750,7 @@ def _stream_curation_oracle() -> str:
       SELECT (n_tokens >= {_MIN_TOKENS} AND max_tok_len <= {_MAX_TOK_LEN}
               AND n_chars <= {_MAX_CHARS_PER_TOK} * n_tokens) AS c4,
              {_GOPHER_PASS} AS gopher,
+             ({_sql_lang_guess()}) = lang AS lang_ok,
              ({qc_score}) > 0 AS qc
       FROM ints
     )
@@ -751,15 +758,21 @@ def _stream_curation_oracle() -> str:
            CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_c4,
            CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS BIGINT)
              AS n_after_gopher,
-           CAST(sum(CASE WHEN c4 AND gopher AND qc THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_after_classifier,
+           CAST(sum(CASE WHEN c4 AND gopher AND lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_langid,
+           CAST(sum(CASE WHEN c4 AND gopher AND lang_ok AND qc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_classifier,
            CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS BIGINT) AS c4_retention,
            CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS DOUBLE) AS gopher_retention,
-           CAST(sum(CASE WHEN c4 AND gopher AND qc THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(sum(CASE WHEN c4 AND gopher AND lang_ok THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(sum(CASE WHEN c4 AND gopher THEN 1 ELSE 0 END) AS DOUBLE)
-             AS classifier_retention
+             AS langid_retention,
+           CAST(sum(CASE WHEN c4 AND gopher AND lang_ok AND qc THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(sum(CASE WHEN c4 AND gopher AND lang_ok THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS classifier_retention
     FROM flags
     """
 
@@ -775,17 +788,25 @@ def _stream_curation_oracle() -> str:
     "ROW-LOCALLY (every signal is a pure projection of text — one "
     "legal streaming plan with a single complete-mode aggregate), and "
     "the sink holds the running survival funnel with per-stage "
-    "retentions. Language routing is the one batch stage omitted: its "
-    "verdict needs the stored lang column, which an ingest stream "
-    "checks post-hoc. All counts are exact integers and every rule "
-    "expression is shared verbatim with the batch rungs "
-    "(q_text_c4_filters / q_text_gopher_rules / "
-    "q_quality_classifier_apply), so DuckDB reproduces the funnel "
-    "bit-for-bit from the arrival split. Shape (100 TB ingest): "
-    "per-arrival work is one codegen scan; state is ONE row of "
-    "counters; no shuffle wider than the 1-row aggregate.",
+    "retentions. Language routing (r10 — the last omitted batch "
+    "stage) rides a STREAM-STATIC join: the guessed language is "
+    "row-local, but its verdict compares against the STORED lang "
+    "column, which at ingest lives in the metadata store — modeled "
+    "here as the documents table's (doc_id, lang) projection joined "
+    "per micro-batch (the q_stream_dedup_incremental shape; no "
+    "broadcast hint — the metadata side is corpus-scale). The funnel "
+    "now carries all five batch stages in the batch order "
+    "(c4 → gopher → langid → classifier). All counts are exact "
+    "integers and every rule expression is shared verbatim with the "
+    "batch rungs (q_text_c4_filters / q_text_gopher_rules / "
+    "q_text_langid / q_quality_classifier_apply), so DuckDB reproduces "
+    "the funnel bit-for-bit from the arrival split. Shape (100 TB "
+    "ingest): per-arrival work is one codegen scan plus one keyed "
+    "metadata lookup; state is ONE row of counters; no shuffle wider "
+    "than the join key.",
 )
 def q_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions import text as X
     from azurestorage_blueprints_spark.functions.text import (
         STOPWORDS,
         tokens,
@@ -811,6 +832,7 @@ def q_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tk = tokens(F.col("text"))
     ints = arrivals.select(
+        "doc_id",
         "text",
         F.length("text").cast("bigint").alias("n_chars"),
         F.size(tk).cast("bigint").alias("n_tokens"),
@@ -829,28 +851,41 @@ def q_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_symbols"),
         word_set_occurrences(F.col("text"), STOPWORDS).cast("bigint").alias("n_stop"),
     )
+    # stream-static metadata lookup (r10): the stored language of each
+    # arrival doc_id comes from the documents table acting as the
+    # metadata store — joined per micro-batch, NO broadcast hint (the
+    # static side is corpus-scale)
+    lang_store = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    withlang = ints.join(lang_store, "doc_id")
     c4 = F.expr(
         f"n_tokens >= {_MIN_TOKENS} AND max_tok_len <= {_MAX_TOK_LEN}"
         f" AND n_chars <= {_MAX_CHARS_PER_TOK} * n_tokens"
     )
-    flags = ints.select(
+    flags = withlang.select(
         c4.alias("c4"),
         F.expr(_GOPHER_PASS).alias("gopher"),
+        (X.lang_guess(F.col("text")) == F.col("lang")).alias("lang_ok"),
         (_pct_apply_score_col() > 0).alias("qc"),
     )
     n = F.count(F.lit(1)).cast("bigint")
     s1 = F.sum(F.when(F.col("c4"), 1).otherwise(0)).cast("bigint")
     s2 = F.sum(F.when(F.col("c4") & F.col("gopher"), 1).otherwise(0)).cast("bigint")
     s3 = F.sum(
-        F.when(F.col("c4") & F.col("gopher") & F.col("qc"), 1).otherwise(0)
+        F.when(F.col("c4") & F.col("gopher") & F.col("lang_ok"), 1).otherwise(0)
+    ).cast("bigint")
+    s4 = F.sum(
+        F.when(F.col("c4") & F.col("gopher") & F.col("lang_ok") & F.col("qc"), 1)
+        .otherwise(0)
     ).cast("bigint")
     agg = flags.agg(
         n.alias("n_all"),
         s1.alias("n_after_c4"),
         s2.alias("n_after_gopher"),
-        s3.alias("n_after_classifier"),
+        s3.alias("n_after_langid"),
+        s4.alias("n_after_classifier"),
         (s1.cast("double") / n).alias("c4_retention"),
         (s2.cast("double") / s1.cast("double")).alias("gopher_retention"),
-        (s3.cast("double") / s2.cast("double")).alias("classifier_retention"),
+        (s3.cast("double") / s2.cast("double")).alias("langid_retention"),
+        (s4.cast("double") / s3.cast("double")).alias("classifier_retention"),
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
