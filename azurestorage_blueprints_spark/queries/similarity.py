@@ -1412,6 +1412,55 @@ def _persisted_model(spark: SparkSession, sf_dir: str, name: str, build) -> Data
     return spark.read.parquet(path)
 
 
+#: every model-table name the engine persists (keep in sync with the
+#: _persisted_model call sites — models_inventory derives liveness
+#: from this list)
+_MODEL_NAMES = ("pq_codebook", "ivf_centroids_exact")
+
+
+def models_inventory(data_dirs: list[str]) -> tuple[list[str], list[str]]:
+    """Classify every table under ``models/`` as LIVE (its directory
+    name is exactly what :func:`_model_path` resolves for some known
+    dataset and registered model name) or ORPHANED (a version bump, a
+    dataset regeneration, or a retired model name left it behind).
+
+    The write-on-first-use model store can only accumulate orphans —
+    the fingerprinted path guarantees a stale table is never silently
+    REUSED, but nothing else ever deletes it (r9 verdict task 7). This
+    is the GC instrument: callers pass the data dirs that currently
+    exist and get back (keep, orphans) by basename."""
+    import os
+
+    root = os.path.normpath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, os.pardir, "models")
+    )
+    live: set[str] = set()
+    for d in data_dirs:
+        if os.path.exists(os.path.join(d, "embeddings.parquet")):
+            for name in _MODEL_NAMES:
+                live.add(os.path.basename(_model_path(d, name)))
+    present = sorted(os.listdir(root)) if os.path.isdir(root) else []
+    keep = [e for e in present if e in live]
+    orphans = [e for e in present if e not in live]
+    return keep, orphans
+
+
+def models_gc(data_dirs: list[str], delete: bool = False) -> tuple[list[str], list[str]]:
+    """List — and with ``delete=True`` remove — orphaned model tables
+    (see :func:`models_inventory`). Returns (kept, orphaned)."""
+    import os
+    import shutil
+
+    root = os.path.normpath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, os.pardir, "models")
+    )
+    keep, orphans = models_inventory(data_dirs)
+    if delete:
+        for e in orphans:
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+    return keep, orphans
+
+
 def _pq_model(spark: SparkSession, e: DataFrame, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Score-many path: the persisted PQ codebook + freshly encoded
     corpus codes. Same (codebook, codes) contract as _pq_train, without

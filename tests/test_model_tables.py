@@ -79,6 +79,65 @@ def test_model_is_trained_once_then_read(spark, sf_dir):
     assert before == after, "model table was rewritten on reload"
 
 
+def test_models_inventory_classifies_orphans(sf_dir):
+    """models_inventory must call a table live iff its directory name
+    is exactly what _model_path resolves for a present dataset — a
+    fabricated stale-version dir must come back orphaned, and a freshly
+    resolved live path must not."""
+    from azurestorage_blueprints_spark.queries.similarity import models_inventory
+
+    root = os.path.normpath(
+        os.path.join(os.path.dirname(_model_path(sf_dir, "pq_codebook")), "")
+    )
+    fake = os.path.join(root, "pq_codebook_v0_STALE_sf9_deadbeef00")
+    os.makedirs(fake, exist_ok=True)
+    try:
+        keep, orphans = models_inventory([sf_dir])
+        assert "pq_codebook_v0_STALE_sf9_deadbeef00" in orphans
+        live_base = os.path.basename(_model_path(sf_dir, "pq_codebook"))
+        if os.path.isdir(_model_path(sf_dir, "pq_codebook")):
+            assert live_base in keep
+        assert live_base not in orphans
+    finally:
+        shutil.rmtree(fake, ignore_errors=True)
+
+
+def test_committed_models_match_present_datasets():
+    """Every git-TRACKED model table must be LIVE for one of the
+    standing datasets (r9 verdict task 7): a committed orphan means a
+    version bump or a dataset regeneration left stale weight files in
+    the repo. Untracked orphans are fine (session-local data dirs come
+    and go) — scripts/models_gc.py removes those."""
+    import glob
+    import subprocess
+
+    from azurestorage_blueprints_spark.queries.similarity import models_inventory
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        tracked_files = subprocess.run(
+            ["git", "ls-files", "models/"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+    except (OSError, subprocess.CalledProcessError):  # not a git checkout
+        return
+    tracked = {f.split("/")[1] for f in tracked_files if "/" in f}
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    local_sf1 = os.path.join(repo, ".localdata", "sf1")
+    if os.path.isdir(local_sf1):
+        dirs.append(local_sf1)
+    _, orphans = models_inventory(dirs)
+    committed_orphans = tracked & set(orphans)
+    # sf1 tables are committed but the gitignored .localdata/sf1 dir is
+    # session-local: when it is absent they cannot be classified live,
+    # so only flag them when the dataset exists to check against
+    if not os.path.isdir(local_sf1):
+        committed_orphans = {e for e in committed_orphans if "_sf1_" not in e}
+    assert not committed_orphans, (
+        f"stale model tables committed to the repo: {sorted(committed_orphans)}"
+    )
+
+
 def test_model_path_is_versioned_by_geometry(sf_dir):
     """Every geometry constant must appear in the model path — bumping
     any of them orphans the old table instead of silently reusing it."""
