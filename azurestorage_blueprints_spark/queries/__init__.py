@@ -197,12 +197,17 @@ def load_all() -> dict[str, Query]:
     order and stops after a fixed budget (50 entries in rounds 1-2).
     Order so the budget is always spent where it buys information:
     (1) names whose latest CORRECTNESS row is red (fixed code must be
-    re-checked to turn green), (2) names the driver has never checked,
-    round-robined across query families so a truncated pass still
-    samples every module, (3) already-green names last — OLDEST
-    driver row first (r6 verdict task 5), so with an empty unchecked
-    queue the fixed budget refreshes the stalest 50 green rows each
-    round and every query's driver row stays within a ~5-round age.
+    re-checked to turn green), (2) ANCIENT green names — rows ≥6
+    rounds older than the newest round on disk (r9 verdict task 2: a
+    heavy registration round can push the stale tail behind its own
+    additions forever; a row that old outranks a query added this
+    round, which has passed the local sweeps and can wait one
+    rotation), (3) names the driver has never checked, round-robined
+    across query families so a truncated pass still samples every
+    module, (4) remaining green names — OLDEST driver row first (r6
+    verdict task 5), so with an empty unchecked queue the fixed budget
+    refreshes the stalest 50 green rows each round and every query's
+    driver row stays within a ~5-round age.
     """
     from azurestorage_blueprints_spark.queries import (  # noqa: F401
         behavior,
@@ -245,6 +250,14 @@ def load_all() -> dict[str, Query]:
             if i < len(bucket)
         ]
 
+    # ANCIENT green rows (≥6 rounds behind the newest round on disk)
+    # outrank even never-checked additions: the staleness tail must
+    # never lose the budget race to a heavy registration round.
+    max_round = max(last_round.values(), default=0)
+    ancient = sorted(
+        (n for n in REGISTRY if n in settled and last_round[n] <= max_round - 6),
+        key=lambda n: last_round[n],
+    )
     # Within the never-checked tier, queries registered in EARLIER
     # rounds come first: the driver's budget must close the oldest
     # coverage tail before it reaches names added this round (which
@@ -253,7 +266,10 @@ def load_all() -> dict[str, Query]:
     newest = interleave([n for n in middle if n in _NEWEST_ROUND])
     # settled tier: stalest driver row first (ties keep registration
     # order, which round-robins naturally as whole rounds age together)
-    green = sorted((n for n in REGISTRY if n in settled), key=lambda n: last_round[n])
-    ordered = head + older + newest + green
+    green = sorted(
+        (n for n in REGISTRY if n in settled and n not in set(ancient)),
+        key=lambda n: last_round[n],
+    )
+    ordered = head + ancient + older + newest + green
     assert len(ordered) == len(REGISTRY)
     return {n: REGISTRY[n] for n in ordered}

@@ -18,12 +18,23 @@ from azurestorage_blueprints_spark.queries import (
 
 def test_never_checked_names_precede_settled_ones():
     reg = load_all()
-    recheck, settled, _ = _check_history()
+    recheck, settled, last_round = _check_history()
+    max_round = max(last_round.values(), default=0)
     names = list(reg)
-    tiers = [
-        0 if n in recheck else (1 if n not in settled else 2) for n in names
-    ]
-    assert tiers == sorted(tiers), "registry order must be recheck < never-checked < settled"
+
+    def tier(n: str) -> int:
+        if n in recheck:
+            return 0
+        if n in settled and last_round[n] <= max_round - 6:
+            return 1  # ancient green rows outrank this round's additions
+        if n not in settled:
+            return 2
+        return 3
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), (
+        "registry order must be recheck < ancient-green < never-checked < settled"
+    )
 
 
 def test_newest_round_names_exist_and_sort_after_older_tail():
@@ -61,11 +72,18 @@ def test_settled_tier_is_ordered_stalest_driver_row_first():
     CORRECTNESS row."""
     reg = load_all()
     recheck, settled, last_round = _check_history()
-    rounds = [last_round[n] for n in reg if n in settled]
-    assert rounds == sorted(rounds), (
-        "settled names must be ordered oldest-checked-first"
+    max_round = max(last_round.values(), default=0)
+    # ancient rows are hoisted ahead of the never-checked tier (r10),
+    # so stalest-first must hold within EACH of the two green segments
+    ancient = [
+        last_round[n] for n in reg if n in settled and last_round[n] <= max_round - 6
+    ]
+    rest = [last_round[n] for n in reg if n in settled and last_round[n] > max_round - 6]
+    assert ancient == sorted(ancient) and rest == sorted(rest), (
+        "settled names must be ordered oldest-checked-first within each segment"
     )
+    rounds = ancient + rest
     if rounds:
-        # the head of the settled tier really is the stalest cohort
+        # the head of the settled ordering really is the stalest cohort
         first_settled = next(n for n in reg if n in settled)
         assert last_round[first_settled] == min(rounds)
