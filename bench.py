@@ -197,7 +197,19 @@ RUNS_PER_QUERY = 3
 #: documented 4.5-6.5 s band made it the suite's noisiest headline —
 #: 7 samples tighten the median's sampling spread to well under the
 #: ±15% target).
-EXTRA_RUNS = {"q_knn_ivf_pq": 7}
+EXTRA_RUNS = {
+    "q_knn_ivf_pq": 7,
+    # r9 verdict task 5: both ExactSubstr rungs sat at the TOP of their
+    # documented 1.3-2.2 s two-session envelope for two driver rounds in
+    # a row. A controlled 5-run A/B this round measured medians of 1.27 /
+    # 1.24 s (min 1.06 / 1.12) with the r9 code - the 2.2 s rows were
+    # session-position noise, not the 2^32 key-shift change (same
+    # multiply, same plan). Pin them at median-of-7 unconditionally so
+    # the quoted number stays inside the envelope regardless of where
+    # the suite schedules them.
+    "q_dedup_exact_substring": 7,
+    "q_dedup_substring_spans": 7,
+}
 
 #: adaptive generalization of EXTRA_RUNS (r8 verdict task 7): ANY rung
 #: whose first RUNS_PER_QUERY samples have a median at or above this

@@ -102,6 +102,30 @@ def test_pair_rung_output_stays_linear(rung):
     assert checked >= 2, f"{rung}: fewer than 2 sweep artifacts had a row"
 
 
+#: r9 verdict task 6: guaranteed-clone recall at sf10, where the
+#: identical-signature rescue's STAR regime carries the recall (the
+#: multiplicity-10 tiling pushes identical groups past
+#: _IDENT_GROUP_CAP, a regime no full-sweep SF reaches). The sweep
+#: records found/planted per audit; found must equal planted — the
+#: same 100% identical-clone floor the gate SFs pin in
+#: tests/test_r8_semantics.py / test_r9_semantics.py.
+AUDIT_RECALL_RUNGS = ["q_dedup_simhash_audit", "q_dedup_embedding_lsh_audit"]
+
+
+@pytest.mark.parametrize("rung", AUDIT_RECALL_RUNGS)
+def test_sf10_audit_recall_is_complete(rung):
+    art = _load("ORACLE_LOCAL_SF10_PAIRS.json")
+    if art is None or rung not in art:
+        pytest.skip("sf10 spot artifact absent or predates the recall column")
+    rec = art[rung].get("recall")
+    assert rec is not None, f"{rung}: sf10 row has no recall record — rerun the spot sweep"
+    assert rec["planted"] > 0
+    assert rec["found"] == rec["planted"], (
+        f"{rung}: {rec['found']}/{rec['planted']} {rec['class']} clones found at "
+        f"sf10 — the identical-signature rescue lost recall in its star regime"
+    )
+
+
 def test_every_registered_pair_emitter_is_gated():
     """Completeness check over the PAIR-SHAPED query families: any
     registered query in the dedup / kNN / graph / similarity families
