@@ -139,10 +139,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: after every older never-checked name so the driver's fixed check
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
-    "q_quality_classifier_apply", "q_dedup_substring_incremental",
-    "q_stream_substring_incremental", "q_dedup_embedding_lsh",
-    "q_dedup_embedding_lsh_audit", "q_knn_pq_codebook",
-    "q_knn_model_drift", "q_stream_curation_gate",
+    "q_knn_nprobe_tradeoff", "q_stream_ann_serving",
 })
 
 

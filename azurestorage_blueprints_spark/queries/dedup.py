@@ -1681,10 +1681,11 @@ def _emb_lsh_sig(e: DataFrame) -> DataFrame:
     ORDER BY a_id, b_id
     """,
     doc="Embedding near-dup detection with PORTABLE sign-LSH blocking — "
-    "the scale path q_dedup_embedding's doc promises (its label key is "
-    "a test-data stand-in with CONSTANT cardinality: blocks grow as "
-    "N/10, so the within-block pair join is Theta(N^2/10) at any real "
-    "corpus size). Here the blocking key is derived from the DATA: 62 "
+    "the production operating point of the embedding-dedup family "
+    "(since r10 q_dedup_embedding shares this rung's blocking and "
+    "differs only in its looser 0.4 verify threshold + label "
+    "annotation; the old constant-cardinality label key is retired). "
+    "The blocking key is derived from the DATA: 62 "
     "sign bits of integer hyperplane projections over int8-quantized "
     "vectors (projections are integer-exact inside doubles, so every "
     "bit is order-free and DuckDB reproduces the full signature), and "

@@ -2149,6 +2149,152 @@ def q_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: probe widths the tuning instrument sweeps (1..4 of the ~10 lists)
+_NPROBE_SWEEP = (1, 2, 3, 4)
+
+
+@register(
+    "q_knn_nprobe_tradeoff",
+    oracle=f"""
+    WITH {_ivf_cent_cte_sql()},
+    {_ivf_probe_cte_sql(1)},
+    ex_scored AS (
+      SELECT q.q_id, el.vec_id AS n_id,
+             list_cosine_similarity(q.qv, el.v) AS sim
+      FROM q JOIN el ON el.vec_id <> q.q_id),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT ex_scored.*,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+        FROM ex_scored) t WHERE rnk <= {_TOP_K}),
+    exn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    pr AS (
+      SELECT q.q_id, q.qv, c.label,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               list_cosine_similarity(q.qv, c.centroid) DESC, c.label) AS rl
+      FROM q CROSS JOIN centv c),
+    cand AS (
+      SELECT pr.q_id, el.vec_id, pr.rl,
+             list_cosine_similarity(pr.qv, el.v) AS sim
+      FROM pr JOIN el ON el.label = pr.label AND el.vec_id <> pr.q_id
+      WHERE pr.rl <= {max(_NPROBE_SWEEP)}),
+    widths AS (SELECT CAST(unnest(range(1, {max(_NPROBE_SWEEP) + 1})) AS BIGINT) AS nprobe),
+    cp AS (SELECT w.nprobe, c.q_id, c.vec_id, c.sim
+           FROM widths w JOIN cand c ON c.rl <= w.nprobe),
+    ivftop AS (
+      SELECT nprobe, q_id, vec_id FROM (
+        SELECT cp.*,
+               row_number() OVER (PARTITION BY nprobe, q_id ORDER BY sim DESC, vec_id)
+                 AS rnk
+        FROM cp) t WHERE rnk <= {_TOP_K}),
+    hits AS (
+      SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ivftop JOIN exact
+        ON ivftop.q_id = exact.q_id AND ivftop.vec_id = exact.n_id
+      GROUP BY nprobe)
+    SELECT w.nprobe, coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits, exn.n_exact,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(exn.n_exact AS DOUBLE)
+             AS recall
+    FROM widths w LEFT JOIN hits h ON w.nprobe = h.nprobe, exn
+    ORDER BY w.nprobe
+    """,
+    doc="The nprobe recall/cost curve — the tuning instrument behind "
+    "the q_knn_ivf (nprobe=1) vs q_knn_ivf_exact (nprobe=2) split: for "
+    "each probe width 1..4, rank the probed-list candidates and report "
+    "recall@k against the exact scan. This is the table a production "
+    "deployment reads to pick its operating point (every IVF system "
+    "tunes nprobe against measured recall, not theory). Fully "
+    "oracle-checked: centroids are the exact quantized means, both "
+    "rankings break ties on ids, and recall is an exact integer ratio. "
+    "Shape (100 TB): the EVALUATION pays one exact scan over the query "
+    "sample by construction (that is what ground truth costs — run on "
+    "Q≈10 sampled queries, never the corpus); the candidate side stays "
+    "list-bounded (rl <= max nprobe), and the per-width ranking reuses "
+    "ONE scored candidate table rather than re-scoring per width.",
+)
+def q_knn_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    centroids = _persisted_model(
+        spark, sf_dir, "ivf_centroids_exact", lambda: _ivf_exact_centroids(e)
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    # ground truth: exact top-k per query (the brute-force baseline)
+    ex_scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+        )
+    )
+    wex = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    exact = (
+        ex_scored.withColumn("rnk", F.row_number().over(wex))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "n_id")
+    )
+    exn = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    # per-(query, list) probe rank, candidates bounded to the widest probe
+    pr = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "qv", "label", cosine(F.col("qv"), F.col("centroid")).alias("csim"))
+        .withColumn(
+            "rl", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("csim"), "label"))
+        )
+        .filter(F.col("rl") <= max(_NPROBE_SWEEP))
+        .select("q_id", "qv", "label", "rl")
+    )
+    cand = (
+        e.join(F.broadcast(pr), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "rl",
+            cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+        )
+    )
+    # one scored table, four probe widths: explode the width axis and
+    # keep candidates whose list rank fits the width
+    cp = cand.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(p).cast("bigint") for p in _NPROBE_SWEEP])),
+    ).filter(F.col("rl") <= F.col("nprobe"))
+    wp = W.partitionBy("nprobe", "q_id").orderBy(F.desc("sim"), "vec_id")
+    ivftop = (
+        cp.withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    hits = (
+        ivftop.join(
+            exact, (ivftop.q_id == exact.q_id) & (ivftop.vec_id == exact.n_id)
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    widths = e.sparkSession.createDataFrame(
+        [(p,) for p in _NPROBE_SWEEP], "nprobe bigint"
+    )
+    return (
+        widths.join(hits, "nprobe", "left")
+        .select("nprobe", F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"))
+        .crossJoin(F.broadcast(exn))
+        .select(
+            "nprobe",
+            "n_hits",
+            "n_exact",
+            (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mutual-kNN graph construction (r7) — the graph layer SemDeDup-style
 # clustering, label propagation, and density filtering all consume.

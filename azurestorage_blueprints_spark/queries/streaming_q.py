@@ -889,3 +889,233 @@ def q_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s4.cast("double") / s3.cast("double")).alias("classifier_retention"),
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stage_query_vectors(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage the ARRIVING query vectors (vec_id % 10 == 0 — the
+    incremental-split convention) as id-ranged parquet files so the
+    file source replays them as micro-batches."""
+    key = f"vecs::{sf_dir}"
+    if key in _STAGED:
+        return _STAGED[key]
+    out = tempfile.mkdtemp(prefix="spark_stream_vecs_")
+    d = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+    )
+    lo, hi = d.agg(F.min("vec_id"), F.max("vec_id")).first()
+    span = max(1, (int(hi) - int(lo) + n_chunks) // n_chunks)
+    for i in range(n_chunks):
+        chunk = d.filter(
+            (F.col("vec_id") >= lo + i * span)
+            & ((F.col("vec_id") < lo + (i + 1) * span) if i < n_chunks - 1 else F.lit(True))
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, f"c{i}"))
+    _STAGED[key] = out
+    return out
+
+
+def _stream_ann_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.similarity import (
+        _PQ_ADC_QZ,
+        _PQ_D,
+        _PQ_L2_SQL,
+        _PQ_M,
+        _ivf_cent_cte_sql,
+        _pq_codebook_cte_sql,
+        _pq_scoring_cte_sql,
+    )
+
+    return f"""
+    WITH {_pq_codebook_cte_sql()},
+    {_ivf_cent_cte_sql()},
+    {_pq_scoring_cte_sql()},
+    arr AS (SELECT vec_id AS q_id, v FROM el WHERE vec_id % 10 = 0),
+    route AS (
+      SELECT q_id, label FROM (
+        SELECT arr.q_id, centv.label,
+               row_number() OVER (PARTITION BY arr.q_id ORDER BY
+                 list_cosine_similarity(arr.v, centv.centroid) DESC, centv.label) AS rn
+        FROM arr CROSS JOIN centv) t WHERE rn = 1),
+    qsub AS (SELECT vec_id AS q_id, s, sv FROM allsub WHERE vec_id % 10 = 0),
+    qadc AS (
+      SELECT q.q_id, q.s, cwl.code AS j,
+             CAST(floor(({_PQ_L2_SQL}) * {_PQ_ADC_QZ} + 0.5) AS BIGINT) AS tq
+      FROM qsub q JOIN cwl ON q.s = cwl.s),
+    scand AS (
+      SELECT r.q_id, el.vec_id
+      FROM route r JOIN el ON el.label = r.label AND el.vec_id <> r.q_id),
+    sc AS (
+      SELECT c.q_id, c.vec_id, CAST(sum(qadc.tq) AS BIGINT) AS l2q
+      FROM scand c
+      JOIN pcodes p ON p.vec_id = c.vec_id
+      JOIN qadc ON qadc.q_id = c.q_id AND qadc.s = p.s AND qadc.j = p.code
+      GROUP BY c.q_id, c.vec_id),
+    nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates FROM sc GROUP BY q_id),
+    best AS (
+      SELECT q_id, vec_id, l2q,
+             row_number() OVER (PARTITION BY q_id ORDER BY l2q, vec_id) AS rn
+      FROM sc)
+    SELECT b.q_id, b.vec_id AS nn_id,
+           CAST(b.l2q AS DOUBLE) / {_PQ_ADC_QZ} AS approx_l2sq,
+           nc.n_candidates
+    FROM best b JOIN nc ON b.q_id = nc.q_id
+    WHERE b.rn = 1 ORDER BY b.q_id
+    """
+
+
+@register(
+    "q_stream_ann_serving",
+    oracle=_stream_ann_oracle(),
+    doc="ONLINE ANN serving — the streaming consumer of the r9 "
+    "train-once/score-many split, closing the loop the batch rungs "
+    "left open (models are trained once and persisted; q_knn_ivf_pq "
+    "scores a fixed query set in batch; THIS serves queries as they "
+    "ARRIVE): the coarse centroids and the PQ codebook load from the "
+    "persisted model tables and ship into the scorer as plan "
+    "CONSTANTS (138 tiny rows — exactly how a serving tier deploys a "
+    "frozen model), the corpus index is the PQ code table in WIDE "
+    "per-vector form (8 codes + routing label per vector — the packed "
+    "FAISS-style inverted list), and each arriving query vector "
+    "row-locally routes to its nearest coarse list and builds its "
+    "8x16 micro-quantized ADC table, so the only per-arrival joins "
+    "are ONE stream-static equi-join on the list key and ONE "
+    "aggregation (min(struct(distance, id)) = the top-1 neighbor with "
+    "deterministic tie-break) — single-agg, hence one legal streaming "
+    "plan. Integer ADC sums make the answer exact; DuckDB RETRAINS "
+    "both models and reproduces every served neighbor bit-for-bit, "
+    "re-certifying the stored artifacts. Shape (100 TB serving): "
+    "per-query work is 128 fold cells + one list's codes; nothing "
+    "vector-sized moves after routing; the index is pre-partitioned "
+    "by list key so a query touches one partition.",
+)
+def q_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries.similarity import (
+        _PQ_ADC_QZ,
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        _ivf_exact_centroids,
+        _persisted_model,
+        _pq_assign,
+        _pq_codebook_train,
+        _pq_corpus_sub,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    codebook = _persisted_model(
+        spark, sf_dir, "pq_codebook", lambda: _pq_codebook_train(e)
+    )
+    centroids = _persisted_model(
+        spark, sf_dir, "ivf_centroids_exact", lambda: _ivf_exact_centroids(e)
+    )
+    # serving constants: the frozen models are 128 + ~10 rows — collect
+    # them ONCE and ship as literals (the bounded-collect convention;
+    # this is how a scorer deploys a model, not a distributed join)
+    cb = {(r.s, r.j): [float(x) for x in r.cw] for r in codebook.collect()}
+    cents = sorted((r.label, [float(x) for x in r.centroid]) for r in centroids.collect())
+
+    # the ANN index (static side): packed per-vector codes + list key
+    codes = _pq_assign(_pq_corpus_sub(e), codebook).select(
+        "vec_id", "s", F.col("j").alias("code")
+    )
+    wide = (
+        codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "code"))), lambda t: t["code"]
+            ).alias("codes")
+        )
+        .join(e.select("vec_id", "label"), "vec_id")
+        .persist()  # the index is built once, read by every micro-batch
+    )
+
+    staged = _stage_query_vectors(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    arr = arrivals.select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    # The serving constants ride a ONE-ROW broadcast table, not plan
+    # literals: a 2,048-literal expression tree costs ~25 s of
+    # analysis/codegen PER MICRO-BATCH (measured — 4 batches pushed the
+    # rung past 110 s), while a 1-row cross join carries the same
+    # values as DATA and the scoring expressions stay tiny HOF folds
+    # over the model columns.
+    consts = spark.createDataFrame(
+        [
+            (
+                [[cb[(s, j)] for j in range(_PQ_K)] for s in range(_PQ_M)],
+                [{"l": int(lab), "c": cvec} for lab, cvec in cents],
+            )
+        ],
+        "cbm array<array<array<double>>>, centm array<struct<l:int,c:array<double>>>",
+    )
+    # cosine text identical to functions.vectors.cosine (clamped
+    # sequential folds), inlined so the routing fold can reuse it
+    def cos_sql(b: str) -> str:
+        dot = (
+            f"aggregate(zip_with(v, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        nv = (
+            "sqrt(aggregate(transform(v, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (acc, x) -> acc + x))"
+        )
+        nb = (
+            f"sqrt(aggregate(transform({b}, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (acc, x) -> acc + x))"
+        )
+        return (
+            f"least(cast(1.0 as double), greatest(cast(-1.0 as double), "
+            f"{dot} / ({nv} * {nb})))"
+        )
+
+    # row-local coarse routing: fold over the ascending-label centroid
+    # array with strict > = the (csim DESC, label) tie-break of the
+    # batch probe
+    route = F.expr(
+        "aggregate(centm, "
+        "named_struct('l', cast(-1 as int), 's', cast('-Infinity' as double)), "
+        f"(acc, ct) -> if({cos_sql('ct.c')} > acc.s, "
+        f"named_struct('l', ct.l, 's', {cos_sql('ct.c')}), acc)).l"
+    )
+    # row-local ADC table: 8x16 micro-quantized cells against the
+    # codebook column (the _PQ_L2SQL fold, term for term)
+    adcm = F.expr(
+        "transform(cbm, (scb, s) -> transform(scb, cw -> "
+        f"cast(floor(aggregate(zip_with(slice(v, s * {_PQ_D} + 1, {_PQ_D}), cw, "
+        "(a, b) -> (a - b) * (a - b)), cast(0.0 as double), (acc, x) -> acc + x) "
+        f"* {_PQ_ADC_QZ} + 0.5) as bigint)))"
+    )
+    routed = (
+        arr.crossJoin(F.broadcast(consts))
+        .select("q_id", route.alias("label"), adcm.alias("adcm"))
+    )
+    cand = routed.join(wide, "label").filter(F.col("vec_id") != F.col("q_id"))
+    l2q = F.expr(
+        "aggregate(zip_with(adcm, codes, (a, c) -> element_at(a, cast(c + 1 as int))), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    scored = cand.select("q_id", "vec_id", l2q.alias("l2q"))
+    best = scored.groupBy("q_id").agg(
+        F.min(F.struct("l2q", "vec_id")).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )
+    out = best.select(
+        "q_id",
+        F.col("b.vec_id").alias("nn_id"),
+        F.expr(f"cast(b.l2q as double) / {_PQ_ADC_QZ}").alias("approx_l2sq"),
+        "n_candidates",
+    )
+    result = run_to_memory(out, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+    wide.unpersist()
+    return result

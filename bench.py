@@ -151,6 +151,8 @@ HEADLINE = [
     "q_dedup_embedding_lsh_audit",
     "q_knn_pq_codebook",
     "q_knn_model_drift",
+    "q_knn_nprobe_tradeoff",
+    "q_stream_ann_serving",
 ]
 
 
