@@ -767,3 +767,103 @@ def q_graph_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return finalize_bounded(out, adj, comp)
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One synchronous label-propagation round as SQL CTE text: per
+    node, the most frequent label among its neighbors, ties to the
+    smallest label — MATERIALIZED because the next round references it
+    through both the count and the argmax."""
+    return f"""c{cur} AS (
+      SELECT e.dst AS node, r.label, COUNT(*) AS cnt
+      FROM edges e JOIN l{prev} r ON e.src = r.node
+      GROUP BY e.dst, r.label),
+    l{cur} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c{cur}) t WHERE rn = 1)"""
+
+
+@register(
+    "q_graph_label_propagation",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, {_SUPP_OFF} + l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM e0
+      UNION ALL
+      SELECT s AS src, c AS dst FROM e0
+    ),
+    l0 AS MATERIALIZED (
+      SELECT src AS node, CAST(src AS BIGINT) AS label
+      FROM (SELECT DISTINCT src FROM edges) t),
+    {_lpa_round_sql(0, 1)},
+    {_lpa_round_sql(1, 2)},
+    {_lpa_round_sql(2, 3)}
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l3 GROUP BY label
+    ORDER BY n_nodes DESC, community
+    LIMIT 20
+    """,
+    doc="Synchronous label propagation (3 fixed rounds) over the "
+    "undirected customer–supplier purchase graph — the community-"
+    "detection loop next to min-label components and fixed-point "
+    "PageRank (the 5th oracle-checked iterative algorithm): every node "
+    "starts as its own label, each round adopts the MOST FREQUENT "
+    "label among its neighbors with ties to the smallest label — the "
+    "(count DESC, label) argmax is exact integer arithmetic, so the "
+    "whole trajectory is deterministic and the oracle unrolls the same "
+    "three rounds as MATERIALIZED CTEs. Fixed synchronous rounds are "
+    "the oracle-checkable form deliberately: on near-bipartite graphs "
+    "synchronous LPA can oscillate rather than converge, so production "
+    "runs async/semi-sync sweeps — but any such variant reuses exactly "
+    "this round shape (one edge-label join + one (node, label) count "
+    "+ one argmax window per round). Report: top-20 communities by "
+    "size. Shape (100 TB): per round one equi-join of the O(nodes) "
+    "label vector to the edge list + one count keyed on (dst, label) "
+    "+ one window keyed on dst; labels are two longs per node; "
+    "lineage is truncated per round (localCheckpoint ↔ MATERIALIZED), "
+    "the q_graph_components_minlabel recipe.",
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_SUPP_OFF) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = _ckpt(
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
+    )
+    rn = F.row_number().over(W.partitionBy("node").orderBy(F.desc("cnt"), "label"))
+    for _ in range(3):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("node2").alias("node"), "label", "cnt")
+        )
+        labels = _ckpt(
+            counts.withColumn("rn", rn).filter(F.col("rn") == 1).select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )

@@ -1119,3 +1119,111 @@ def q_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = run_to_memory(out, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
     wide.unpersist()
     return result
+
+
+def _stream_drift_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.similarity import (
+        _PQ_D,
+        _PQ_DRIFT_QZ,
+        _PQ_L2_SQL,
+        _PQ_M,
+        _pq_codebook_cte_sql,
+    )
+
+    return f"""
+    WITH {_pq_codebook_cte_sql()},
+    arrsub AS (
+      SELECT vec_id, s, v[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sv
+      FROM e, unnest(range(0, {_PQ_M})) AS u(s)
+      WHERE vec_id % 10 = 0),
+    drift_scored AS (
+      SELECT arrsub.vec_id, arrsub.s, {_PQ_L2_SQL} AS d
+      FROM arrsub JOIN cwl ON arrsub.s = cwl.s),
+    best AS (
+      SELECT vec_id, s, min(d) AS dmin FROM drift_scored GROUP BY vec_id, s)
+    SELECT s,
+           CAST(count(*) AS BIGINT) AS n_subvecs,
+           CAST(sum(CAST(floor(dmin * {_PQ_DRIFT_QZ} + 0.5) AS BIGINT)) AS BIGINT)
+             AS qerr_total_micro,
+           cast(sum(CAST(floor(dmin * {_PQ_DRIFT_QZ} + 0.5) AS BIGINT)) as double)
+             / (cast(count(*) as double) * {_PQ_DRIFT_QZ}) AS mean_qerr
+    FROM best GROUP BY s ORDER BY s
+    """
+
+
+@register(
+    "q_stream_model_drift",
+    oracle=_stream_drift_oracle(),
+    doc="INGEST-TIME model-drift monitor — the streaming form of "
+    "q_knn_model_drift, watching the persisted PQ codebook against the "
+    "data as it ARRIVES rather than against the standing corpus: each "
+    "arriving vector row-locally folds its per-subspace quantization "
+    "error (exact min squared-L2 over the 16 codewords of the FROZEN "
+    "codebook, shipped on the same 1-row broadcast constants table the "
+    "serving rung uses), explodes the 8 per-subspace errors, and ONE "
+    "complete-mode aggregate holds the running per-subspace error "
+    "report — micro-quantized bigint totals, so the stream's answer is "
+    "exact and order-free. In production this is the live time-series "
+    "the retrain trigger reads (the batch rung is the periodic audit; "
+    "THIS is the canary on the ingest path — a distribution shift "
+    "shows up here first, one micro-batch after it starts). "
+    "Oracle-checked with the usual double-duty: Spark reads the STORED "
+    "model while DuckDB RETRAINS it on the round's data. Shape "
+    "(100 TB ingest): per-arrival work is 128 fold cells, state is 8 "
+    "counter rows, no join at all — strictly cheaper than the serving "
+    "rung it monitors.",
+)
+def q_stream_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries.similarity import (
+        _PQ_D,
+        _PQ_DRIFT_QZ,
+        _PQ_K,
+        _PQ_M,
+        _persisted_model,
+        _pq_codebook_train,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    codebook = _persisted_model(
+        spark, sf_dir, "pq_codebook", lambda: _pq_codebook_train(e)
+    )
+    cb = {(r.s, r.j): [float(x) for x in r.cw] for r in codebook.collect()}
+    consts = spark.createDataFrame(
+        [([[cb[(s, j)] for j in range(_PQ_K)] for s in range(_PQ_M)],)],
+        "cbm array<array<array<double>>>",
+    )
+    staged = _stage_query_vectors(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    arr = arrivals.select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # per-subspace min exact L2^2 over the codebook column (min over
+    # exact doubles, quantized ONCE — floor(x*QZ+0.5) is monotone, so
+    # this equals the batch rung's min-then-quantize exactly)
+    per_s = F.expr(
+        "transform(cbm, (scb, s) -> "
+        "cast(floor(aggregate(scb, cast('Infinity' as double), (acc, cw) -> "
+        f"least(acc, aggregate(zip_with(slice(v, s * {_PQ_D} + 1, {_PQ_D}), cw, "
+        "(a, b) -> (a - b) * (a - b)), cast(0.0 as double), (acc2, x2) -> acc2 + x2))) "
+        f"* {_PQ_DRIFT_QZ} + 0.5) as bigint))"
+    )
+    exploded = (
+        arr.crossJoin(F.broadcast(consts))
+        .select("q_id", F.posexplode(per_s).alias("s", "micro"))
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    agg = exploded.groupBy("s").agg(
+        n.alias("n_subvecs"),
+        F.sum("micro").cast("bigint").alias("qerr_total_micro"),
+        F.expr(
+            f"cast(sum(micro) as double) / (cast(count(1) as double) * {_PQ_DRIFT_QZ})"
+        ).alias("mean_qerr"),
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")

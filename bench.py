@@ -153,6 +153,8 @@ HEADLINE = [
     "q_knn_model_drift",
     "q_knn_nprobe_tradeoff",
     "q_stream_ann_serving",
+    "q_stream_model_drift",
+    "q_graph_label_propagation",
 ]
 
 

@@ -89,3 +89,74 @@ def test_stream_curation_funnel_is_monotone(spark, sf_dir):
         >= 0
     ), row
     assert row.n_all > 0
+
+
+def test_stream_model_drift_matches_batch_on_arrival_split(spark, sf_dir):
+    """The streaming drift report must equal the batch drift machinery
+    applied to the arrival split: same stored codebook, same min-then-
+    quantize, so per-subspace totals agree exactly (the oracle checks
+    values vs a RETRAINED model; this pins the Spark-side arithmetic
+    against the batch implementation path)."""
+    from azurestorage_blueprints_spark.queries.similarity import (
+        _PQ_DRIFT_QZ,
+        _persisted_model,
+        _pq_codebook_train,
+        _pq_corpus_sub,
+    )
+
+    stream_rows = {
+        r.s: r for r in REGISTRY["q_stream_model_drift"].fn(spark, sf_dir).collect()
+    }
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    codebook = _persisted_model(
+        spark,
+        sf_dir,
+        "pq_codebook",
+        lambda: _pq_codebook_train(table(spark, sf_dir, "embeddings")),
+    )
+    l2sq = F.expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    best = (
+        _pq_corpus_sub(e)
+        .join(F.broadcast(codebook), "s")
+        .select("vec_id", "s", l2sq.alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("d").alias("dmin"))
+    )
+    batch = {
+        r.s: r
+        for r in best.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_subvecs"),
+            F.sum(F.expr(f"cast(floor(dmin * {_PQ_DRIFT_QZ} + 0.5) as bigint)"))
+            .cast("bigint")
+            .alias("qerr_total_micro"),
+        )
+        .collect()
+    }
+    assert sorted(stream_rows) == sorted(batch) == list(range(8))
+    for s in batch:
+        assert stream_rows[s].n_subvecs == batch[s].n_subvecs
+        assert stream_rows[s].qerr_total_micro == batch[s].qerr_total_micro, (
+            f"subspace {s}: streaming drift diverged from the batch arithmetic"
+        )
+
+
+def test_label_propagation_report_is_wellformed(spark, sf_dir):
+    """LPA's top-20 report: community ids are real node ids, sizes are
+    positive and sorted, and the reported mass never exceeds the node
+    count (the oracle pins exact values; this pins the shape a
+    community report must have regardless of data)."""
+    rows = REGISTRY["q_graph_label_propagation"].fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 20
+    sizes = [r.n_nodes for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(n >= 1 for n in sizes)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    n_supp = li.select("l_suppkey").distinct().count()
+    assert sum(sizes) <= n_cust + n_supp
+    assert all(r.community >= 0 for r in rows)
