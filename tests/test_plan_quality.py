@@ -884,3 +884,25 @@ def test_incremental_substring_joins_on_window_key_not_arrays(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "tk#" not in m and "hs#" not in m, f"array column in exchange: {m}"
+
+
+def test_nprobe_tradeoff_scores_candidates_once(spark, sf_dir):
+    """The width axis must EXPLODE over one scored candidate table —
+    a plan that re-scores per probe width would show four separate
+    cosine-fold joins. One Generate (the explode), broadcasts for the
+    tiny query/centroid sides, no CartesianProduct touching the
+    corpus (the ground-truth crossJoin broadcasts its 10-query side)."""
+    plan = _plan(spark, "q_knn_nprobe_tradeoff", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert plan.count("Generate") <= 2, (
+        "the probe-width explode should appear once, not per width"
+    )
+
+
+def test_label_propagation_rounds_are_joins_not_products(spark, sf_dir):
+    plan = _plan(spark, "q_graph_label_propagation", sf_dir)
+    assert "CartesianProduct" not in plan
+    # three rounds of (edges join labels) + final community agg: the
+    # label vector rides equi-joins keyed on the node id
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
