@@ -155,6 +155,7 @@ HEADLINE = [
     "q_stream_ann_serving",
     "q_stream_model_drift",
     "q_graph_label_propagation",
+    "q_knn_ivf_partitioned",
 ]
 
 

@@ -906,3 +906,20 @@ def test_label_propagation_rounds_are_joins_not_products(spark, sf_dir):
     # three rounds of (edges join labels) + final community agg: the
     # label vector rides equi-joins keyed on the node id
     assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_partitioned_scan_carries_partition_filters(spark, sf_dir):
+    """The physical IVF index must be read through PLAN-TIME partition
+    pruning: the scan's PartitionFilters carries the static list-key IN
+    predicate (the router's probed lists). With 10 sampled queries x
+    nprobe=3 the probed set can cover every list at the gate SFs — the
+    gate pins the MACHINERY (predicate reaches the partitioned scan),
+    which is what bounds scan I/O to probed lists at any real query
+    count."""
+    import re
+
+    plan = _plan(spark, "q_knn_ivf_partitioned", sf_dir)
+    assert re.search(r"PartitionFilters: \[[^\]]*label[^\]]* IN \(", plan), (
+        "the list-key IN predicate must reach the partitioned scan as a "
+        "PartitionFilter - the index layout is not being pruned"
+    )
