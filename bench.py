@@ -287,9 +287,12 @@ def main() -> None:
 
 def abbrev(name: str) -> str:
     """Compact-line key: drop the q_ prefix, cut each token to 3 chars
-    (q_stats_mann_whitney -> sta_man_whi). Deterministic; uniqueness
-    over HEADLINE is gated in tests/test_bench_output.py."""
-    return "_".join(t[:3] for t in name.removeprefix("q_").split("_"))
+    (q_stats_mann_whitney -> stamanwhi). Deterministic; uniqueness
+    over HEADLINE is gated in tests/test_bench_output.py. r10: the
+    separator is dropped — at 105 headline queries the underscored
+    form outgrew the driver's 2000-char tail window (1901 chars);
+    the joined form is 1723 with ~175 chars of headroom."""
+    return "".join(t[:3] for t in name.removeprefix("q_").split("_"))
 
 
 def emit_lines(
