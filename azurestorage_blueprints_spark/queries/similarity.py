@@ -7,8 +7,11 @@
   the brute-force baseline is asserted in tests/test_ann_recall.py
   (hash-dependent, so rows-only for the driver gate).
 - IVF (inverted-file) ANN: coarse quantization by nearest centroid,
-  probe the closest list(s). Centroids here are per-label means
-  (k-means' assignment step — the structure, not the training loop).
+  probe the closest list(s). Centroids are exact nano-quantized
+  per-label means (deterministic, so the whole family is
+  oracle-checked since r10; the knob: nprobe=1 q_knn_ivf, 2
+  q_knn_ivf_exact, 3 q_knn_ivf_partitioned — measured end-to-end by
+  q_knn_nprobe_tradeoff).
 
 Scale posture: brute-force is O(Q x N) and exists as the correctness
 oracle; both ANN variants turn the cross join into an equi-join on a
