@@ -141,7 +141,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_knn_nprobe_tradeoff", "q_stream_ann_serving",
     "q_stream_model_drift", "q_graph_label_propagation",
-    "q_knn_ivf_partitioned",
+    "q_knn_ivf_partitioned", "q_decontaminate_fuzzy",
 })
 
 

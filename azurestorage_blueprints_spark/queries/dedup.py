@@ -2105,6 +2105,126 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_bounded(out, sig)
 
 
+#: fuzzy-decontamination threshold: 12 of 16 matching signature
+#: components (est >= 0.75) — stricter than the dedup verdict (0.5)
+#: because decontamination quarantines near-verbatim benchmark leakage,
+#: not mere near-duplication
+_DECON_FUZZY_EST = 0.75
+#: the held-out benchmark split (the incremental-arrival convention)
+_DECON_EVAL_MOD = 10
+_DECON_EVAL_REM = 0
+
+
+@register(
+    "q_decontaminate_fuzzy",
+    oracle=f"""
+    WITH {_mhp_sig_sql()},
+    evb AS ({_mhp_bands_sql(f"(SELECT * FROM sig WHERE doc_id % {_DECON_EVAL_MOD} = {_DECON_EVAL_REM})")}),
+    trb AS ({_mhp_bands_sql(f"(SELECT * FROM sig WHERE doc_id % {_DECON_EVAL_MOD} <> {_DECON_EVAL_REM})")}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS e_id, c.doc_id AS t_id
+      FROM evb a JOIN trb c ON a.band = c.band AND a.bh = c.bh
+    ),
+    scored AS (
+      SELECT cd.e_id,
+             CAST(({" + ".join(f"CASE WHEN sa.s{i} = sc.s{i} THEN 1 ELSE 0 END" for i in range(_MHP_PERMS))})
+                  AS DOUBLE) / {_MHP_PERMS}.0 AS est_jaccard
+      FROM cand cd
+      JOIN sig sa ON cd.e_id = sa.doc_id
+      JOIN sig sc ON cd.t_id = sc.doc_id
+    ),
+    best AS (SELECT e_id, max(est_jaccard) AS best_est FROM scored GROUP BY e_id),
+    ev AS (SELECT doc_id, source FROM documents
+           WHERE doc_id % {_DECON_EVAL_MOD} = {_DECON_EVAL_REM}),
+    flagged AS (
+      SELECT ev.source,
+             CASE WHEN b.best_est >= {_DECON_FUZZY_EST} THEN 1 ELSE 0 END AS cont,
+             coalesce(b.best_est, CAST(0.0 AS DOUBLE)) AS best_est
+      FROM ev LEFT JOIN best b ON ev.doc_id = b.e_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(cont) AS BIGINT) AS n_contaminated,
+           CAST(sum(cont) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS contamination_rate,
+           max(best_est) AS max_est
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    doc="FUZZY benchmark decontamination — the near-verbatim tier next "
+    "to q_decontaminate's exact 5-gram screen (GPT-3-style fuzzy "
+    "dedup of eval sets against the training corpus: exact n-grams "
+    "miss paraphrased or lightly edited leakage, which MinHash "
+    "similarity catches): the held-out benchmark split LSH-joins "
+    "against the training side's signature table through the shared "
+    "portable machinery, each eval doc takes its best training-side "
+    "estimated Jaccard (an order-free MAX of dyadic estimates), and "
+    "the report is the per-source contamination funnel a decon run "
+    "publishes — eval count, quarantined count at the strict 12-of-16 "
+    "threshold, rate, and the worst observed overlap. Fully "
+    "ORACLE-CHECKED. Shape (100 TB): the signature table is the same "
+    "stored artifact the dedup rungs read (one pass, persisted); the "
+    "candidate join is eval x train on (band, bucket) — eval sets are "
+    "tiny, so this is the cheap side of an already-bucketed join — "
+    "and the report is one small agg keyed by source.",
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W  # noqa: F401  (parallel to siblings)
+
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
+    d = table(spark, sf_dir, "documents")
+    sig = _mhp_sig(d).persist()
+    is_eval = (F.col("doc_id") % _DECON_EVAL_MOD) == _DECON_EVAL_REM
+    evb = _mhp_bands(sig.filter(is_eval)).select(
+        F.col("doc_id").alias("e_id"), "band", "bh"
+    )
+    trb = _mhp_bands(sig.filter(~is_eval)).select(
+        F.col("doc_id").alias("t_id"), "band", "bh"
+    )
+    cand = evb.join(trb, ["band", "bh"]).select("e_id", "t_id").distinct()
+    sig_e = sig.select(
+        F.col("doc_id").alias("e_id"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(_MHP_PERMS)],
+    )
+    sig_t = sig.select(
+        F.col("doc_id").alias("t_id"),
+        *[F.col(f"s{i}").alias(f"sc{i}") for i in range(_MHP_PERMS)],
+    )
+    est = F.expr(
+        "cast(("
+        + " + ".join(f"CASE WHEN sa{i} = sc{i} THEN 1 ELSE 0 END" for i in range(_MHP_PERMS))
+        + f") as double) / {_MHP_PERMS}.0"
+    )
+    best = (
+        cand.join(sig_e, "e_id")
+        .join(sig_t, "t_id")
+        .select("e_id", est.alias("est_jaccard"))
+        .groupBy("e_id")
+        .agg(F.max("est_jaccard").alias("best_est"))
+    )
+    ev = d.filter(is_eval).select(F.col("doc_id").alias("e_id"), "source")
+    cont = F.when(F.col("best_est") >= _DECON_FUZZY_EST, 1).otherwise(0)
+    flagged = ev.join(best, "e_id", "left").select(
+        "source",
+        cont.alias("cont"),
+        F.coalesce("best_est", F.lit(0.0).cast("double")).alias("best_est"),
+    )
+    n = F.count(F.lit(1))
+    out = (
+        flagged.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_eval"),
+            F.sum("cont").cast("bigint").alias("n_contaminated"),
+            (F.sum("cont").cast("double") / n.cast("double")).alias(
+                "contamination_rate"
+            ),
+            F.max("best_est").alias("max_est"),
+        )
+        .orderBy("source")
+    )
+    return finalize_bounded(out, sig)
+
+
 # ---------------------------------------------------------------------------
 # LSH blocking-quality audit (r7) — the measurement every dedup
 # deployment needs before trusting its blocking: hold the exact

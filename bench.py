@@ -156,6 +156,7 @@ HEADLINE = [
     "q_stream_model_drift",
     "q_graph_label_propagation",
     "q_knn_ivf_partitioned",
+    "q_decontaminate_fuzzy",
 ]
 
 

@@ -160,3 +160,20 @@ def test_label_propagation_report_is_wellformed(spark, sf_dir):
     n_supp = li.select("l_suppkey").distinct().count()
     assert sum(sizes) <= n_cust + n_supp
     assert all(r.community >= 0 for r in rows)
+
+
+def test_fuzzy_decontamination_report_is_wellformed(spark, sf_dir):
+    """Per-source funnel invariants (the oracle pins exact values):
+    quarantined <= eval count, rates and estimates in [0, 1], and the
+    strict threshold means a contaminated source must show a max_est
+    at or above it."""
+    from azurestorage_blueprints_spark.queries.dedup import _DECON_FUZZY_EST
+
+    rows = REGISTRY["q_decontaminate_fuzzy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_eval
+        assert 0.0 <= r.contamination_rate <= 1.0
+        assert 0.0 <= r.max_est <= 1.0
+        if r.n_contaminated > 0:
+            assert r.max_est >= _DECON_FUZZY_EST
