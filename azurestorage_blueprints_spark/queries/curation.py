@@ -1179,4 +1179,113 @@ def q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (r10) — the PRODUCTION quality filter
+# the waterfall's row-local rules approximate: score every document by
+# its cross-entropy under a per-language add-one-smoothed unigram LM
+# and split each language into head / middle / tail perplexity terciles
+# (CCNet keeps head+middle for training and routes tail to review).
+# Unlike q_token_commonness (global integer proxy, no bucketing) this is
+# the real mechanism: language-conditioned log-probabilities and
+# per-language percentile cuts.
+
+#: micro-nat quantizer for per-token surprisal: ln() is engine-libm
+#: territory (JVM Math.log vs DuckDB's C libm can differ in the last
+#: ulp), so each DISTINCT (count, lang-total) surprisal value is rounded
+#: to integer micro-nats BEFORE the per-document sum — the document
+#: reduction is then exact bigint arithmetic, order-free on any engine.
+_PPL_QZ = 1_000_000
+
+
+@register(
+    "q_ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents),
+    lm AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, token),
+    tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_l, CAST(count(*) AS BIGINT) AS v_l
+      FROM lm GROUP BY lang),
+    s AS (
+      SELECT lm.lang, token,
+             CAST(round(ln((CAST(n_l AS DOUBLE) + CAST(v_l AS DOUBLE))
+                           / (CAST(c AS DOUBLE) + 1.0)) * {_PPL_QZ}) AS BIGINT)
+               AS smicro
+      FROM lm JOIN tot ON lm.lang = tot.lang),
+    doc AS (
+      SELECT t.doc_id, t.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(smicro) AS BIGINT) AS ce_micro
+      FROM tok t JOIN s ON t.lang = s.lang AND t.token = s.token
+      GROUP BY t.doc_id, t.lang)
+    SELECT doc_id, lang, n_tokens, ce_micro,
+           CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens AS logppl,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                 ORDER BY CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens, doc_id)
+                AS BIGINT) AS bucket
+    FROM doc
+    """,
+    doc="CCNet-style perplexity bucketing: every document scored by its "
+    "mean per-token surprisal under an add-one-smoothed PER-LANGUAGE "
+    "unigram LM trained on the corpus itself — "
+    "-log p(w|lang), p = (c+1)/(N_lang+V_lang) — then each language "
+    "split into head/middle/tail perplexity terciles (ntile(3) ordered "
+    "by mean surprisal, doc_id tie-break). This is the production "
+    "quality filter of the CCNet pipeline: head+middle feed training, "
+    "tail goes to review — the language-conditioned upgrade of "
+    "q_token_commonness' global integer proxy. Determinism: each "
+    "distinct (count, total) surprisal is rounded to integer micro-nats "
+    "BEFORE the per-document sum, so the reduction is exact bigint "
+    "arithmetic (the one ln() per vocab entry is boundary-safe at 1e-6 "
+    "granularity and sweep-verified at three SFs). Shape (100 TB): the "
+    "LM is a vocab-sized (lang, token) hash-agg, map-side combined; "
+    "scoring re-joins it onto the token stream (broadcast here — vocab "
+    "is bounded; shuffle-join on the same key when it isn't); the only "
+    "doc-scale exchanges are the per-doc agg and the per-language "
+    "tercile window. At 100 TB the ntile window becomes two "
+    "approx_percentile cuts per language broadcast back as thresholds "
+    "— same buckets within sketch tolerance, no per-language sort; the "
+    "exact window form is kept here because it is what the oracle can "
+    "certify bit-for-bit.",
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token"))
+    lm = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = lm.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_l"),
+        F.count(F.lit(1)).cast("bigint").alias("v_l"),
+    )
+    smicro = F.round(
+        F.log(
+            (F.col("n_l").cast("double") + F.col("v_l").cast("double"))
+            / (F.col("c").cast("double") + F.lit(1.0))
+        )
+        * F.lit(_PPL_QZ)
+    ).cast("bigint")
+    s = lm.join(F.broadcast(tot), "lang").select("lang", "token", smicro.alias("smicro"))
+    doc = (
+        tok.join(F.broadcast(s), ["lang", "token"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("smicro").cast("bigint").alias("ce_micro"),
+        )
+    )
+    logppl = F.col("ce_micro").cast("double") / float(_PPL_QZ) / F.col("n_tokens")
+    w = Window.partitionBy("lang").orderBy(logppl.asc(), F.col("doc_id").asc())
+    return doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "ce_micro",
+        logppl.alias("logppl"),
+        F.ntile(3).over(w).cast("bigint").alias("bucket"),
+    )
+
+
 _bind_waterfall_oracle()

@@ -157,6 +157,10 @@ HEADLINE = [
     "q_graph_label_propagation",
     "q_knn_ivf_partitioned",
     "q_decontaminate_fuzzy",
+    # round-10 addition: CCNet perplexity terciles (per-language unigram
+    # LM + ntile cuts — its bench number tracks the token-stream rejoin
+    # and the per-language window next to the row-local curation rungs)
+    "q_ccnet_perplexity_buckets",
 ]
 
 

@@ -177,3 +177,57 @@ def test_fuzzy_decontamination_report_is_wellformed(spark, sf_dir):
         assert 0.0 <= r.max_est <= 1.0
         if r.n_contaminated > 0:
             assert r.max_est >= _DECON_FUZZY_EST
+
+
+def test_ccnet_perplexity_buckets_semantics(spark, sf_dir):
+    """Invariants the shared-SQL oracle cannot see:
+
+    - the per-language LM is recomputed INDEPENDENTLY in pure Python
+      (math.log — a third ln implementation) and the per-document
+      micro-nat totals must agree within 1 micro-nat per token;
+    - ntile(3) balance: per language the three buckets differ by at
+      most one document and every bucket is populated;
+    - tercile order: the bucket boundaries are monotone in logppl.
+    """
+    import math
+    from collections import Counter, defaultdict
+
+    from azurestorage_blueprints_spark.queries.curation import _PPL_QZ
+
+    rows = REGISTRY["q_ccnet_perplexity_buckets"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+
+    # independent LM: per-lang token counts and totals
+    cnt: dict[str, Counter] = defaultdict(Counter)
+    for d in docs:
+        cnt[d.lang].update(t for t in d.text.split(" ") if t != "")
+    tot = {lg: (sum(c.values()), len(c)) for lg, c in cnt.items()}
+    smicro = {
+        (lg, t): round(math.log((n + v) / (c + 1.0)) * _PPL_QZ)
+        for lg, cs in cnt.items()
+        for t, c in cs.items()
+        for n, v in (tot[lg],)
+    }
+    expect = {}
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t != ""]
+        if toks:
+            expect[d.doc_id] = (len(toks), sum(smicro[(d.lang, t)] for t in toks))
+    assert sorted(expect) == sorted(r.doc_id for r in rows)
+    for r in rows:
+        n_tok, ce = expect[r.doc_id]
+        assert r.n_tokens == n_tok
+        assert abs(r.ce_micro - ce) <= n_tok, (r.doc_id, r.ce_micro, ce)
+
+    by_lang: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lg, rs in by_lang.items():
+        sizes = Counter(r.bucket for r in rs)
+        assert sorted(sizes) == [1, 2, 3], (lg, sizes)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lg, sizes)
+        for k in (1, 2):
+            lo = max(r.logppl for r in rs if r.bucket == k)
+            hi = min(r.logppl for r in rs if r.bucket == k + 1)
+            assert lo <= hi + 1e-12, (lg, k, lo, hi)
