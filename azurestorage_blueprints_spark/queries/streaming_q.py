@@ -1227,3 +1227,235 @@ def q_stream_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_qerr"),
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stream_ppl_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.curation import _PPL_QZ
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents WHERE doc_id % 10 <> 0),
+    lm AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, token),
+    tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_l, CAST(count(*) AS BIGINT) AS v_l
+      FROM lm GROUP BY lang),
+    s AS (
+      SELECT lm.lang, token,
+             CAST(round(ln((CAST(n_l AS DOUBLE) + CAST(v_l AS DOUBLE))
+                           / (CAST(c AS DOUBLE) + 1.0)) * {_PPL_QZ}) AS BIGINT)
+               AS smicro
+      FROM lm JOIN tot ON lm.lang = tot.lang),
+    stdoc AS (
+      SELECT t.doc_id, t.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(smicro) AS BIGINT) AS ce_micro
+      FROM tok t JOIN s ON t.lang = s.lang AND t.token = s.token
+      GROUP BY t.doc_id, t.lang),
+    ranked AS (
+      SELECT lang, doc_id,
+             CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens AS logppl,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM stdoc),
+    thr AS (
+      SELECT lang,
+             max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT) THEN logppl END) AS t1,
+             max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT) THEN doc_id END) AS t1_doc,
+             max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN logppl END) AS t2,
+             max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN doc_id END) AS t2_doc
+      FROM ranked GROUP BY lang),
+    atok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents WHERE doc_id % 10 = 0),
+    adoc AS (
+      SELECT a.doc_id, a.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(smicro,
+               CAST(round(ln(CAST(n_l + v_l AS DOUBLE)) * {_PPL_QZ}) AS BIGINT)))
+               AS BIGINT) AS ce_micro
+      FROM atok a
+      JOIN tot ON a.lang = tot.lang
+      LEFT JOIN s ON a.lang = s.lang AND a.token = s.token
+      GROUP BY a.doc_id, a.lang),
+    verdict AS (
+      SELECT adoc.lang, adoc.doc_id, n_tokens, ce_micro,
+             CASE WHEN CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens < t1
+                       OR (CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens = t1
+                           AND adoc.doc_id <= t1_doc) THEN 1
+                  WHEN CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens < t2
+                       OR (CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens = t2
+                           AND adoc.doc_id <= t2_doc) THEN 2
+                  ELSE 3 END AS bucket
+      FROM adoc JOIN thr ON adoc.lang = thr.lang)
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+           CAST(sum(ce_micro) AS BIGINT) AS ce_total_micro,
+           CAST(sum(ce_micro) AS DOUBLE) / {_PPL_QZ}.0 / sum(n_tokens)
+             AS mean_token_surprisal
+    FROM verdict GROUP BY lang, bucket
+    """
+
+
+@register(
+    "q_stream_perplexity_gate",
+    oracle=_stream_ppl_oracle(),
+    doc="INGEST-TIME perplexity gate — the streaming form of "
+    "q_ccnet_perplexity_buckets (the batch rung terciles the standing "
+    "corpus; THIS buckets documents as they ARRIVE against a FROZEN "
+    "model, the CCNet production split): a batch pre-pass trains the "
+    "per-language add-one-smoothed unigram LM on the STANDING corpus "
+    "(doc_id % 10 != 0 — the q_dedup_incremental convention) and "
+    "freezes each language's tercile thresholds as the k-th-smallest "
+    "(logppl, doc_id) pair (k = ceil(n/3), ceil(2n/3)); model + "
+    "thresholds deploy as a 5-row broadcast constants table (vocab-"
+    "sized map column — the bounded-collect convention of "
+    "q_stream_ann_serving). Each arriving document looks up its stored "
+    "language (stream-static metadata join, no broadcast hint — the "
+    "metadata side is corpus-scale), folds its per-token surprisal "
+    "row-locally with element_at against the LM map — UNSEEN tokens "
+    "take the add-one OOV mass ln(N_lang+V_lang) — and buckets by "
+    "lexicographic threshold compare; ONE complete-mode aggregate "
+    "holds the running per-(lang, bucket) funnel with token-weighted "
+    "mean surprisal (exact bigint totals, one divide per output row). "
+    "Oracle-checked end to end: DuckDB RETRAINS the LM and the "
+    "thresholds from the standing slice and reproduces every funnel "
+    "cell bit-for-bit, re-certifying the frozen artifact the way "
+    "q_stream_ann_serving's oracle re-certifies the codebook. Shape "
+    "(100 TB ingest): per-arrival work is one map fold + one keyed "
+    "metadata lookup, state is O(langs x 3) counter rows, and the "
+    "model table is vocab-bounded — the thresholds are two numbers "
+    "per language, retrained offline on whatever cadence "
+    "q_knn_model_drift-style monitoring dictates.",
+)
+def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections import defaultdict
+
+    from pyspark.sql import Window as W
+
+    from azurestorage_blueprints_spark.functions.text import tokens
+    from azurestorage_blueprints_spark.queries.curation import _PPL_QZ
+
+    d = table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 0)
+    tok = standing.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    lm = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = lm.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_l"),
+        F.count(F.lit(1)).cast("bigint").alias("v_l"),
+    )
+    smicro = F.round(
+        F.log(
+            (F.col("n_l").cast("double") + F.col("v_l").cast("double"))
+            / (F.col("c").cast("double") + F.lit(1.0))
+        )
+        * F.lit(_PPL_QZ)
+    ).cast("bigint")
+    s = lm.join(F.broadcast(tot), "lang").select("lang", "token", smicro.alias("smicro"))
+    docce = (
+        tok.join(F.broadcast(s), ["lang", "token"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("smicro").cast("bigint").alias("ce_micro"),
+        )
+    )
+    logppl = F.col("ce_micro").cast("double") / float(_PPL_QZ) / F.col("n_tokens")
+    wl = W.partitionBy("lang").orderBy(logppl.asc(), F.col("doc_id").asc())
+    ranked = docce.select(
+        "lang",
+        "doc_id",
+        logppl.alias("logppl"),
+        F.row_number().over(wl).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    k1 = F.ceil(F.col("n") / 3.0).cast("bigint")
+    k2 = F.ceil(F.col("n") * 2.0 / 3.0).cast("bigint")
+    thr = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == k1, F.col("logppl"))).alias("t1"),
+        F.max(F.when(F.col("rn") == k1, F.col("doc_id"))).alias("t1_doc"),
+        F.max(F.when(F.col("rn") == k2, F.col("logppl"))).alias("t2"),
+        F.max(F.when(F.col("rn") == k2, F.col("doc_id"))).alias("t2_doc"),
+    )
+    # deploy the frozen model: vocab-sized LM map + OOV mass + tercile
+    # thresholds per language (bounded collects — this is a scorer
+    # loading a trained artifact, not a distributed join)
+    oov_rows = tot.select(
+        "lang",
+        F.round(F.log((F.col("n_l") + F.col("v_l")).cast("double")) * F.lit(_PPL_QZ))
+        .cast("bigint")
+        .alias("oov"),
+    ).collect()
+    mp: dict[str, dict[str, int]] = defaultdict(dict)
+    for r in s.collect():
+        mp[r.lang][r.token] = int(r.smicro)
+    oovm = {r.lang: int(r.oov) for r in oov_rows}
+    consts = spark.createDataFrame(
+        [
+            (t.lang, mp[t.lang], oovm[t.lang], float(t.t1), int(t.t1_doc),
+             float(t.t2), int(t.t2_doc))
+            for t in thr.collect()
+        ],
+        "lang string, lmmap map<string,bigint>, oov bigint, "
+        "t1 double, t1_doc bigint, t2 double, t2_doc bigint",
+    )
+
+    staged = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    # stored language from the metadata store (stream-static, no hint);
+    # the frozen model table IS provably bounded, so it broadcasts
+    lang_store = d.select("doc_id", "lang")
+    arr = arrivals.join(lang_store, "doc_id").join(F.broadcast(consts), "lang")
+    tk = tokens(F.col("text"))
+    ce = F.aggregate(
+        tk,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.coalesce(F.element_at(F.col("lmmap"), t), F.col("oov")),
+    )
+    scored = arr.select(
+        "lang",
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        ce.alias("ce_micro"),
+        "t1",
+        "t1_doc",
+        "t2",
+        "t2_doc",
+    )
+    lp = F.col("ce_micro").cast("double") / float(_PPL_QZ) / F.col("n_tokens")
+    bucket = (
+        F.when((lp < F.col("t1")) | ((lp == F.col("t1")) & (F.col("doc_id") <= F.col("t1_doc"))), 1)
+        .when((lp < F.col("t2")) | ((lp == F.col("t2")) & (F.col("doc_id") <= F.col("t2_doc"))), 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    agg = (
+        scored.select("lang", bucket.alias("bucket"), "n_tokens", "ce_micro")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tok_total"),
+            F.sum("ce_micro").cast("bigint").alias("ce_total_micro"),
+            (
+                F.sum("ce_micro").cast("double")
+                / float(_PPL_QZ)
+                / F.sum("n_tokens")
+            ).alias("mean_token_surprisal"),
+        )
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")

@@ -161,6 +161,10 @@ HEADLINE = [
     # LM + ntile cuts — its bench number tracks the token-stream rejoin
     # and the per-language window next to the row-local curation rungs)
     "q_ccnet_perplexity_buckets",
+    # round-10: the ingest-time form — frozen LM + tercile thresholds on
+    # a broadcast constants table, row-local fold, one complete-mode agg
+    # (its bench number is dominated by the 4-micro-batch replay)
+    "q_stream_perplexity_gate",
 ]
 
 

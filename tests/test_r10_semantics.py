@@ -231,3 +231,34 @@ def test_ccnet_perplexity_buckets_semantics(spark, sf_dir):
             lo = max(r.logppl for r in rs if r.bucket == k)
             hi = min(r.logppl for r in rs if r.bucket == k + 1)
             assert lo <= hi + 1e-12, (lg, k, lo, hi)
+
+
+def test_stream_perplexity_gate_tiles_arrivals_and_orders_buckets(spark, sf_dir):
+    """Structural invariants of the ingest-time perplexity gate (the
+    oracle pins exact cell values): every arriving document lands in
+    exactly one (lang, bucket) cell; reported totals are internally
+    consistent (token-weighted mean = exact micro total / tokens); and
+    because bucketing is a threshold cut on per-doc logppl, the
+    token-weighted cell means are monotone in the bucket index within
+    each language."""
+    from collections import defaultdict
+
+    from azurestorage_blueprints_spark.queries.curation import _PPL_QZ
+
+    rows = REGISTRY["q_stream_perplexity_gate"].fn(spark, sf_dir).collect()
+    assert rows
+    d = table(spark, sf_dir, "documents")
+    n_arrivals = d.filter(F.col("doc_id") % 10 == 0).count()
+    assert sum(r.n_docs for r in rows) == n_arrivals
+    by_lang = defaultdict(dict)
+    for r in rows:
+        assert r.bucket in (1, 2, 3)
+        assert r.bucket not in by_lang[r.lang], "one cell per (lang, bucket)"
+        by_lang[r.lang][r.bucket] = r
+        want = r.ce_total_micro / _PPL_QZ / r.tok_total
+        assert abs(r.mean_token_surprisal - want) < 1e-12
+        assert r.mean_token_surprisal > 0
+    for lang, cells in by_lang.items():
+        present = sorted(cells)
+        means = [cells[b].mean_token_surprisal for b in present]
+        assert means == sorted(means), (lang, means)
