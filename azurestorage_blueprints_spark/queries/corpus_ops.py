@@ -1024,3 +1024,105 @@ def q_mixture_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.col("n_ref").cast("double") * F.col("n_cur").cast("double"))
         ).alias("tv_distance"),
     ).orderBy("source")
+
+
+#: PMI collocation extraction: minimum bigram count (rare pairs have
+#: unstable PMI — the standard floor) and report size
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH toked AS (
+      SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM toked) GROUP BY w),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toked WHERE len(t) >= 2))
+      GROUP BY w1, w2),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tok,
+             (SELECT CAST(sum(c12) AS BIGINT) FROM bi) AS n_bi
+      FROM uni)
+    SELECT w1, w2, c12,
+           u1.c AS c1, u2.c AS c2,
+           round(ln((CAST(c12 AS DOUBLE) / n_bi)
+                    / ((CAST(u1.c AS DOUBLE) / n_tok)
+                       * (CAST(u2.c AS DOUBLE) / n_tok))), 6) AS pmi
+    FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, tot
+    WHERE c12 >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP_K}
+    """,
+    doc="PMI collocation extraction — the pointwise-mutual-information "
+    "table behind multiword-expression and tokenizer-vocabulary "
+    "induction: for every adjacent token pair seen at least "
+    f"{_PMI_MIN_COUNT} times, pmi = ln(p(w1,w2) / (p(w1)p(w2))) with "
+    "bigram probability over the bigram-event total and unigram "
+    "probabilities over the token total; top-20 by PMI with "
+    "deterministic (w1, w2) tie-break. High-PMI pairs co-occur far "
+    "above chance — exactly the pairs BPE merges first and phrase "
+    "miners promote (complements q_bpe_merge_candidates, which ranks "
+    "by RAW count: PMI surfaces rare-but-strong collocations count "
+    "ranking buries). Determinism: counts are exact bigints, one "
+    "per-row ln() rounded to 6 decimals (the q_text_bm25 convention). "
+    "Shape (100 TB): bigrams come from an in-array slide — no "
+    "positional self-join; the two count hash-aggs are map-side "
+    "combined; the unigram table joins back onto the VOCAB-sized "
+    "bigram table (not the token stream) as broadcasts; the report is "
+    "TakeOrderedAndProject. No doc-scale exchange besides the two "
+    "count shuffles.",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(F.expr(_TOKS).alias("t"))
+    uni = (
+        toked.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bi_all = (
+        toked.filter(F.expr("size(t) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    # the bigram-event total counts ALL bigrams (the probability space),
+    # not just the pairs that clear the reporting floor
+    bi = bi_all.filter(F.col("c12") >= _PMI_MIN_COUNT)
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_tok")).crossJoin(
+        bi_all.agg(F.sum("c12").cast("bigint").alias("n_bi"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_tok"))
+                * (F.col("c2").cast("double") / F.col("n_tok"))
+            )
+        ),
+        6,
+    )
+    return (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

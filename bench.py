@@ -165,6 +165,9 @@ HEADLINE = [
     # a broadcast constants table, row-local fold, one complete-mode agg
     # (its bench number is dominated by the 4-micro-batch replay)
     "q_stream_perplexity_gate",
+    # round-10: PMI collocations (two count hash-aggs + vocab-sized
+    # broadcast rejoin + top-k)
+    "q_pmi_collocations",
 ]
 
 

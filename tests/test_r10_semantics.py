@@ -262,3 +262,48 @@ def test_stream_perplexity_gate_tiles_arrivals_and_orders_buckets(spark, sf_dir)
         present = sorted(cells)
         means = [cells[b].mean_token_surprisal for b in present]
         assert means == sorted(means), (lang, means)
+
+
+def test_pmi_collocations_match_independent_recount(spark, sf_dir):
+    """Recompute the full PMI table independently in pure Python
+    (Counter + math.log — a third engine) and pin the reported top-k
+    rows: same pairs, same counts, PMI within the 6-decimal rounding
+    the rung quotes. Also pins the probability-space subtlety the
+    shared SQL could get wrong silently on both sides if edited: the
+    bigram-event total counts ALL bigrams, not just pairs clearing the
+    reporting floor."""
+    import math
+    from collections import Counter
+
+    from azurestorage_blueprints_spark.queries.corpus_ops import (
+        _PMI_MIN_COUNT,
+        _PMI_TOP_K,
+    )
+
+    rows = REGISTRY["q_pmi_collocations"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PMI_TOP_K
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for d in table(spark, sf_dir, "documents").select("text").collect():
+        t = [x for x in d.text.split(" ") if x != ""]
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    n_tok, n_bi = sum(uni.values()), sum(bi.values())
+    scored = sorted(
+        (
+            (
+                round(math.log((c12 / n_bi) / ((uni[w1] / n_tok) * (uni[w2] / n_tok))), 6),
+                w1,
+                w2,
+                c12,
+            )
+            for (w1, w2), c12 in bi.items()
+            if c12 >= _PMI_MIN_COUNT
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:_PMI_TOP_K]
+    assert len(rows) == len(scored)
+    for r, (pmi, w1, w2, c12) in zip(rows, scored):
+        assert (r.w1, r.w2, r.c12) == (w1, w2, c12)
+        assert r.c1 == uni[w1] and r.c2 == uni[w2]
+        assert abs(r.pmi - pmi) <= 2e-6, (r.w1, r.w2, r.pmi, pmi)
