@@ -1126,3 +1126,72 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+# curriculum mixture schedule (r10): the 4-phase temperature ladder.
+# Only alphas reachable by sqrt COMPOSITIONS are used (1, 3/4, 1/2,
+# 1/4): sqrt is IEEE-correctly-rounded on every engine, so
+# n^(3/4) = sqrt(n)*sqrt(sqrt(n)) and n^(1/4) = sqrt(sqrt(n)) are
+# bit-deterministic cross-engine where a libm pow(n, 0.75) is not.
+# Weights quantize to integer micro-units BEFORE the per-phase
+# normalization sum (the q_mixture_temperature_resample discipline).
+_CURRICULUM_SQL = """
+    WITH src AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    ph AS (
+      SELECT * FROM (VALUES
+        (0, CAST(1.0 AS DOUBLE)), (1, CAST(0.75 AS DOUBLE)),
+        (2, CAST(0.5 AS DOUBLE)), (3, CAST(0.25 AS DOUBLE))
+      ) AS p(phase, alpha)
+    ),
+    w AS (
+      SELECT phase, alpha, lang, n_docs,
+             CAST(floor((CASE phase
+               WHEN 0 THEN CAST(n_docs AS DOUBLE)
+               WHEN 1 THEN sqrt(CAST(n_docs AS DOUBLE))
+                           * sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+               WHEN 2 THEN sqrt(CAST(n_docs AS DOUBLE))
+               ELSE sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+             END) * 1000000.0) AS BIGINT) AS w_q
+      FROM src CROSS JOIN ph
+    ),
+    t AS (
+      SELECT phase, alpha, lang, n_docs, w_q,
+             CAST(sum(w_q) OVER (PARTITION BY phase) AS BIGINT) AS w_tot,
+             CAST(sum(n_docs) OVER (PARTITION BY phase) AS BIGINT) AS n_tot
+      FROM w
+    )
+    SELECT CAST(phase AS BIGINT) AS phase, alpha, lang, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS natural_share,
+           CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE) AS phase_share,
+           (CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS upsample_ratio
+    FROM t
+"""
+
+
+@register(
+    "q_mixture_curriculum",
+    oracle=_CURRICULUM_SQL,
+    doc="Curriculum mixture schedule: the per-phase LANGUAGE-mixture plan "
+    "of a staged multilingual pretraining run — phase 0 samples at the "
+    "natural distribution (alpha = 1) and each later phase flattens "
+    "the mix (alpha = 3/4, 1/2, 1/4), progressively upsampling "
+    "low-resource languages the way multilingual schedules equalize "
+    "coverage late in training (the corpus is 3x en-heavy, so the "
+    "ratios are structurally non-trivial). Cross-engine exactness "
+    "without libm pow(): only sqrt-COMPOSABLE alphas are used "
+    "(n^(3/4) = sqrt(n)*sqrt(sqrt(n)), n^(1/4) = sqrt(sqrt(n)) — sqrt "
+    "is IEEE-correctly-rounded everywhere), and each weight quantizes "
+    "to integer micro-units BEFORE the per-phase normalization sum, so "
+    "the reduction is exact bigint arithmetic. Per (phase, lang): "
+    "natural share, phase share, and the upsample ratio the schedule "
+    "applies. Shape: one O(langs) hash-agg, a 4-row phase cross "
+    "join, per-phase window over O(langs) rows — O(langs x phases) "
+    "rows move at any corpus size.",
+)
+def q_mixture_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CURRICULUM_SQL)

@@ -1288,4 +1288,86 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: inference-batching length buckets (powers of two covering the corpus
+#: token range) — integer-only so every engine compares exactly
+_LEN_BUCKETS = (16, 32, 64, 128)
+
+
+@register(
+    "q_batch_length_buckets",
+    oracle=f"""
+    WITH sized AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS n_tok
+      FROM documents),
+    g AS (SELECT CAST(max(n_tok) AS BIGINT) AS gmax FROM sized),
+    b AS (
+      SELECT n_tok, gmax,
+             CASE WHEN n_tok <= {_LEN_BUCKETS[0]} THEN {_LEN_BUCKETS[0]}
+                  WHEN n_tok <= {_LEN_BUCKETS[1]} THEN {_LEN_BUCKETS[1]}
+                  WHEN n_tok <= {_LEN_BUCKETS[2]} THEN {_LEN_BUCKETS[2]}
+                  ELSE gmax END AS bucket_width
+      FROM sized CROSS JOIN g)
+    SELECT CAST(bucket_width AS BIGINT) AS bucket_width,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_total,
+           CAST(count(*) * bucket_width AS BIGINT) AS padded_total,
+           CAST(count(*) * bucket_width - sum(n_tok) AS DOUBLE)
+             / (count(*) * bucket_width) AS waste_frac,
+           CAST(count(*) * max(gmax) - sum(n_tok) AS DOUBLE)
+             / (count(*) * max(gmax)) AS naive_waste_frac
+    FROM b GROUP BY bucket_width
+    """,
+    doc="Length-bucketed batching report — the padding-economics table "
+    "behind dynamic batching in training and inference: documents are "
+    "assigned to power-of-two token-length buckets (the top bucket "
+    "clamped to the observed max length) and each bucket "
+    "reports its exact padded-token total and padding-waste fraction "
+    "next to the waste the SAME documents would incur padded to the "
+    "global max length (the naive single-bucket batcher). The gap "
+    "between waste_frac and naive_waste_frac is the throughput "
+    "recovered by bucketing — the number a serving team actually "
+    "tunes bucket boundaries against. All counts are exact integers "
+    "(bucket assignment is an integer CASE chain, never a float log); "
+    "the two fractions are one divide per output row. Shape (100 TB): "
+    "one codegen scan + one O(buckets) hash-agg, map-side combined; "
+    "the global max rides a 1-row broadcast scalar join. O(buckets) "
+    "rows at any corpus size.",
+)
+def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(token_count(F.col("text")).cast("bigint").alias("n_tok"))
+    gmax = sized.agg(F.max("n_tok").cast("bigint").alias("gmax"))
+    # the top bucket clamps to the OBSERVED max length (a fixed 128
+    # ceiling would pad past any real sequence — the honest batcher
+    # never allocates beyond the longest input)
+    bw = (
+        F.when(F.col("n_tok") <= _LEN_BUCKETS[0], F.lit(_LEN_BUCKETS[0]).cast("bigint"))
+        .when(F.col("n_tok") <= _LEN_BUCKETS[1], F.lit(_LEN_BUCKETS[1]).cast("bigint"))
+        .when(F.col("n_tok") <= _LEN_BUCKETS[2], F.lit(_LEN_BUCKETS[2]).cast("bigint"))
+        .otherwise(F.col("gmax"))
+        .cast("bigint")
+    )
+    b = sized.crossJoin(F.broadcast(gmax)).select("n_tok", "gmax", bw.alias("bucket_width"))
+    g = b.groupBy("bucket_width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_total"),
+        F.max("gmax").cast("bigint").alias("gmax"),
+    )
+    padded = (F.col("n_docs") * F.col("bucket_width")).cast("bigint")
+    naive = (F.col("n_docs") * F.col("gmax")).cast("bigint")
+    return g.select(
+        "bucket_width",
+        "n_docs",
+        "tok_total",
+        padded.alias("padded_total"),
+        ((padded - F.col("tok_total")).cast("double") / padded.cast("double")).alias(
+            "waste_frac"
+        ),
+        ((naive - F.col("tok_total")).cast("double") / naive.cast("double")).alias(
+            "naive_waste_frac"
+        ),
+    )
+
+
 _bind_waterfall_oracle()

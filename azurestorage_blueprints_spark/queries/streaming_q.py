@@ -1360,7 +1360,14 @@ def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(_PPL_QZ)
     ).cast("bigint")
-    s = lm.join(F.broadcast(tot), "lang").select("lang", "token", smicro.alias("smicro"))
+    # the LM table feeds three consumers (map deploy, OOV masses,
+    # threshold training) — persist the vocab-sized table once instead
+    # of recomputing the token-explode + two aggs per collect
+    s = (
+        lm.join(F.broadcast(tot), "lang")
+        .select("lang", "token", smicro.alias("smicro"))
+        .persist()
+    )
     docce = (
         tok.join(F.broadcast(s), ["lang", "token"])
         .groupBy("doc_id", "lang")
@@ -1408,6 +1415,7 @@ def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, lmmap map<string,bigint>, oov bigint, "
         "t1 double, t1_doc bigint, t2 double, t2_doc bigint",
     )
+    s.unpersist()  # the frozen model is deployed; release the pre-pass cache
 
     staged = _stage_documents(spark, sf_dir)
     schema = spark.read.parquet(os.path.join(staged, "c0")).schema

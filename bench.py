@@ -168,6 +168,11 @@ HEADLINE = [
     # round-10: PMI collocations (two count hash-aggs + vocab-sized
     # broadcast rejoin + top-k)
     "q_pmi_collocations",
+    # round-10: the two O(1)-output planners (curriculum mix schedule,
+    # length-bucket padding economics) — cheap by design; their bench
+    # numbers pin the scan+agg floor of the planning tier
+    "q_mixture_curriculum",
+    "q_batch_length_buckets",
 ]
 
 

@@ -307,3 +307,83 @@ def test_pmi_collocations_match_independent_recount(spark, sf_dir):
         assert (r.w1, r.w2, r.c12) == (w1, w2, c12)
         assert r.c1 == uni[w1] and r.c2 == uni[w2]
         assert abs(r.pmi - pmi) <= 2e-6, (r.w1, r.w2, r.pmi, pmi)
+
+
+def test_mixture_curriculum_matches_independent_recompute(spark, sf_dir):
+    """Recompute the 4-phase schedule in pure Python (math.sqrt) and pin
+    every cell exactly; then the schedule-shaped invariants: shares sum
+    to 1 per phase, phase 0 is the natural distribution, and flattening
+    is monotone — a below-average language's upsample ratio only grows
+    as alpha falls, an above-average language's only shrinks."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = REGISTRY["q_mixture_curriculum"].fn(spark, sf_dir).collect()
+    counts = Counter(
+        r.lang for r in table(spark, sf_dir, "documents").select("lang").collect()
+    )
+    n_tot = sum(counts.values())
+    alphas = {0: 1.0, 1: 0.75, 2: 0.5, 3: 0.25}
+    assert len(rows) == len(counts) * len(alphas)
+
+    def w_q(n: int, phase: int) -> int:
+        x = float(n)
+        v = {
+            0: x,
+            1: math.sqrt(x) * math.sqrt(math.sqrt(x)),
+            2: math.sqrt(x),
+            3: math.sqrt(math.sqrt(x)),
+        }[phase]
+        return math.floor(v * 1_000_000.0)
+
+    w_tot = {p: sum(w_q(c, p) for c in counts.values()) for p in alphas}
+    share_by_phase = defaultdict(float)
+    ratios = defaultdict(dict)
+    for r in rows:
+        assert r.alpha == alphas[r.phase]
+        want_nat = counts[r.lang] / n_tot
+        want_share = w_q(counts[r.lang], r.phase) / w_tot[r.phase]
+        assert abs(r.natural_share - want_nat) < 1e-15
+        assert abs(r.phase_share - want_share) < 1e-12, (r.lang, r.phase)
+        share_by_phase[r.phase] += r.phase_share
+        ratios[r.lang][r.phase] = r.upsample_ratio
+    for p, tot in share_by_phase.items():
+        assert abs(tot - 1.0) < 1e-9, (p, tot)
+    for lang, by_phase in ratios.items():
+        seq = [by_phase[p] for p in (0, 1, 2, 3)]
+        assert abs(seq[0] - 1.0) < 1e-9, (lang, seq)
+        if counts[lang] * len(counts) < n_tot:  # below-average language
+            assert seq == sorted(seq), (lang, seq)
+        elif counts[lang] * len(counts) > n_tot:
+            assert seq == sorted(seq, reverse=True), (lang, seq)
+
+
+def test_batch_length_buckets_account_for_every_document(spark, sf_dir):
+    """Independent recount: every document lands in exactly one bucket,
+    the padded totals are exact, and bucketing never wastes more than
+    the naive pad-to-global-max batcher (equality only at the clamped
+    top bucket)."""
+    from collections import Counter
+
+    from azurestorage_blueprints_spark.queries.curation import _LEN_BUCKETS
+
+    rows = {r.bucket_width: r for r in
+            REGISTRY["q_batch_length_buckets"].fn(spark, sf_dir).collect()}
+    lens = [
+        len([t for t in d.text.split(" ") if t != ""])
+        for d in table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    gmax = max(lens)
+    want_n: Counter = Counter()
+    want_tok: Counter = Counter()
+    for n in lens:
+        w = next((b for b in _LEN_BUCKETS[:3] if n <= b), gmax)
+        want_n[w] += 1
+        want_tok[w] += n
+    assert sorted(rows) == sorted(want_n)
+    assert sum(r.n_docs for r in rows.values()) == len(lens)
+    for w, r in rows.items():
+        assert r.n_docs == want_n[w] and r.tok_total == want_tok[w]
+        assert r.padded_total == want_n[w] * w
+        assert r.waste_frac <= r.naive_waste_frac + 1e-12
+        assert 0.0 <= r.waste_frac < 1.0
