@@ -1195,3 +1195,292 @@ _CURRICULUM_SQL = """
 def q_mixture_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CURRICULUM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023): pick raw-corpus documents that LOOK like a target domain by
+# fitting two bag-of-hashed-n-gram multinomials (target vs raw) and
+# scoring every document with its log importance weight
+# sum_f [ log p_target(f) - log p_raw(f) ]. The selection step draws
+# without replacement via Gumbel-top-k over the log weights. This is
+# the domain-targeting complement of the quality ladder: the CCNet /
+# classifier rungs ask "is this document good?", DSIR asks "is this
+# document FROM the distribution I want more of?".
+#
+# Engine portability: features are hashed bigrams over the shared
+# whitespace tokenizer — per-token polynomial fold (h*31+code mod
+# 2^31-1, the q_text_fingerprint / q_text_feature_hashing hash, never
+# an engine-native hash) combined pairwise as
+# (h_i * 8191 + h_{i+1}) mod (2^31-1) mod _DSIR_BUCKETS. Both
+# multinomials come out of ONE map-side-combined agg over the bucket
+# key (c_raw = count, c_target = conditional sum), Laplace-smoothed;
+# the per-bucket log-ratio quantizes to integer micro-units BEFORE the
+# per-document sum, so document scores are exact bigint reductions
+# (the _PPL_QZ convention of q_ccnet_perplexity_buckets).
+
+#: hashed-bigram vectorizer width (small enough that collisions are
+#: exercised at test SF; production would use 10k+ as in the paper)
+_DSIR_BUCKETS = 256
+
+#: bigram combine multiplier (prime, distinct from the char-fold's 31)
+_DSIR_BIGRAM_MULT = 8191
+
+#: micro-unit quantizer for log-ratio / Gumbel scores
+_DSIR_QZ = 1_000_000
+
+#: target slice: "documents that look English" — the corpus's lang
+#: column stands in for the paper's high-quality target corpus
+_DSIR_TARGET = "en"
+
+#: Gumbel-top-k selection budget
+_DSIR_K = 200
+
+#: lane salt decorrelating the Gumbel stream from the bootstrap
+#: (q_sample_poisson_bootstrap) and permutation (q_stats_permutation_test)
+#: draw streams — distinct experiments must not share randomness
+_DSIR_GUMBEL_SALT = 424243
+
+# shared CTE prefix: per-document hashed-bigram features and the
+# micro-quantized per-bucket log importance ratio (DuckDB dialect;
+# the Spark side mirrors it expression-for-expression in DataFrame API
+# because the feature stage needs list higher-order functions, which
+# have no dialect-common SQL spelling)
+_DSIR_PREFIX_SQL = f"""
+    WITH toked AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents),
+    th AS (
+      SELECT doc_id, lang,
+             list_transform(tk, t -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(t, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 2147483647)) AS th
+      FROM toked WHERE len(tk) >= 2),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(th)),
+               i -> ((th[i] * {_DSIR_BIGRAM_MULT} + th[i + 1])
+                     % 2147483647) % {_DSIR_BUCKETS})) AS bucket
+      FROM th),
+    counts AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS c_r,
+             CAST(sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_t
+      FROM feats GROUP BY bucket),
+    tots AS (
+      SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+             CAST(sum(c_t) AS BIGINT) AS n_t
+      FROM counts),
+    lr AS (
+      SELECT bucket,
+             CAST(round((ln((c_t + 1.0) / (n_t + {_DSIR_BUCKETS}.0))
+                       - ln((c_r + 1.0) / (n_r + {_DSIR_BUCKETS}.0)))
+                  * {_DSIR_QZ}.0) AS BIGINT) AS lr_micro
+      FROM counts CROSS JOIN tots),
+    imp AS (
+      SELECT f.doc_id, f.lang,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(l.lr_micro) AS BIGINT) AS imp_micro
+      FROM feats f JOIN lr l ON f.bucket = l.bucket
+      GROUP BY f.doc_id, f.lang)
+"""
+
+_DSIR_IMPORTANCE_SQL = f"""{_DSIR_PREFIX_SQL}
+    SELECT doc_id, lang, n_feats, imp_micro,
+           CAST(imp_micro AS DOUBLE) / {_DSIR_QZ}.0 AS log_importance
+    FROM imp
+"""
+
+_DSIR_RESAMPLE_SQL = f"""{_DSIR_PREFIX_SQL},
+    seeded AS (
+      SELECT doc_id, lang, imp_micro,
+             ((doc_id % 2147483648) * 2654435761 + {_DSIR_GUMBEL_SALT})
+               % 2147483648 AS a
+      FROM imp),
+    mix1 AS (
+      SELECT doc_id, lang, imp_micro,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM seeded),
+    mix2 AS (
+      SELECT doc_id, lang, imp_micro,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM mix1),
+    scored AS (
+      SELECT doc_id, lang, imp_micro,
+             CAST(round(-ln(-ln(((a * 2654435761) % 4294967296 + 0.5)
+                                / 4294967296.0)) * {_DSIR_QZ}.0)
+                  AS BIGINT) AS gumbel_micro
+      FROM mix2)
+    SELECT doc_id, lang, imp_micro, gumbel_micro,
+           CAST(imp_micro + gumbel_micro AS BIGINT) AS key_micro
+    FROM scored
+    ORDER BY key_micro DESC, doc_id
+    LIMIT {_DSIR_K}
+"""
+
+
+def _dsir_importance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight (micro-quantized bigint),
+    mirroring ``_DSIR_PREFIX_SQL`` expression-for-expression."""
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "lang", F.expr(_TOKS).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    # per-token polynomial char fold — tk is a MATERIALIZED column (the
+    # word_shingles rule: inline children of higher-order functions
+    # re-evaluate per element)
+    th = toked.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(tk, t -> aggregate("
+            "transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 2147483647))"
+        ).alias("th"),
+    )
+    feats = th.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(th) - 1),"
+                f" i -> ((element_at(th, i) * {_DSIR_BIGRAM_MULT}"
+                f" + element_at(th, i + 1)) % 2147483647) % {_DSIR_BUCKETS})"
+            )
+        ).alias("bucket"),
+    )
+    # BOTH multinomials from one map-side-combined agg on the bucket key
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    tots = counts.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+    )
+    b = float(_DSIR_BUCKETS)
+    lr_micro = F.round(
+        (
+            F.log((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.lit(b)))
+            - F.log((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + F.lit(b)))
+        )
+        * F.lit(float(_DSIR_QZ))
+    ).cast("bigint")
+    lr = counts.crossJoin(F.broadcast(tots)).select(
+        "bucket", lr_micro.alias("lr_micro")
+    )
+    # lr is O(_DSIR_BUCKETS) rows at ANY corpus size — broadcast the
+    # model back onto the feature stream, never shuffle the stream
+    return (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("lr_micro").cast("bigint").alias("imp_micro"),
+        )
+    )
+
+
+@register(
+    "q_dsir_importance",
+    oracle=_DSIR_IMPORTANCE_SQL,
+    doc="DSIR importance scoring (Xie et al. 2023): every document's "
+    "log importance weight under two hashed-bigram multinomials — "
+    "target = the corpus's 'en' slice standing in for the paper's "
+    "high-quality target corpus, raw = the whole corpus — "
+    "sum over the document's hashed bigram features of "
+    "log p_target(f) - log p_raw(f), Laplace-smoothed over "
+    f"{_DSIR_BUCKETS} buckets. The hash is the repo's portable "
+    "polynomial char fold combined pairwise (never an engine-native "
+    "hash); the per-bucket log-ratio quantizes to integer micro-units "
+    "BEFORE the per-document sum, so document scores are exact bigint "
+    "reductions (the q_ccnet_perplexity_buckets convention) and the "
+    "only doubles in the output are one per-row divide. Shape "
+    "(100 TB): tokenize + fold + bucket stay inside one projection "
+    "over the scan; BOTH multinomials come out of ONE map-side-"
+    "combined O(buckets) agg (c_raw = count, c_target = conditional "
+    "sum — no second pass, no join of two models); the fitted "
+    "O(buckets) log-ratio table broadcasts back onto the feature "
+    "stream, so the only fact-scale exchange is the final per-document "
+    "agg, keyed on doc_id. Nothing collects to the driver.",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imp = _dsir_importance_df(spark, sf_dir)
+    return imp.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "imp_micro",
+        (F.col("imp_micro").cast("double") / float(_DSIR_QZ)).alias("log_importance"),
+    )
+
+
+@register(
+    "q_dsir_resample",
+    oracle=_DSIR_RESAMPLE_SQL,
+    doc="DSIR selection step: Gumbel-top-k resampling without "
+    "replacement over the q_dsir_importance log weights — key_i = "
+    "log w_i + Gumbel_i, take the top k — which draws exactly k "
+    "documents with probability proportional to their importance "
+    "weights (the Gumbel-max trick, the paper's sampling rule). The "
+    "Gumbel draw is fully deterministic and engine-portable: doc_id "
+    "seeds the same NONLINEAR middle-square-plus-linear mixer as "
+    "q_sample_poisson_bootstrap (affine draws would make the noise a "
+    "monotone relabeling of doc_id — jointly degenerate), on a "
+    "distinct lane salt so selection noise never correlates with the "
+    "bootstrap or permutation streams; the 32-bit uniform maps through "
+    "-ln(-ln((u32+0.5)/2^32)) and quantizes to the same micro-units as "
+    "the weights, so the selection key is one exact bigint add. "
+    "Shape (100 TB): everything before selection is the "
+    "q_dsir_importance plan (one O(buckets) model agg + broadcast "
+    "rejoin); the top-k itself is ORDER BY + LIMIT — "
+    "TakeOrderedAndProject, per-partition heaps then a k-row merge, "
+    "never a global sort or single-partition window. O(k) rows out at "
+    "any corpus size.",
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imp = _dsir_importance_df(spark, sf_dir).select("doc_id", "lang", "imp_micro")
+    m31 = F.lit(2147483648).cast("bigint")
+    seeded = imp.select(
+        "doc_id",
+        "lang",
+        "imp_micro",
+        (
+            ((F.col("doc_id") % m31) * F.lit(2654435761).cast("bigint")
+             + F.lit(_DSIR_GUMBEL_SALT))
+            % m31
+        ).alias("a"),
+    )
+    mix = "(CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a) % 2147483648"
+    for _ in range(2):
+        seeded = seeded.select(
+            "doc_id", "lang", "imp_micro", F.expr(mix).alias("a")
+        )
+    gumbel_micro = F.expr(
+        f"CAST(round(-ln(-ln(((a * 2654435761) % 4294967296 + 0.5)"
+        f" / 4294967296.0)) * {_DSIR_QZ}.0) AS BIGINT)"
+    )
+    scored = seeded.select(
+        "doc_id", "lang", "imp_micro", gumbel_micro.alias("gumbel_micro")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "imp_micro",
+            "gumbel_micro",
+            (F.col("imp_micro") + F.col("gumbel_micro"))
+            .cast("bigint")
+            .alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), "doc_id")
+        .limit(_DSIR_K)
+    )

@@ -387,3 +387,43 @@ def test_batch_length_buckets_account_for_every_document(spark, sf_dir):
         assert r.padded_total == want_n[w] * w
         assert r.waste_frac <= r.naive_waste_frac + 1e-12
         assert 0.0 <= r.waste_frac < 1.0
+
+
+def test_dsir_importance_separates_target_from_raw(spark, sf_dir):
+    """DSIR's whole point: documents FROM the target slice must score
+    higher on average than documents outside it — the oracle shares
+    every expression, so a sign flip in the log-ratio (or swapped
+    target/raw smoothing denominators) would hash-pass on both engines
+    while inverting the selection. Gate the separation directly."""
+    imp = REGISTRY["q_dsir_importance"].fn(spark, sf_dir)
+    rows = imp.groupBy((F.col("lang") == "en").alias("is_target")).agg(
+        F.avg("log_importance").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    m = {r.is_target: r.m for r in rows}
+    assert m[True] > 0.0 > m[False], m
+    # weights are per-feature averages of a log-ratio bounded by the
+    # smoothed extremes; a blow-up signals a lost quantizer factor
+    mx = imp.agg(F.max(F.abs(F.col("log_importance")))).collect()[0][0]
+    assert mx < 50.0, mx
+
+
+def test_dsir_resample_upsamples_target_and_is_a_subset(spark, sf_dir):
+    """Gumbel-top-k selection: exactly k rows, a subset of the scored
+    docs with consistent imp_micro, and the target slice's share in
+    the selection must exceed its natural share (importance sampling
+    toward the target, the paper's acceptance criterion)."""
+    from azurestorage_blueprints_spark.queries.corpus_ops import _DSIR_K
+
+    sel = REGISTRY["q_dsir_resample"].fn(spark, sf_dir).collect()
+    assert len(sel) == _DSIR_K
+    imp = {
+        r.doc_id: r.imp_micro
+        for r in REGISTRY["q_dsir_importance"].fn(spark, sf_dir).collect()
+    }
+    assert all(r.doc_id in imp and imp[r.doc_id] == r.imp_micro for r in sel)
+    assert all(r.key_micro == r.imp_micro + r.gumbel_micro for r in sel)
+    d = table(spark, sf_dir, "documents")
+    n_all = d.count()
+    n_en = d.filter(F.col("lang") == "en").count()
+    sel_en = sum(1 for r in sel if r.lang == "en")
+    assert sel_en / len(sel) > n_en / n_all, (sel_en, len(sel), n_en, n_all)
