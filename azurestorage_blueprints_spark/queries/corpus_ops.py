@@ -1325,11 +1325,12 @@ _DSIR_RESAMPLE_SQL = f"""{_DSIR_PREFIX_SQL},
 """
 
 
-def _dsir_importance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document DSIR log importance weight (micro-quantized bigint),
-    mirroring ``_DSIR_PREFIX_SQL`` expression-for-expression."""
-    d = table(spark, sf_dir, "documents")
-    toked = d.select("doc_id", "lang", F.expr(_TOKS).alias("tk")).filter(
+def _dsir_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, text) → exploded (doc_id, lang, bucket) hashed-bigram
+    feature stream, mirroring the ``feats`` CTE of ``_DSIR_PREFIX_SQL``
+    expression-for-expression. Documents under 2 tokens have no bigram
+    and are dropped on both engines."""
+    toked = docs.select("doc_id", "lang", F.expr(_TOKS).alias("tk")).filter(
         F.size("tk") >= 2
     )
     # per-token polynomial char fold — tk is a MATERIALIZED column (the
@@ -1344,7 +1345,7 @@ def _dsir_importance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 2147483647))"
         ).alias("th"),
     )
-    feats = th.select(
+    return th.select(
         "doc_id",
         "lang",
         F.explode(
@@ -1355,32 +1356,67 @@ def _dsir_importance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    # BOTH multinomials from one map-side-combined agg on the bucket key
-    counts = feats.groupBy("bucket").agg(
+
+
+def _dsir_model(spark: SparkSession, docs: DataFrame, with_unseen: bool = False) -> DataFrame:
+    """Fit the DSIR model over a document set: the O(_DSIR_BUCKETS)
+    (bucket, lr_micro) log-ratio table, mirroring the ``counts``/
+    ``tots``/``lr`` CTEs of ``_DSIR_PREFIX_SQL``. BOTH multinomials
+    come out of ONE map-side-combined agg on the bucket key; the count
+    table is collected once (bounded: ≤ _DSIR_BUCKETS integer rows —
+    the documented driver-side model deploy, like the ppl gate's LM
+    map) so training scans the corpus exactly once, and the log-ratio
+    is computed over the resulting LocalRelation with ENGINE
+    expressions (never Python floats — Python round() is banker's,
+    Spark/DuckDB round is half-away). With ``with_unseen`` a sentinel
+    row (bucket = -1) carries the smoothed log-ratio of a bucket with
+    ZERO training mass — the back-off value an arrival-time scorer
+    uses for buckets the standing corpus never produced."""
+    counts = _dsir_feats(docs).groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_r"),
         F.sum(F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0))
         .cast("bigint")
         .alias("c_t"),
     )
-    tots = counts.agg(
+    local = spark.createDataFrame(
+        counts.collect(), "bucket bigint, c_r bigint, c_t bigint"
+    )
+    tots = local.agg(
         F.sum("c_r").cast("bigint").alias("n_r"),
         F.sum("c_t").cast("bigint").alias("n_t"),
     )
     b = float(_DSIR_BUCKETS)
-    lr_micro = F.round(
-        (
-            F.log((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.lit(b)))
-            - F.log((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + F.lit(b)))
-        )
-        * F.lit(float(_DSIR_QZ))
-    ).cast("bigint")
-    lr = counts.crossJoin(F.broadcast(tots)).select(
-        "bucket", lr_micro.alias("lr_micro")
+
+    def _lr_micro(c_t, c_r):
+        return F.round(
+            (
+                F.log((c_t + F.lit(1.0)) / (F.col("n_t") + F.lit(b)))
+                - F.log((c_r + F.lit(1.0)) / (F.col("n_r") + F.lit(b)))
+            )
+            * F.lit(float(_DSIR_QZ))
+        ).cast("bigint")
+
+    lr = local.crossJoin(F.broadcast(tots)).select(
+        "bucket", _lr_micro(F.col("c_t"), F.col("c_r")).alias("lr_micro")
     )
+    if with_unseen:
+        unseen = tots.select(
+            F.lit(-1).cast("bigint").alias("bucket"),
+            _lr_micro(F.lit(0.0), F.lit(0.0)).alias("lr_micro"),
+        )
+        lr = lr.unionByName(unseen)
+    return lr
+
+
+def _dsir_importance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight (micro-quantized bigint),
+    mirroring ``_DSIR_PREFIX_SQL`` expression-for-expression."""
+    d = table(spark, sf_dir, "documents")
     # lr is O(_DSIR_BUCKETS) rows at ANY corpus size — broadcast the
     # model back onto the feature stream, never shuffle the stream
     return (
-        feats.join(F.broadcast(lr), "bucket")
+        _dsir_feats(d)
+        .join(F.broadcast(_dsir_model(spark, d)), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_feats"),

@@ -1467,3 +1467,180 @@ def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stream_dsir_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.corpus_ops import (
+        _DSIR_BIGRAM_MULT,
+        _DSIR_BUCKETS,
+        _DSIR_QZ,
+        _DSIR_TARGET,
+    )
+
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents),
+    th AS (
+      SELECT doc_id, lang,
+             list_transform(tk, t -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(t, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 2147483647)) AS th
+      FROM toked WHERE len(tk) >= 2),
+    sfeats AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(th)),
+               i -> ((th[i] * {_DSIR_BIGRAM_MULT} + th[i + 1])
+                     % 2147483647) % {_DSIR_BUCKETS})) AS bucket
+      FROM th WHERE doc_id % 10 <> 0),
+    counts AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS c_r,
+             CAST(sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_t
+      FROM sfeats GROUP BY bucket),
+    tots AS (
+      SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+             CAST(sum(c_t) AS BIGINT) AS n_t
+      FROM counts),
+    lr AS (
+      SELECT bucket,
+             CAST(round((ln((c_t + 1.0) / (n_t + {_DSIR_BUCKETS}.0))
+                       - ln((c_r + 1.0) / (n_r + {_DSIR_BUCKETS}.0)))
+                  * {_DSIR_QZ}.0) AS BIGINT) AS lr_micro
+      FROM counts CROSS JOIN tots),
+    unseen AS (
+      SELECT CAST(round((ln(1.0 / (n_t + {_DSIR_BUCKETS}.0))
+                       - ln(1.0 / (n_r + {_DSIR_BUCKETS}.0)))
+                  * {_DSIR_QZ}.0) AS BIGINT) AS u
+      FROM tots),
+    afeats AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(th)),
+               i -> ((th[i] * {_DSIR_BIGRAM_MULT} + th[i + 1])
+                     % 2147483647) % {_DSIR_BUCKETS})) AS bucket
+      FROM th WHERE doc_id % 10 = 0),
+    adoc AS (
+      SELECT f.doc_id, f.lang,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(coalesce(l.lr_micro, u.u)) AS BIGINT) AS imp_micro
+      FROM afeats f LEFT JOIN lr l ON f.bucket = l.bucket CROSS JOIN unseen u
+      GROUP BY f.doc_id, f.lang)
+    SELECT lang, imp_micro > 0 AS admitted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_feats) AS BIGINT) AS feat_total,
+           CAST(sum(imp_micro) AS BIGINT) AS imp_total_micro,
+           CAST(sum(imp_micro) AS DOUBLE) / {_DSIR_QZ}.0 / count(*)
+             AS mean_log_importance
+    FROM adoc GROUP BY lang, imp_micro > 0
+    """
+
+
+@register(
+    "q_stream_dsir_gate",
+    oracle=_stream_dsir_oracle(),
+    doc="INGEST-TIME DSIR gate — the streaming form of "
+    "q_dsir_importance (the batch rung scores the whole corpus; THIS "
+    "scores documents as they ARRIVE against a FROZEN model, the "
+    "domain-targeting admission control a crawl pipeline runs at the "
+    "door): a batch pre-pass fits the hashed-bigram target/raw "
+    "log-ratio model on the STANDING corpus (doc_id % 10 != 0, target "
+    "= its 'en' slice), deploys it as a LITERAL in-plan map (the model "
+    "is provably O(_DSIR_BUCKETS) entries — no join, no shuffle, no "
+    "broadcast wait), then arrivals (doc_id % 10 == 0 replayed as "
+    "micro-batches) pick up their stored lang from the metadata store "
+    "via a stream-static join and score ROW-LOCALLY: hash bigrams "
+    "in-array, fold the map lookups with the bucket=-1 back-off for "
+    "features the standing corpus never produced, admit iff the log "
+    "importance weight is positive (w > 1: looks more target than "
+    "raw). The funnel report per (lang, admitted) aggregates in "
+    "complete mode. Oracle: DuckDB retrains the model and rescores the "
+    "arrival slice end-to-end — any drift between the deployed map and "
+    "the training expressions breaks the hash. Shape (100 TB/day "
+    "ingest): model fit is one O(buckets) map-side-combined agg per "
+    "retrain cadence; per-arrival work is one projection, state is "
+    "O(langs x 2).",
+)
+def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries.corpus_ops import (
+        _DSIR_BIGRAM_MULT,
+        _DSIR_BUCKETS,
+        _DSIR_QZ,
+        _dsir_model,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 0)
+    model = {
+        int(r.bucket): int(r.lr_micro)
+        for r in _dsir_model(spark, standing, with_unseen=True).collect()
+    }
+    unseen = model.pop(-1)
+    # deploy the frozen model as a literal map column: O(buckets)
+    # entries by construction, so it rides the PLAN, not a join
+    lrmap = F.create_map(
+        *[F.lit(x).cast("bigint") for kv in sorted(model.items()) for x in kv]
+    )
+
+    staged = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    # stored language from the metadata store (stream-static, no hint)
+    arr = arrivals.join(d.select("doc_id", "lang"), "doc_id")
+    tk = arr.select(
+        "doc_id", "lang", F.expr("filter(split(text, ' '), t -> t != '')").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    th = tk.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(tk, t -> aggregate("
+            "transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 2147483647))"
+        ).alias("th"),
+    )
+    bk = th.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform(sequence(1, size(th) - 1),"
+            f" i -> ((element_at(th, i) * {_DSIR_BIGRAM_MULT}"
+            f" + element_at(th, i + 1)) % 2147483647) % {_DSIR_BUCKETS})"
+        ).alias("bk"),
+    )
+    imp = F.aggregate(
+        F.col("bk"),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.coalesce(F.element_at(lrmap, b), F.lit(unseen).cast("bigint")),
+    )
+    scored = bk.select(
+        "lang",
+        F.size("bk").cast("bigint").alias("n_feats"),
+        imp.alias("imp_micro"),
+    )
+    agg = (
+        scored.select(
+            "lang", (F.col("imp_micro") > 0).alias("admitted"), "n_feats", "imp_micro"
+        )
+        .groupBy("lang", "admitted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_feats").cast("bigint").alias("feat_total"),
+            F.sum("imp_micro").cast("bigint").alias("imp_total_micro"),
+            (
+                F.sum("imp_micro").cast("double")
+                / float(_DSIR_QZ)
+                / F.count(F.lit(1))
+            ).alias("mean_log_importance"),
+        )
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")

@@ -427,3 +427,35 @@ def test_dsir_resample_upsamples_target_and_is_a_subset(spark, sf_dir):
     n_en = d.filter(F.col("lang") == "en").count()
     sel_en = sum(1 for r in sel if r.lang == "en")
     assert sel_en / len(sel) > n_en / n_all, (sel_en, len(sel), n_en, n_all)
+
+
+def test_stream_dsir_gate_is_consistent_with_batch_importance(spark, sf_dir):
+    """The ingest gate must agree with the batch scorer on the arrival
+    slice: per-language doc counts tile the >=2-token arrivals exactly,
+    the admitted partition's mean log importance exceeds the rejected
+    partition's, and admission is exactly the imp > 0 cut of the batch
+    rung restricted to arrivals scored by the ARRIVAL-EXCLUDED model
+    (so totals differ from q_dsir_importance, whose model sees all
+    docs — equality is on the funnel's own books)."""
+    rows = REGISTRY["q_stream_dsir_gate"].fn(spark, sf_dir).collect()
+    by = {(r.lang, r.admitted): r for r in rows}
+    d = table(spark, sf_dir, "documents")
+    arr = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("lang", F.expr("size(filter(split(text, ' '), t -> t != ''))").alias("n"))
+        .filter(F.col("n") >= 2)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    for r in arr:
+        got = sum(by[(r.lang, a)].n_docs for a in (True, False) if (r.lang, a) in by)
+        assert got == r["count"], (r.lang, got, r["count"])
+    for lang in {k[0] for k in by}:
+        if (lang, True) in by and (lang, False) in by:
+            assert (
+                by[(lang, True)].mean_log_importance
+                > by[(lang, False)].mean_log_importance
+            ), lang
+    # the gate must admit SOMETHING and reject SOMETHING at this SF
+    assert any(k[1] for k in by) and any(not k[1] for k in by)
