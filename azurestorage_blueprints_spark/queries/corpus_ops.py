@@ -1520,3 +1520,194 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_micro"), "doc_id")
         .limit(_DSIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style mixture reweighting (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining"): upweight the
+# domains a domain-AGNOSTIC model is worst at, relative to how
+# predictable each domain is in-domain. The relational analogue of one
+# multiplicative-weights step: per source, excess loss = mean token
+# surprisal under the GLOBAL unigram LM minus mean token surprisal
+# under the source's OWN LM (both add-one smoothed, the
+# q_ccnet_perplexity_buckets convention), and the updated mixture
+# weight is natural token share scaled by exp(eta * excess), exactly
+# normalized through integer micro-units.
+
+from azurestorage_blueprints_spark.queries.curation import _PPL_QZ as _PPL_QZ_NUM  # noqa: E402
+
+#: textual form shared by the SQL oracle (e.g. '1000000.0')
+_PPL_QZ_TXT = f"{_PPL_QZ_NUM}.0"
+
+#: multiplicative-weights learning rate for the DoReMi step
+_DOREMI_ETA = 1.0
+
+_DOREMI_SQL = f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents),
+    st AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, token),
+    g AS (
+      SELECT token, CAST(sum(c_st) AS BIGINT) AS c_g
+      FROM st GROUP BY token),
+    gt AS (
+      SELECT CAST(sum(c_g) AS BIGINT) AS n_g, CAST(count(*) AS BIGINT) AS v_g
+      FROM g),
+    sg AS (
+      SELECT token,
+             CAST(round(ln((CAST(n_g AS DOUBLE) + CAST(v_g AS DOUBLE))
+                           / (CAST(c_g AS DOUBLE) + 1.0)) * {_PPL_QZ_TXT}) AS BIGINT)
+               AS smicro_g
+      FROM g CROSS JOIN gt),
+    stot AS (
+      SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+             CAST(count(*) AS BIGINT) AS v_s
+      FROM st GROUP BY source),
+    ce AS (
+      SELECT st.source,
+             CAST(sum(st.c_st * sg.smicro_g) AS BIGINT) AS ce_global_micro,
+             CAST(sum(st.c_st *
+               CAST(round(ln((CAST(n_s AS DOUBLE) + CAST(v_s AS DOUBLE))
+                             / (CAST(c_st AS DOUBLE) + 1.0)) * {_PPL_QZ_TXT})
+                    AS BIGINT)) AS BIGINT) AS ce_own_micro
+      FROM st
+      JOIN sg ON st.token = sg.token
+      JOIN stot ON st.source = stot.source
+      GROUP BY st.source),
+    x AS (
+      SELECT ce.source, stot.n_s,
+             ce_global_micro, ce_own_micro,
+             (CAST(ce_global_micro AS DOUBLE) - CAST(ce_own_micro AS DOUBLE))
+               / {_PPL_QZ_TXT} / CAST(stot.n_s AS DOUBLE) AS excess_loss
+      FROM ce JOIN stot ON ce.source = stot.source),
+    nt AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM stot),
+    w AS (
+      SELECT source, n_s, n_tot, ce_global_micro, ce_own_micro, excess_loss,
+             CAST(floor(CAST(n_s AS DOUBLE) * 1000000000000.0
+                        / CAST(n_tot AS DOUBLE)
+                        * exp({_DOREMI_ETA} * excess_loss)) AS BIGINT) AS wq
+      FROM x CROSS JOIN nt),
+    t AS (
+      SELECT w.*, CAST(sum(wq) OVER () AS BIGINT) AS w_tot
+      FROM w)
+    SELECT source, n_s AS tok_total, ce_global_micro, ce_own_micro,
+           excess_loss,
+           CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE) AS natural_share,
+           CAST(wq AS DOUBLE) / CAST(w_tot AS DOUBLE) AS doremi_share
+    FROM t
+"""
+
+
+@register(
+    "q_mixture_doremi_step",
+    oracle=_DOREMI_SQL,
+    doc="DoReMi-style mixture reweighting (Xie et al. 2023): one "
+    "multiplicative-weights step that upweights the sources a "
+    "domain-AGNOSTIC model is worst at. Per source, excess loss = "
+    "mean token surprisal under the GLOBAL add-one unigram LM minus "
+    "mean surprisal under the source's OWN LM (the in-domain "
+    "reference — hard-but-learnable domains show large gaps, and "
+    "domains a global model already nails show ~0), and the updated "
+    "weight is natural token share x exp(eta x excess), normalized "
+    "through integer micro-unit quantization BEFORE the global sum "
+    "(the q_mixture_temperature_resample convention — the reduction "
+    "is exact bigint arithmetic). Surprisals quantize per TOKEN-TYPE "
+    "to micro-units so both cross-entropy totals are exact bigint "
+    "sums of count x quantized-log (the q_ccnet_perplexity_buckets "
+    "convention). Shape (100 TB): the only corpus-scale work is ONE "
+    "tokenize + ONE (source, token) hash-agg with map-side combine; "
+    "the global LM derives from that VOCAB-sized table (never a "
+    "second corpus pass), the CE join is vocab x vocab on the token "
+    "key, and the report is O(sources) rows through one tiny window. "
+    "Nothing collects to the driver.",
+)
+def q_mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.expr(_TOKS)).alias("token"))
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    g = st.groupBy("token").agg(F.sum("c_st").cast("bigint").alias("c_g"))
+    gt = g.agg(
+        F.sum("c_g").cast("bigint").alias("n_g"),
+        F.count(F.lit(1)).cast("bigint").alias("v_g"),
+    )
+    qz = float(_PPL_QZ_NUM)
+    smicro_g = F.round(
+        F.log(
+            (F.col("n_g").cast("double") + F.col("v_g").cast("double"))
+            / (F.col("c_g").cast("double") + F.lit(1.0))
+        )
+        * F.lit(qz)
+    ).cast("bigint")
+    sg = g.crossJoin(F.broadcast(gt)).select("token", smicro_g.alias("smicro_g"))
+    stot = st.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("v_s"),
+    )
+    smicro_s = F.round(
+        F.log(
+            (F.col("n_s").cast("double") + F.col("v_s").cast("double"))
+            / (F.col("c_st").cast("double") + F.lit(1.0))
+        )
+        * F.lit(qz)
+    ).cast("bigint")
+    # vocab x vocab equi-join on the token key; the per-source totals
+    # table is O(sources) and broadcasts
+    ce = (
+        st.join(sg, "token")
+        .join(F.broadcast(stot), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("c_st") * F.col("smicro_g")).cast("bigint").alias("ce_global_micro"),
+            F.sum(F.col("c_st") * smicro_s).cast("bigint").alias("ce_own_micro"),
+        )
+    )
+    x = ce.join(F.broadcast(stot.select("source", "n_s")), "source").select(
+        "source",
+        "n_s",
+        "ce_global_micro",
+        "ce_own_micro",
+        (
+            (F.col("ce_global_micro").cast("double") - F.col("ce_own_micro").cast("double"))
+            / F.lit(qz)
+            / F.col("n_s").cast("double")
+        ).alias("excess_loss"),
+    )
+    nt = stot.agg(F.sum("n_s").cast("bigint").alias("n_tot"))
+    # weight in SHARE micro-units (x1e12 of the normalized share), not
+    # raw token counts: keeps the floor-quantization error ~1e-12
+    # relative (raw-count floors at 1 token swamp small excess gaps)
+    # and the bigint below 1e12 * e^excess at ANY corpus size (a raw
+    # n_s * 1e12 would overflow int64 past ~9.2M tokens)
+    w = x.crossJoin(F.broadcast(nt)).select(
+        "*",
+        F.floor(
+            F.col("n_s").cast("double")
+            * F.lit(1000000000000.0)
+            / F.col("n_tot").cast("double")
+            * F.exp(F.lit(_DOREMI_ETA) * F.col("excess_loss"))
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    win = W.partitionBy()
+    t = w.select(
+        "*",
+        F.sum("wq").over(win).cast("bigint").alias("w_tot"),
+    )
+    return t.select(
+        "source",
+        F.col("n_s").alias("tok_total"),
+        "ce_global_micro",
+        "ce_own_micro",
+        "excess_loss",
+        (F.col("n_s").cast("double") / F.col("n_tot").cast("double")).alias("natural_share"),
+        (F.col("wq").cast("double") / F.col("w_tot").cast("double")).alias("doremi_share"),
+    )

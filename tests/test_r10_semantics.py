@@ -459,3 +459,21 @@ def test_stream_dsir_gate_is_consistent_with_batch_importance(spark, sf_dir):
             ), lang
     # the gate must admit SOMETHING and reject SOMETHING at this SF
     assert any(k[1] for k in by) and any(not k[1] for k in by)
+
+
+def test_doremi_step_excess_positive_and_reweighting_monotone(spark, sf_dir):
+    """The oracle shares every expression, so a swapped global/own LM
+    (sign-flipped excess) or a dropped exp() would hash-pass while
+    inverting the mixture update. Pin the semantics: every source's
+    own LM must beat the global LM on its own tokens (positive excess
+    at gate SFs), shares must each sum to 1, and the relative upweight
+    doremi_share/natural_share must be monotone in excess loss."""
+    rows = REGISTRY["q_mixture_doremi_step"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert all(r.excess_loss > 0.0 for r in rows), min(r.excess_loss for r in rows)
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.doremi_share for r in rows) - 1.0) < 1e-9
+    by_excess = sorted(rows, key=lambda r: r.excess_loss)
+    ratios = [r.doremi_share / r.natural_share for r in by_excess]
+    # wq floor-quantization can wiggle the last decimal place; allow it
+    assert all(a <= b + 1e-6 for a, b in zip(ratios, ratios[1:])), ratios
