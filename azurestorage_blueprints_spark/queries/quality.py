@@ -276,3 +276,84 @@ _DQ_ANOMALY_SQL = """
 def q_dq_anomaly_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_DQ_ANOMALY_SQL)
+
+
+#: k-anonymity threshold: an equivalence class smaller than this is a
+#: re-identification risk (the conventional release floor)
+_KANON_K = 5
+
+_KANON_SQL = f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT CASE WHEN c_acctbal < 0.0
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS l_div
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0)),
+    tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_total FROM classes)
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           k < {_KANON_K} AS at_risk,
+           CAST(min(l_div) AS BIGINT) AS min_l,
+           CAST(sum(k) AS DOUBLE) / CAST(max(n_total) AS DOUBLE) AS row_share
+    FROM classes CROSS JOIN tot
+    GROUP BY k
+"""
+
+
+@register(
+    "q_k_anonymity",
+    oracle=_KANON_SQL,
+    doc="k-anonymity / l-diversity release screen — the privacy "
+    "governance gate a pipeline runs before publishing a dataset "
+    "containing person-level records: rows group into equivalence "
+    "classes over the quasi-identifiers (nation, market segment, "
+    "account-balance bucket — the attributes an adversary can link "
+    "from outside), and the report histograms class sizes k with, per "
+    "size, how many classes and rows sit at that k, whether that "
+    f"stratum is below the k={_KANON_K} release floor (at_risk), and "
+    "the worst l-diversity of the sensitive attribute (the in-debt "
+    "flag) among those classes — a k-anonymous class with l=1 still "
+    "leaks the sensitive value for everyone in it, which is why the "
+    "two are reported together. All counts exact integers; the only "
+    "double is the per-stratum row share. Shape (100 TB): one "
+    "map-side-combined hash-agg on the QI key (bounded by the QI "
+    "domain product, not the row count), one O(classes) re-agg on k, "
+    "a 1-row total rides a broadcast cross join. O(distinct k) rows "
+    "out at any scale.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.countDistinct(F.when(F.col("c_acctbal") < 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("l_div"),
+    )
+    tot = classes.agg(F.sum("k").cast("bigint").alias("n_total"))
+    return (
+        classes.crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.min("l_div").cast("bigint").alias("min_l"),
+            (F.sum("k").cast("double") / F.max("n_total").cast("double")).alias(
+                "row_share"
+            ),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_rows",
+            (F.col("k") < _KANON_K).alias("at_risk"),
+            "min_l",
+            "row_share",
+        )
+    )

@@ -477,3 +477,21 @@ def test_doremi_step_excess_positive_and_reweighting_monotone(spark, sf_dir):
     ratios = [r.doremi_share / r.natural_share for r in by_excess]
     # wq floor-quantization can wiggle the last decimal place; allow it
     assert all(a <= b + 1e-6 for a, b in zip(ratios, ratios[1:])), ratios
+
+
+def test_k_anonymity_report_tiles_the_table(spark, sf_dir):
+    """Accounting identities the oracle enforces only implicitly:
+    n_rows = k x n_classes per stratum, strata tile the whole customer
+    table exactly, at_risk is exactly the k < floor cut, row shares
+    sum to 1, and l-diversity stays within the binary sensitive
+    attribute's range."""
+    from azurestorage_blueprints_spark.queries.quality import _KANON_K
+
+    rows = REGISTRY["q_k_anonymity"].fn(spark, sf_dir).collect()
+    n_cust = table(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    assert abs(sum(r.row_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.n_rows == r.k * r.n_classes
+        assert r.at_risk == (r.k < _KANON_K)
+        assert 1 <= r.min_l <= 2
