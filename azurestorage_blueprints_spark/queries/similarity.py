@@ -3047,3 +3047,112 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid"
         ),
     ).orderBy("cluster_id", "dim")
+
+
+#: Matryoshka truncation sweep: prefix lengths of the 64-dim embedding
+_DIM_SWEEP = (8, 16, 32, 64)
+
+_DIM_TRUNC_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    dims AS (SELECT CAST(d AS BIGINT) AS dim
+             FROM (VALUES {", ".join(f"({d})" for d in _DIM_SWEEP)}) AS t(d)),
+    scored AS (
+      SELECT dims.dim, q.q_id, e.vec_id AS n_id,
+             list_cosine_similarity(list_slice(q.qv, 1, dims.dim),
+                                    list_slice(e.v, 1, dims.dim)) AS sim
+      FROM q JOIN e ON e.vec_id <> q.q_id CROSS JOIN dims),
+    ranked AS (
+      SELECT dim, q_id, n_id,
+             row_number() OVER (PARTITION BY dim, q_id
+                                ORDER BY sim DESC, n_id) AS rnk
+      FROM scored),
+    top AS (SELECT dim, q_id, n_id FROM ranked WHERE rnk <= {_TOP_K}),
+    exact AS (SELECT q_id, n_id FROM top WHERE dim = {max(_DIM_SWEEP)}),
+    exn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    hits AS (
+      SELECT t.dim, CAST(count(*) AS BIGINT) AS n_hits
+      FROM top t JOIN exact x ON t.q_id = x.q_id AND t.n_id = x.n_id
+      GROUP BY t.dim)
+    SELECT d.dim,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           exn.n_exact,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(exn.n_exact AS DOUBLE)
+             AS recall
+    FROM dims d LEFT JOIN hits h ON d.dim = h.dim CROSS JOIN exn
+"""
+
+
+@register(
+    "q_knn_dim_truncation",
+    oracle=_DIM_TRUNC_SQL,
+    doc="Matryoshka-style dimension-truncation recall curve (Kusupati "
+    "et al. 2022): exact cosine top-k retrieval repeated with the "
+    f"embedding truncated to its first {', '.join(map(str, _DIM_SWEEP))} "
+    "dimensions, reporting recall@k of each prefix against the "
+    "full-width ground truth — the storage/recall tradeoff table a "
+    "serving team reads before shipping truncated vectors (8x smaller "
+    "index vs how many true neighbors survive). Complements "
+    "q_knn_nprobe_tradeoff (probe-width axis) and q_knn_int8 "
+    "(precision axis) with the DIMENSION axis — the three knobs of "
+    "embedding-serving cost. The widest prefix IS the ground truth, "
+    "so its recall row is exactly 1.0 (the curve's calibration "
+    "anchor, like nprobe's cap). Shape: ONE pairwise scored table "
+    "with the dim axis exploded BEFORE scoring (each pair folds only "
+    "its prefix — total work < 2x one full-width pass), per-(dim, "
+    "query) top-k windows over bounded groups, O(dims) rows out. The "
+    "slices are MATERIALIZED into columns before the cosine fold "
+    "(higher-order functions re-evaluate inline children per "
+    "element). At 100 TB the scored table is the same "
+    "block-local/broadcast layout as q_knn_brute_force; the sweep "
+    "multiplies per-pair flops, never rows moved.",
+)
+def q_knn_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    dims = spark.createDataFrame([(d,) for d in _DIM_SWEEP], "dim bigint")
+    pairs = (
+        e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "dim",
+            "q_id",
+            "n_id",
+            F.slice(F.col("qv"), F.lit(1), F.col("dim")).alias("qs"),
+            F.slice(F.col("v"), F.lit(1), F.col("dim")).alias("vs"),
+        )
+    )
+    scored = pairs.select(
+        "dim", "q_id", "n_id", cosine(F.col("qs"), F.col("vs")).alias("sim")
+    )
+    wd = W.partitionBy("dim", "q_id").orderBy(F.desc("sim"), "n_id")
+    top = (
+        scored.withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("dim", "q_id", "n_id")
+    )
+    exact = top.filter(F.col("dim") == max(_DIM_SWEEP)).select("q_id", "n_id")
+    exn = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    hits = (
+        top.join(exact, ["q_id", "n_id"])
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        dims.join(hits, "dim", "left")
+        .select("dim", F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"))
+        .crossJoin(F.broadcast(exn))
+        .select(
+            "dim",
+            "n_hits",
+            "n_exact",
+            (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -173,6 +173,21 @@ HEADLINE = [
     # numbers pin the scan+agg floor of the planning tier
     "q_mixture_curriculum",
     "q_batch_length_buckets",
+    # round-10: the DSIR family — batch importance scoring (one training
+    # scan + one broadcast-model scoring scan), Gumbel-top-k selection
+    # (same plan + TakeOrderedAndProject), and the ingest-time gate
+    # (frozen literal-map model, 4-micro-batch replay)
+    "q_dsir_importance",
+    "q_dsir_resample",
+    "q_stream_dsir_gate",
+    # round-10: DoReMi excess-loss mixture step (one (source,token)
+    # hash-agg + vocab x vocab CE join) and the k-anonymity screen
+    # (QI-domain-bounded agg — pins the governance-tier floor)
+    "q_mixture_doremi_step",
+    "q_k_anonymity",
+    # round-10: the dimension axis of the ANN cost/recall surface (one
+    # scored pass, 4 prefix widths — tracks the brute-force pair loop)
+    "q_knn_dim_truncation",
 ]
 
 

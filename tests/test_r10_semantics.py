@@ -495,3 +495,19 @@ def test_k_anonymity_report_tiles_the_table(spark, sf_dir):
         assert r.n_rows == r.k * r.n_classes
         assert r.at_risk == (r.k < _KANON_K)
         assert 1 <= r.min_l <= 2
+
+
+def test_dim_truncation_curve_is_monotone_with_exact_anchor(spark, sf_dir):
+    """More dimensions can only refine the cosine toward the full-width
+    value in DISTRIBUTION, and the widest prefix IS the ground truth:
+    recall must be non-decreasing across the sweep (allowing exact
+    ties), strictly 1.0 at full width, above chance at the floor, and
+    the denominator constant."""
+    rows = {r.dim: r for r in REGISTRY["q_knn_dim_truncation"].fn(spark, sf_dir).collect()}
+    assert sorted(rows) == [8, 16, 32, 64]
+    rec = [rows[d].recall for d in (8, 16, 32, 64)]
+    assert all(a <= b + 1e-12 for a, b in zip(rec, rec[1:])), rec
+    assert rec[3] == 1.0
+    assert rec[0] >= 0.02, f"prefix-8 recall collapsed below chance: {rec}"
+    assert all(rows[d].n_exact == rows[64].n_exact for d in rows)
+    assert all(0 <= rows[d].n_hits <= rows[d].n_exact for d in rows)
