@@ -318,13 +318,15 @@ def main() -> None:
 
 
 def abbrev(name: str) -> str:
-    """Compact-line key: drop the q_ prefix, cut each token to 3 chars
-    (q_stats_mann_whitney -> stamanwhi). Deterministic; uniqueness
-    over HEADLINE is gated in tests/test_bench_output.py. r10: the
-    separator is dropped — at 105 headline queries the underscored
-    form outgrew the driver's 2000-char tail window (1901 chars);
-    the joined form is 1723 with ~175 chars of headroom."""
-    return "".join(t[:3] for t in name.removeprefix("q_").split("_"))
+    """Compact-line key: drop the q_ prefix, cut the first token to 3
+    chars and every later token to 2 (q_stats_mann_whitney ->
+    stamawh). Deterministic; uniqueness over HEADLINE is gated in
+    tests/test_bench_output.py. r10: the separator was dropped at 105
+    headline queries, then the tail tokens tightened to 2 chars at 117
+    (the all-3-char form hit 1907) — the 3/2 form is 1721 with ~180
+    chars of headroom in the driver's 2000-char tail window."""
+    ts = name.removeprefix("q_").split("_")
+    return ts[0][:3] + "".join(t[:2] for t in ts[1:])
 
 
 def emit_lines(
