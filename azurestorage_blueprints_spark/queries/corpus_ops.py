@@ -1711,3 +1711,125 @@ def q_mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_s").cast("double") / F.col("n_tot").cast("double")).alias("natural_share"),
         (F.col("wq").cast("double") / F.col("w_tot").cast("double")).alias("doremi_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit: the corpus-health statistic — token frequency vs rank
+# on log-log axes should be near-linear with slope ~ -1 for natural
+# language; a collapsed slope flags boilerplate/duplication, a cliff
+# flags truncated vocabulary. Fit over the top-_ZIPF_N types by OLS on
+# micro-quantized (ln rank, ln freq): both coordinates become exact
+# integers BEFORE the moment sums, so the five moments are
+# order-insensitive bigint reductions and the slope/intercept/r2 are
+# derived doubles from identical integer inputs (the q_stats_linreg
+# convention; the closed form runs in doubles because n*Sxy exceeds
+# int64).
+
+#: number of top-frequency types the Zipf OLS fits (the head of the
+#: distribution, where the law holds; bounded so the window is O(1))
+_ZIPF_N = 500
+
+_ZIPF_FORM = {
+    "slope": "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))",
+}
+_ZIPF_FORM["intercept_ln_freq"] = (
+    f"((CAST(sy AS DOUBLE) - {_ZIPF_FORM['slope']} * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE) / 1000000.0)"
+)
+_ZIPF_FORM["r2"] = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+
+_ZIPF_SQL = f"""
+    WITH vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS token FROM documents)
+      GROUP BY token),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY c DESC, token) AS rnk, c
+      FROM vocab),
+    pts AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS xq,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+      FROM ranked WHERE rnk <= {_ZIPF_N}),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx,
+             CAST(sum(yq * yq) AS BIGINT) AS syy
+      FROM pts)
+    SELECT n AS n_types_fit,
+           {_ZIPF_FORM["slope"]} AS zipf_slope,
+           {_ZIPF_FORM["intercept_ln_freq"]} AS intercept_ln_freq,
+           {_ZIPF_FORM["r2"]} AS r2
+    FROM m
+"""
+
+
+@register(
+    "q_zipf_fit",
+    oracle=_ZIPF_SQL,
+    doc="Zipf-law fit over the token frequency table — the one-row "
+    "corpus-health statistic: OLS slope/intercept/r2 of ln(freq) "
+    f"against ln(rank) over the top-{_ZIPF_N} types. Natural text "
+    "sits near slope -1 with high r2; heavy boilerplate or "
+    "duplication flattens the head, synthetic/truncated vocabularies "
+    "break linearity — reviewers eyeball exactly this line before "
+    "trusting a new corpus source. Determinism: both log coordinates "
+    "micro-quantize to exact integers BEFORE the moment sums (the "
+    "q_stats_linreg convention), so the five moments are order-"
+    "insensitive bigint reductions; the closed form derives in "
+    "doubles from identical integers via shared expression text "
+    "(n x Sxy exceeds int64). Shape (100 TB): one tokenize + one "
+    "map-side-combined vocab agg; the head selection is "
+    "TakeOrderedAndProject (never a global sort), the rank window "
+    f"runs over the {_ZIPF_N}-row head only, and ONE row comes out.",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    head = vocab.orderBy(F.desc("c"), "token").limit(_ZIPF_N)
+    ranked = head.select(
+        F.row_number().over(W.orderBy(F.desc("c"), "token")).alias("rnk"), "c"
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("xq"),
+        F.round(F.log(F.col("c").cast("double")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("yq"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_types_fit"),
+        F.expr(_ZIPF_FORM["slope"]).alias("zipf_slope"),
+        F.expr(_ZIPF_FORM["intercept_ln_freq"]).alias("intercept_ln_freq"),
+        F.expr(_ZIPF_FORM["r2"]).alias("r2"),
+    )

@@ -511,3 +511,21 @@ def test_dim_truncation_curve_is_monotone_with_exact_anchor(spark, sf_dir):
     assert rec[0] >= 0.02, f"prefix-8 recall collapsed below chance: {rec}"
     assert all(rows[d].n_exact == rows[64].n_exact for d in rows)
     assert all(0 <= rows[d].n_hits <= rows[d].n_exact for d in rows)
+
+
+def test_zipf_fit_is_a_valid_ols_on_the_frequency_head(spark, sf_dir):
+    """Frequencies are non-increasing in rank by construction, so the
+    fitted log-log slope must be negative; r2 must be a valid share;
+    and the fit must cover exactly min(_ZIPF_N, vocabulary) types.
+    (On this synthetic ~31-word corpus the slope is far from -1 with
+    r2 near 0 — the statistic CORRECTLY flagging unnatural text — so
+    the gate pins validity, not natural-language shape.)"""
+    from azurestorage_blueprints_spark.functions.text import tokens as _toks
+    from azurestorage_blueprints_spark.queries.corpus_ops import _ZIPF_N
+
+    row = REGISTRY["q_zipf_fit"].fn(spark, sf_dir).collect()[0]
+    assert row.zipf_slope < 0.0
+    assert 0.0 <= row.r2 <= 1.0
+    d = table(spark, sf_dir, "documents")
+    vocab = d.select(F.explode(_toks(F.col("text"))).alias("t")).distinct().count()
+    assert row.n_types_fit == min(_ZIPF_N, vocab)
