@@ -188,6 +188,10 @@ HEADLINE = [
     # round-10: the dimension axis of the ANN cost/recall surface (one
     # scored pass, 4 prefix widths — tracks the brute-force pair loop)
     "q_knn_dim_truncation",
+    # round-10: filtered ANN (one scored pass, two ranking legs) and the
+    # Zipf corpus-health line (vocab agg + bounded head window)
+    "q_knn_filtered_search",
+    "q_zipf_fit",
 ]
 
 

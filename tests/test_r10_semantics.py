@@ -529,3 +529,22 @@ def test_zipf_fit_is_a_valid_ols_on_the_frequency_head(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     vocab = d.select(F.explode(_toks(F.col("text"))).alias("t")).distinct().count()
     assert row.n_types_fit == min(_ZIPF_N, vocab)
+
+
+def test_filtered_search_prefix_identity_and_recall_accounting(spark, sf_dir):
+    """Post-filter survivors are the PREFIX of the filtered ranking, so
+    per query: n_post_found <= n_exact = k, recall = found/k exactly,
+    and with a ~10% selective predicate against a top-20 budget the
+    mean recall must sit strictly below 1 (E[matches in budget] ~ 2) —
+    a post leg that ignores the predicate or a pre leg that ranks the
+    unfiltered corpus would push it to exactly 1.0."""
+    from azurestorage_blueprints_spark.queries.similarity import _TOP_K
+
+    rows = REGISTRY["q_knn_filtered_search"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_exact == _TOP_K
+        assert 0 <= r.n_post_found <= r.n_exact
+        assert abs(r.post_recall - r.n_post_found / r.n_exact) < 1e-12
+    mean = sum(r.post_recall for r in rows) / len(rows)
+    assert mean < 0.95, mean
