@@ -2075,3 +2075,97 @@ def q_multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id long, n_samples long, n_crossings long, peak_abs long, "
         "n_clipped long, zcr double",
     )
+
+
+_ENTROPY_SQL = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents),
+    ct AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token),
+    n AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      FROM ct GROUP BY doc_id),
+    t AS (
+      SELECT ct.doc_id,
+             CAST(sum(ct.c * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(ct.c AS DOUBLE))
+                                        * 1000000.0) AS BIGINT)) AS BIGINT) AS hm,
+             CAST(max(n.n) AS BIGINT) AS n,
+             CAST(max(n.v) AS BIGINT) AS v,
+             CAST(round(ln(CAST(max(n.v) AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnvq
+      FROM ct JOIN n ON ct.doc_id = n.doc_id
+      GROUP BY ct.doc_id)
+    SELECT doc_id, n AS n_tokens, v AS n_types,
+           CAST(hm AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS entropy_nats,
+           CASE WHEN v > 1
+                THEN CAST(hm AS DOUBLE) / CAST(n AS DOUBLE) / CAST(lnvq AS DOUBLE)
+                ELSE 0.0 END AS entropy_norm
+    FROM t
+"""
+
+
+@register(
+    "q_text_unigram_entropy",
+    oracle=_ENTROPY_SQL,
+    doc="Per-document unigram entropy — the information-theoretic "
+    "repetition signal that complements q_text_type_token_ratio "
+    "(TTR counts types; entropy weighs their BALANCE, so 'a a a a b' "
+    "and 'a b a b a' separate where TTR ties them) and "
+    "q_text_repetition (which targets specific over-represented "
+    "n-grams): H = sum c/n x ln(n/c) in nats, plus the Pielou-style "
+    "normalization H / ln(types) in [0,1] that makes thresholds "
+    "length-independent. Low entropy = degenerate/spammy token "
+    "distributions — a standard pre-training quality cut. "
+    "Determinism: each type's ln(n/c) quantizes to micro-units and "
+    "multiplies the exact count BEFORE the per-document sum (exact "
+    "bigint reduction); the normalizer ln(types) is quantized the "
+    "same way so the final ratio derives from identical integers on "
+    "both engines. Shape (100 TB): tokenize + ONE (doc_id, token) "
+    "map-side-combined hash-agg, per-doc totals re-aggregate from "
+    "that table (never a second corpus pass), rejoin keyed on doc_id "
+    "stays co-partitioned. O(docs) rows out.",
+)
+def q_text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    ct = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = ct.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    term = F.col("c") * F.round(
+        F.log(F.col("n").cast("double") / F.col("c").cast("double")) * F.lit(1000000.0)
+    ).cast("bigint")
+    t = (
+        ct.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term).cast("bigint").alias("hm"),
+            F.max("n").cast("bigint").alias("n"),
+            F.max("v").cast("bigint").alias("v"),
+        )
+        .select(
+            "*",
+            F.round(F.log(F.col("v").cast("double")) * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("lnvq"),
+        )
+    )
+    return t.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        (F.col("hm").cast("double") / F.lit(1000000.0) / F.col("n").cast("double")).alias(
+            "entropy_nats"
+        ),
+        F.when(
+            F.col("v") > 1,
+            F.col("hm").cast("double") / F.col("n").cast("double") / F.col("lnvq").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy_norm"),
+    )

@@ -548,3 +548,30 @@ def test_filtered_search_prefix_identity_and_recall_accounting(spark, sf_dir):
         assert abs(r.post_recall - r.n_post_found / r.n_exact) < 1e-12
     mean = sum(r.post_recall for r in rows) / len(rows)
     assert mean < 0.95, mean
+
+
+def test_unigram_entropy_matches_independent_recount(spark, sf_dir):
+    """Recompute H for a sample of documents in pure Python from the
+    raw text and pin the quantized pipeline within its error bound
+    (<= 0.5e-6 nats per type-term); gate the normalized form's range
+    and its ceiling identity H <= ln(types)."""
+    import math
+    from collections import Counter
+
+    rows = {r.doc_id: r for r in REGISTRY["q_text_unigram_entropy"].fn(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(8).collect()
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        if not toks:
+            continue
+        c = Counter(toks)
+        n = len(toks)
+        h = sum(k / n * math.log(n / k) for k in c.values())
+        r = rows[d.doc_id]
+        assert r.n_tokens == n and r.n_types == len(c)
+        assert abs(r.entropy_nats - h) < 1e-5, (d.doc_id, r.entropy_nats, h)
+        if len(c) > 1:
+            assert abs(r.entropy_norm - h / math.log(len(c))) < 1e-5
+    for r in rows.values():
+        assert 0.0 <= r.entropy_norm <= 1.0 + 1e-9
+        assert r.entropy_nats <= math.log(max(r.n_types, 1)) + 1e-6
