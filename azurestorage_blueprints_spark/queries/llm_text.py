@@ -2169,3 +2169,165 @@ def q_text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("entropy_norm"),
     )
+
+
+#: scene-cut threshold: consecutive-frame aHash Hamming distance
+#: strictly above this flags a cut (16-bit hashes; 8 = half the bits)
+_SCENE_CUT_BITS = 8
+
+_SCENE_CUT_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    frames AS (
+      SELECT vec_id, CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS frame_idx, v
+      FROM e
+    ),
+    sliced AS (
+      SELECT vec_id, frame_idx, v[frame_idx * 16 + 1 : frame_idx * 16 + 16] AS fv
+      FROM frames
+    ),
+    quant AS (
+      SELECT vec_id, frame_idx,
+             CASE WHEN list_max(fv) > list_min(fv)
+                  THEN list_transform(fv, x -> CAST(floor(
+                         (x - list_min(fv)) * (255.0 / (list_max(fv) - list_min(fv)))
+                         + 0.5) AS BIGINT))
+                  ELSE list_transform(fv, x -> CAST(0 AS BIGINT)) END AS g
+      FROM sliced
+    ),
+    hashed AS (
+      SELECT vec_id, frame_idx,
+             CAST(list_sum(list_transform(range(1, 17),
+                  i -> CASE WHEN g[i] > CAST(list_sum(g) AS DOUBLE) / 16.0
+                            THEN CAST(2 AS BIGINT) ** (i - 1)
+                            ELSE 0 END)) AS BIGINT) AS h
+      FROM quant
+    ),
+    deltas AS (
+      SELECT vec_id, frame_idx,
+             bit_count(xor(h, lead(h) OVER (PARTITION BY vec_id
+                                            ORDER BY frame_idx))) AS d
+      FROM hashed
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN d > {_SCENE_CUT_BITS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(max(d) AS BIGINT) AS max_hamming,
+           CAST(coalesce(min(CASE WHEN d > {_SCENE_CUT_BITS} THEN frame_idx END),
+                         -1) AS BIGINT) AS first_cut_frame
+    FROM deltas WHERE d IS NOT NULL
+    GROUP BY vec_id
+"""
+
+
+@register(
+    "q_multimodal_video_scene_cuts",
+    oracle=_SCENE_CUT_SQL,
+    doc="Video scene-cut detection — the shot-segmentation primitive a "
+    "video curation pipeline runs BEFORE frame sampling (sampling "
+    "within shots, not across them, is what makes sampled frames "
+    "representative): every frame of the length-prefixed PPM container "
+    "decodes through the SAME pack/walk as q_multimodal_video_frames "
+    "(all 4 frames here — cut detection cannot skip frames), each "
+    "frame aHashes to 16 bits, and consecutive-frame Hamming deltas "
+    f"above {_SCENE_CUT_BITS} bits flag cuts; per video: transition "
+    "count, cut count, the worst delta, and the first cut position "
+    "(-1 when none — the single-shot verdict). DuckDB reproduces "
+    "every hash arithmetically from the embeddings and re-derives the "
+    "deltas with a window, so a framing, quantization, or bit-order "
+    "bug anywhere in the codec path breaks the hash. Shape: "
+    "Arrow-batched mapInPandas decode (zero shuffles, embarrassingly "
+    "parallel over payload partitions), then ONE lead() window over "
+    "per-video partitions of bounded size (frames per clip), one "
+    "map-side-combined agg. O(videos) rows out.",
+)
+def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def pack(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                payload = bytearray(b"VID0" + len(a).to_bytes(4, "big"))
+                frames = []
+                for f in range(4):
+                    fv = a[f * 16 : (f + 1) * 16]
+                    lo, hi = float(fv.min()), float(fv.max())
+                    if hi > lo:
+                        g = np.floor((fv - lo) * (255.0 / (hi - lo)) + 0.5).astype(
+                            np.uint8
+                        )
+                    else:
+                        g = np.zeros(16, dtype=np.uint8)
+                    frames.append(b"P6\n4 4\n255\n" + np.repeat(g, 3).tobytes())
+                payload += len(frames).to_bytes(4, "big")
+                for fr in frames:
+                    payload += len(fr).to_bytes(4, "big") + fr
+                out.append(bytes(payload))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "content": out})
+
+    vids = e.mapInPandas(pack, "vec_id long, content binary")
+
+    def hash_all_frames(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for vid, b in zip(pdf["vec_id"], pdf["content"]):
+                b = bytes(b)
+                if b[:4] != b"VID0":
+                    continue
+                n_frames = int.from_bytes(b[8:12], "big")
+                off = 12
+                for f in range(n_frames):
+                    ln = int.from_bytes(b[off : off + 4], "big")
+                    frame = b[off + 4 : off + 4 + ln]
+                    off += 4 + ln
+                    if frame[:2] != b"P6":
+                        raise ValueError("not a P6 frame")
+                    hdr_end = frame.index(b"255\n") + 4
+                    g = np.frombuffer(
+                        frame[hdr_end : hdr_end + 48], dtype=np.uint8
+                    )[::3].astype(np.float64)
+                    bits = (g > g.mean()).astype(np.uint64)
+                    ids.append(vid)
+                    idxs.append(f)
+                    hashes.append(int((bits << np.arange(16, dtype=np.uint64)).sum()))
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "frame_idx": idxs,
+                    "h": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    hashed = vids.mapInPandas(hash_all_frames, "vec_id long, frame_idx long, h long")
+    w = W.partitionBy("vec_id").orderBy("frame_idx")
+    deltas = hashed.select(
+        "vec_id",
+        "frame_idx",
+        F.bit_count(F.col("h").bitwiseXOR(F.lead("h").over(w))).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    return deltas.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.sum(F.when(F.col("d") > _SCENE_CUT_BITS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.max("d").cast("bigint").alias("max_hamming"),
+        F.coalesce(
+            F.min(F.when(F.col("d") > _SCENE_CUT_BITS, F.col("frame_idx"))),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("first_cut_frame"),
+    )

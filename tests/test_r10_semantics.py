@@ -575,3 +575,26 @@ def test_unigram_entropy_matches_independent_recount(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r.entropy_norm <= 1.0 + 1e-9
         assert r.entropy_nats <= math.log(max(r.n_types, 1)) + 1e-6
+
+
+def test_scene_cuts_invariants_and_codec_path_agreement(spark, sf_dir):
+    """Every 4-frame clip has exactly 3 transitions; cuts are bounded
+    by transitions; the single-shot verdict (first_cut_frame = -1) is
+    exactly the n_cuts = 0 case; deltas fit 16-bit hashes. And the
+    codec path must agree with q_multimodal_video_frames: a clip whose
+    frames 0 and 2 hash IDENTICALLY there can still cut elsewhere, but
+    a clip with max_hamming = 0 here must show equal frame hashes
+    there."""
+    cuts = {r.vec_id: r for r in REGISTRY["q_multimodal_video_scene_cuts"].fn(spark, sf_dir).collect()}
+    for r in cuts.values():
+        assert r.n_transitions == 3
+        assert 0 <= r.n_cuts <= 3
+        assert (r.first_cut_frame == -1) == (r.n_cuts == 0)
+        assert 0 <= r.max_hamming <= 16
+    frames = REGISTRY["q_multimodal_video_frames"].fn(spark, sf_dir).collect()
+    by_vid: dict[int, dict[int, int]] = {}
+    for f in frames:
+        by_vid.setdefault(f.vec_id, {})[f.frame_idx] = f.frame_ahash
+    for vid, r in cuts.items():
+        if r.max_hamming == 0:
+            assert by_vid[vid][0] == by_vid[vid][2], vid
