@@ -145,7 +145,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_dsir_importance", "q_dsir_resample", "q_stream_dsir_gate",
     "q_mixture_doremi_step", "q_k_anonymity", "q_knn_dim_truncation",
     "q_zipf_fit", "q_knn_filtered_search", "q_text_unigram_entropy",
-    "q_multimodal_video_scene_cuts",
+    "q_multimodal_video_scene_cuts", "q_dp_noisy_counts",
 })
 
 

@@ -357,3 +357,112 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share",
         )
     )
+
+
+#: DP release parameters: epsilon-differential privacy for count
+#: queries (sensitivity 1), Laplace scale b = 1/epsilon
+_DP_EPS = 1.0
+
+#: lane salt decorrelating the DP noise stream from the bootstrap,
+#: permutation, and DSIR-Gumbel streams
+_DP_SALT = 777767777
+
+_DP_SQL = f"""
+    WITH c AS (
+      SELECT n.n_name, CAST(n.n_nationkey AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS true_count
+      FROM customer
+      JOIN nation n ON c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, n.n_nationkey),
+    seeded AS (
+      SELECT n_name, k, true_count,
+             ((k % 2147483648) * 2654435761 + {_DP_SALT}) % 2147483648 AS a
+      FROM c),
+    mix1 AS (
+      SELECT n_name, k, true_count,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM seeded),
+    mix2 AS (
+      SELECT n_name, k, true_count,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM mix1),
+    drawn AS (
+      SELECT n_name, true_count,
+             ((a * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
+      FROM mix2),
+    noised AS (
+      SELECT n_name, true_count,
+             CAST(round((CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                        * (1.0 / {_DP_EPS}) * ln(1.0 - 2.0 * abs(u - 0.5))
+                        * 1000000.0) AS BIGINT) AS noise_micro
+      FROM drawn)
+    SELECT n_name, true_count, noise_micro,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+           CAST(greatest(true_count + CAST(round(CAST(noise_micro AS DOUBLE)
+                                                 / 1000000.0) AS BIGINT), 0)
+                AS BIGINT) AS released_count
+    FROM noised
+"""
+
+
+@register(
+    "q_dp_noisy_counts",
+    oracle=_DP_SQL,
+    doc="Differentially-private count release — the Laplace mechanism "
+    "over per-nation customer counts (sensitivity-1 counting query, "
+    f"epsilon = {_DP_EPS}, scale b = 1/epsilon), the release-side twin "
+    "of q_k_anonymity's risk screen: where k-anonymity REFUSES risky "
+    "strata, DP releases every stratum with calibrated noise. This is "
+    "the ACCOUNTANT's view of the mechanism (true count, noise draw, "
+    "and release side by side — what a privacy audit inspects to "
+    "certify calibration; the public release is the last column "
+    "alone, clamped at 0 post-noise as is standard for counts). The "
+    "Laplace draw is deterministic and engine-portable: the group key "
+    "seeds the SAME nonlinear middle-square mixer as the bootstrap on "
+    "its own lane salt, the 32-bit uniform maps through the inverse "
+    "CDF -sign(u-1/2)/eps x ln(1-2|u-1/2|), and the noise quantizes "
+    "to micro-units so the released integer derives from identical "
+    "values on both engines. Shape (100 TB): one map-side-combined "
+    "count agg on the group key; the noise is a per-OUTPUT-row "
+    "projection (O(groups), never row-scale); dimension join "
+    "broadcasts. O(nations) rows out.",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    m31 = F.lit(2147483648).cast("bigint")
+    grp = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("n_nationkey").cast("bigint").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    seeded = grp.select(
+        "n_name",
+        "true_count",
+        (((F.col("k") % m31) * F.lit(2654435761).cast("bigint") + F.lit(_DP_SALT)) % m31).alias("a"),
+    )
+    mix = "(CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a) % 2147483648"
+    for _ in range(2):
+        seeded = seeded.select("n_name", "true_count", F.expr(mix).alias("a"))
+    u = F.expr("((a * 2654435761) % 4294967296 + 0.5) / 4294967296.0")
+    noise_micro = F.round(
+        F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.lit(1.0 / _DP_EPS)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    noised = seeded.select("n_name", "true_count", noise_micro.alias("noise_micro"))
+    released = F.greatest(
+        F.col("true_count")
+        + F.round(F.col("noise_micro").cast("double") / F.lit(1000000.0)).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    return noised.select(
+        "n_name",
+        "true_count",
+        "noise_micro",
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+        released.cast("bigint").alias("released_count"),
+    )

@@ -598,3 +598,24 @@ def test_scene_cuts_invariants_and_codec_path_agreement(spark, sf_dir):
     for vid, r in cuts.items():
         if r.max_hamming == 0:
             assert by_vid[vid][0] == by_vid[vid][2], vid
+
+
+def test_dp_noisy_counts_mechanism_identities(spark, sf_dir):
+    """The oracle shares the formula, so a broken mixer (constant u),
+    a dropped sign branch, or a mis-scaled b would hash-pass — pin the
+    mechanism: the release is exactly max(0, true + round(noise)),
+    draws are distinct across groups (nonlinear mixer) with both signs
+    present, and the empirical noise spread sits in a generous
+    Laplace(0, 1) envelope (sd 1.414; 25 draws)."""
+    rows = REGISTRY["q_dp_noisy_counts"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        want = max(0, r.true_count + round(r.noise_micro / 1e6))
+        assert r.released_count == want
+        assert r.epsilon == 1.0
+    noises = [r.noise_micro / 1e6 for r in rows]
+    assert len(set(noises)) == len(noises), "constant/colliding draws"
+    assert any(x < 0 for x in noises) and any(x > 0 for x in noises)
+    mean = sum(noises) / len(noises)
+    sd = (sum((x - mean) ** 2 for x in noises) / (len(noises) - 1)) ** 0.5
+    assert abs(mean) < 1.0 and 0.5 < sd < 3.0, (mean, sd)
