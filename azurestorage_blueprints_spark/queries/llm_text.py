@@ -2331,3 +2331,66 @@ def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("first_cut_frame"),
     )
+
+
+#: router-confidence floor: a top-1/top-2 marker-score margin below
+#: this routes the document to 'und' (undetermined) instead of
+#: trusting the argmax
+_LANGID_MARGIN_MIN = 2
+
+_LANG_MARGIN_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_sql_lang_guess()} AS guessed_lang,
+             list_reverse_sort([
+               {", ".join(f"({_sql_lang_score(lang)})" for lang in sorted(X.LANG_MARKERS))}
+             ]) AS s
+      FROM documents)
+    SELECT doc_id, labeled_lang, guessed_lang,
+           CAST(s[1] AS BIGINT) AS top1_score,
+           CAST(s[2] AS BIGINT) AS top2_score,
+           CAST(s[1] - s[2] AS BIGINT) AS margin,
+           CASE WHEN s[1] - s[2] >= {_LANGID_MARGIN_MIN}
+                THEN guessed_lang ELSE 'und' END AS routed_lang
+    FROM scored
+"""
+
+
+@register(
+    "q_text_langid_margin",
+    oracle=_LANG_MARGIN_SQL,
+    doc="Language-ID confidence-margin routing — the production gating "
+    "layer over the raw argmax router (q_text_langid): per document, "
+    "the top-1 and top-2 marker scores across all five language "
+    "models, their margin, and the routed label — the argmax when the "
+    f"margin clears {_LANGID_MARGIN_MIN}, 'und' (undetermined) "
+    "otherwise. CLD3-style pipelines route low-margin documents to a "
+    "heavier classifier or quarantine rather than mislabeling them; "
+    "downstream per-language operators (CCNet buckets, curriculum "
+    "mixes) consume the routed label, so the margin IS the precision/ "
+    "coverage knob. The top-2 extraction sorts the 5-score array "
+    "in-row (both engines sort integer arrays identically; ties "
+    "collapse to margin 0 = routed 'und' when at the top). One "
+    "codegen projection over the scan — scores, sort, margin, and "
+    "route all stay row-local; no shuffle at ANY corpus size.",
+)
+def q_text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scores = X.lang_scores(F.col("text"))
+    s = F.sort_array(
+        F.array(*[scores[lang] for lang in sorted(X.LANG_MARKERS)]), asc=False
+    )
+    top1 = F.element_at(s, 1).cast("bigint")
+    top2 = F.element_at(s, 2).cast("bigint")
+    guessed = X.lang_guess(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guessed.alias("guessed_lang"),
+        top1.alias("top1_score"),
+        top2.alias("top2_score"),
+        (top1 - top2).alias("margin"),
+        F.when(top1 - top2 >= _LANGID_MARGIN_MIN, guessed)
+        .otherwise(F.lit("und"))
+        .alias("routed_lang"),
+    )

@@ -619,3 +619,28 @@ def test_dp_noisy_counts_mechanism_identities(spark, sf_dir):
     mean = sum(noises) / len(noises)
     sd = (sum((x - mean) ** 2 for x in noises) / (len(noises) - 1)) ** 0.5
     assert abs(mean) < 1.0 and 0.5 < sd < 3.0, (mean, sd)
+
+
+def test_langid_margin_routing_is_a_precision_knob(spark, sf_dir):
+    """Routing identities the oracle can't distinguish from a sign
+    error: routed != 'und' exactly when the margin clears the floor,
+    margin = top1 - top2 >= 0, the routed label equals the raw argmax
+    router's guess, and accuracy on the routed slice must exceed the
+    quarantined slice (the knob's whole purpose; measured +7pp at the
+    test SF, +14pp at the gate SF)."""
+    from azurestorage_blueprints_spark.queries.llm_text import _LANGID_MARGIN_MIN
+
+    rows = REGISTRY["q_text_langid_margin"].fn(spark, sf_dir).collect()
+    guess = {r.doc_id: r.guessed_lang for r in REGISTRY["q_text_langid"].fn(spark, sf_dir).collect()}
+    acc = {True: [0, 0], False: [0, 0]}  # routed? -> [correct, total]
+    for r in rows:
+        assert r.margin == r.top1_score - r.top2_score >= 0
+        routed = r.routed_lang != "und"
+        assert routed == (r.margin >= _LANGID_MARGIN_MIN)
+        if routed:
+            assert r.routed_lang == r.guessed_lang == guess[r.doc_id]
+        a = acc[routed]
+        a[0] += int(r.guessed_lang == r.labeled_lang)
+        a[1] += 1
+    assert acc[True][1] > 0 and acc[False][1] > 0
+    assert acc[True][0] / acc[True][1] > acc[False][0] / acc[False][1]
