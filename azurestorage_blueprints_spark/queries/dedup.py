@@ -1208,9 +1208,10 @@ def _mhp_bands_sql(src: str) -> str:
     )
 
 
-def _mhp_sig(d: DataFrame) -> DataFrame:
-    """Spark twin of :func:`_mhp_sig_sql`: documents → one row per doc
-    with the 16 portable MinHash signature components ``s0..s15``."""
+def _mhp_posting(d: DataFrame) -> DataFrame:
+    """Spark twin of the ``th``/``sh`` CTEs of :func:`_mhp_sig_sql`:
+    documents → the (doc_id, h) 3-gram shingle-hash stream (with
+    multiplicity; ``distinct()`` it for set semantics)."""
     from pyspark.sql import Window as W
 
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
@@ -1223,7 +1224,7 @@ def _mhp_sig(d: DataFrame) -> DataFrame:
     )
     hp = p.select("doc_id", "pos", th.alias("h0"))
     w = W.partitionBy("doc_id").orderBy("pos")
-    posting = (
+    return (
         hp.select(
             "doc_id",
             "pos",
@@ -1240,6 +1241,12 @@ def _mhp_sig(d: DataFrame) -> DataFrame:
             ).alias("h"),
         )
     )
+
+
+def _mhp_sig(d: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_mhp_sig_sql`: documents → one row per doc
+    with the 16 portable MinHash signature components ``s0..s15``."""
+    posting = _mhp_posting(d)
     sig_aggs = [
         F.expr(f"cast(min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MHP_M}) as bigint) AS s{i}")
         for i in range(_MHP_PERMS)
@@ -2732,4 +2739,121 @@ def q_dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             (nd.cast("double") / n.cast("double")).alias("corpus_dup_frac"),
         )
         .orderBy("doc_id")
+    )
+
+
+_MHP_CALIB_SQL = f"""
+    WITH {_mhp_sig_sql()},
+    post AS (SELECT DISTINCT doc_id, h FROM sh),
+    v AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS v FROM post GROUP BY doc_id),
+    bands AS ({_mhp_bands_sql("sig")}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    mt AS (
+      SELECT c.a_id, c.b_id,
+             CAST(({" + ".join(f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(_MHP_PERMS))})
+                  AS BIGINT) AS n_match
+      FROM cand c
+      JOIN sig sa ON c.a_id = sa.doc_id
+      JOIN sig sb ON c.b_id = sb.doc_id),
+    ints AS (
+      SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN post pa ON pa.doc_id = c.a_id
+      JOIN post pb ON pb.doc_id = c.b_id AND pb.h = pa.h
+      GROUP BY c.a_id, c.b_id),
+    pairj AS (
+      SELECT m.n_match,
+             CAST(round(CAST(coalesce(i.inter, 0) AS DOUBLE) * 1000000.0
+                        / CAST(va.v + vb.v - coalesce(i.inter, 0) AS DOUBLE))
+                  AS BIGINT) AS jac_micro
+      FROM mt m
+      LEFT JOIN ints i ON m.a_id = i.a_id AND m.b_id = i.b_id
+      JOIN v va ON m.a_id = va.doc_id
+      JOIN v vb ON m.b_id = vb.doc_id)
+    SELECT n_match,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(n_match AS DOUBLE) / {_MHP_PERMS}.0 AS est_jaccard,
+           CAST(sum(jac_micro) AS DOUBLE) / 1000000.0 / count(*)
+             AS mean_exact_jaccard
+    FROM pairj GROUP BY n_match
+"""
+
+
+@register(
+    "q_dedup_minhash_calibration",
+    oracle=_MHP_CALIB_SQL,
+    doc="MinHash estimator-calibration audit — the check that closes "
+    "the dedup ladder's measurement loop: for every LSH candidate "
+    "pair, the signature-agreement estimate (k matching permutations "
+    f"of {_MHP_PERMS} — E[k/{_MHP_PERMS}] IS the Jaccard similarity, "
+    "the Broder identity the whole rung rests on) is compared against "
+    "the EXACT Jaccard computed from the distinct-shingle posting "
+    "intersection, binned by k: pairs per bin, the estimate, and the "
+    "mean exact similarity. A biased permutation family, a shingle/ "
+    "signature mismatch, or a broken band fold shows up in the TOP "
+    "bins (k = 15, 16 must sit near exact similarity 1 — near-dup "
+    "pairs agree everywhere); the mid-bin scatter quantifies the "
+    "16-permutation estimator's variance on short documents over this "
+    "tiny shingle vocabulary (chance signature agreement on "
+    "low-similarity pairs), which is exactly the number a team reads "
+    "before trusting k/16 as a dedup threshold. "
+    "Complements q_dedup_lsh_recall_audit (recall against planted "
+    "clones) with PRECISION of the similarity ESTIMATE. Shape: "
+    "candidates from the production banding join (sub-quadratic); the "
+    "posting intersection joins on the shingle-hash key only for "
+    "candidate pairs; per-pair exact Jaccard micro-quantizes before "
+    f"the exact bigint bin sums. O({_MHP_PERMS}+1) rows out.",
+)
+def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sig = _mhp_sig(d)
+    post = _mhp_posting(d).distinct()
+    v = post.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    bands = _mhp_bands(sig)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    match_expr = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(_MHP_PERMS)
+    )
+    mt = (
+        cand.join(sig.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", match_expr.cast("bigint").alias("n_match"))
+    )
+    pa = post.select(F.col("doc_id").alias("a_id"), "h")
+    pb = post.select(F.col("doc_id").alias("b_id"), "h")
+    ints = (
+        cand.join(pa, "a_id")
+        .join(pb, ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0).cast("bigint"))
+    jac_micro = F.round(
+        inter.cast("double")
+        * F.lit(1000000.0)
+        / (F.col("va.v") + F.col("vb.v") - inter).cast("double")
+    ).cast("bigint")
+    pairj = (
+        mt.join(ints, ["a_id", "b_id"], "left")
+        .join(v.alias("va"), mt.a_id == F.col("va.doc_id"))
+        .join(v.alias("vb"), mt.b_id == F.col("vb.doc_id"))
+        .select("n_match", jac_micro.alias("jac_micro"))
+    )
+    return pairj.groupBy("n_match").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.col("n_match").cast("double") / float(_MHP_PERMS)).alias("est_jaccard"),
+        (
+            F.sum("jac_micro").cast("double") / F.lit(1000000.0) / F.count(F.lit(1))
+        ).alias("mean_exact_jaccard"),
     )

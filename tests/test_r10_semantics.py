@@ -644,3 +644,21 @@ def test_langid_margin_routing_is_a_precision_knob(spark, sf_dir):
         a[1] += 1
     assert acc[True][1] > 0 and acc[False][1] > 0
     assert acc[True][0] / acc[True][1] > acc[False][0] / acc[False][1]
+
+
+def test_minhash_calibration_accounts_for_every_candidate_pair(spark, sf_dir):
+    """The calibration bins must tile the production rung's candidate
+    set exactly (same banding topology), exact similarities are valid
+    Jaccards, and the top bins certify the estimator where it matters:
+    the k = 16 bin (identical signatures) must show near-1 mean exact
+    similarity — a shingle/signature mismatch collapses it."""
+    rows = REGISTRY["q_dedup_minhash_calibration"].fn(spark, sf_dir).collect()
+    n_cand = REGISTRY["q_dedup_minhash_portable"].fn(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == n_cand
+    for r in rows:
+        assert 0 <= r.n_match <= 16
+        assert abs(r.est_jaccard - r.n_match / 16.0) < 1e-12
+        assert 0.0 <= r.mean_exact_jaccard <= 1.0
+    top = {r.n_match: r for r in rows}
+    assert 16 in top, "the identical-signature bin must exist"
+    assert top[16].mean_exact_jaccard > 0.9, top[16]
