@@ -867,3 +867,113 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "community")
         .limit(20)
     )
+
+
+#: k-core threshold and bounded peel rounds (convergence at gate SFs
+#: is measured well inside the bound; the round trace IS the output)
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_sql() -> str:
+    from azurestorage_blueprints_spark.queries.graph_q import _MIN_COOCCUR
+
+    parts = [
+        f"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= {_MIN_COOCCUR}
+    ),
+    e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+           UNION ALL SELECT v, u FROM und)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+      SELECT src AS node FROM e{r - 1}
+      GROUP BY src HAVING count(*) >= {_KCORE_K}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst
+      FROM e{r - 1} e
+      JOIN n{r} a ON e.src = a.node
+      JOIN n{r} b ON e.dst = b.node
+    )"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round,"
+        f" (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e{r}) AS n_nodes,"
+        f" (SELECT CAST(count(*) / 2 AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + rows
+
+
+@register(
+    "q_graph_kcore",
+    oracle=_kcore_sql(),
+    doc=f"k-core decomposition (k = {_KCORE_K}) of the part co-purchase "
+    "graph — the density-peeling primitive web-graph pipelines run to "
+    "separate the link-farm/hub core from the sparse periphery (and "
+    "the complement of q_graph_triangles' local density measure with "
+    "a GLOBAL one): each round drops every node with degree below k "
+    "and the edges touching it, and the output is the full peel "
+    f"TRACE — (round, surviving nodes, surviving undirected edges) "
+    f"for rounds 0..{_KCORE_ROUNDS} — because the trace, not just the "
+    "fixed point, is what an analyst reads (how fast the periphery "
+    "sheds = how hub-dominated the graph is). Expressed as bounded "
+    "materialized rounds (the q_pagerank_fixedpoint/q_bpe_train "
+    "pattern): every round is one degree hash-agg + one semi-join of "
+    "the edge set against survivors, lineage truncated per round via "
+    "localCheckpoint; the oracle unrolls the SAME rounds as CTEs, so "
+    "every count is value-hash checked, making an iterative algorithm "
+    "fully differential. Convergence at gate SFs lands well inside "
+    "the bound (pinned in tests); a production run sizes rounds to "
+    "the observed trace. All counts exact bigints; edges stay "
+    "symmetric so degree is one group-count.",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    und = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_COOCCUR)
+        .select("u", "v")
+    )
+    edges = _ckpt(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    spark_rows = []
+    cur = edges
+    for r in range(_KCORE_ROUNDS + 1):
+        if r > 0:
+            surv = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= _KCORE_K)
+                .select(F.col("src").alias("node"))
+            )
+            sa = surv.select(F.col("node").alias("src"))
+            sb = surv.select(F.col("node").alias("dst"))
+            cur = _ckpt(cur.join(sa, "src").join(sb, "dst"))
+        stats = cur.agg(
+            F.countDistinct("src").cast("bigint").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        ).select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        spark_rows.append(stats)
+    out = spark_rows[0]
+    for s in spark_rows[1:]:
+        out = out.unionByName(s)
+    return out

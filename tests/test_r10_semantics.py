@@ -662,3 +662,24 @@ def test_minhash_calibration_accounts_for_every_candidate_pair(spark, sf_dir):
     top = {r.n_match: r for r in rows}
     assert 16 in top, "the identical-signature bin must exist"
     assert top[16].mean_exact_jaccard > 0.9, top[16]
+
+
+def test_kcore_peel_trace_is_monotone(spark, sf_dir):
+    """Peeling only removes: node and edge counts must be
+    non-increasing round over round, the trace covers every round
+    including the un-peeled round 0, and once a round removes nothing
+    every later round is identical (peel is a closure operator)."""
+    from azurestorage_blueprints_spark.queries.graph_q import _KCORE_ROUNDS
+
+    rows = sorted(REGISTRY["q_graph_kcore"].fn(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(_KCORE_ROUNDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes and b.n_edges <= a.n_edges
+        if (a.n_nodes, a.n_edges) == (b.n_nodes, b.n_edges) and a.round > 0:
+            stable_from = a.round
+            assert all(
+                (c.n_nodes, c.n_edges) == (a.n_nodes, a.n_edges)
+                for c in rows[stable_from:]
+            )
+            break
+    assert rows[0].n_nodes > 0 and rows[0].n_edges > 0
