@@ -683,3 +683,23 @@ def test_kcore_peel_trace_is_monotone(spark, sf_dir):
             )
             break
     assert rows[0].n_nodes > 0 and rows[0].n_edges > 0
+
+
+def test_temporal_split_tiles_events_and_orders_time(spark, sf_dir):
+    """Split identities: the three splits tile the event table exactly,
+    their day spans are disjoint and ordered train < valid < test,
+    train's leakage count is trivially its own user count, and the
+    later splits' leakage counts are bounded by their user counts."""
+    rows = {r.split: r for r in REGISTRY["q_split_temporal"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "valid", "test"}
+    n_all = table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows.values()) == n_all
+    assert (
+        rows["train"].last_day_epoch
+        <= rows["valid"].first_day_epoch
+        <= rows["valid"].last_day_epoch
+        <= rows["test"].first_day_epoch
+    )
+    assert rows["train"].n_users_seen_in_train == rows["train"].n_users
+    for s in ("valid", "test"):
+        assert 0 <= rows[s].n_users_seen_in_train <= rows[s].n_users
