@@ -192,6 +192,18 @@ HEADLINE = [
     # Zipf corpus-health line (vocab agg + bounded head window)
     "q_knn_filtered_search",
     "q_zipf_fit",
+    # round-10 closing batch: doc entropy ((doc, token) agg), video
+    # scene cuts (full-frame decode + lead window), DP release +
+    # langid margin + temporal split (cheap O(groups) projections),
+    # MinHash calibration (candidate pairs + posting intersection),
+    # k-core (5 checkpointed peel rounds — the iterative-tier number)
+    "q_text_unigram_entropy",
+    "q_multimodal_video_scene_cuts",
+    "q_dp_noisy_counts",
+    "q_text_langid_margin",
+    "q_split_temporal",
+    "q_dedup_minhash_calibration",
+    "q_graph_kcore",
 ]
 
 
