@@ -1644,3 +1644,174 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stream_mm_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.llm_text import _SCENE_CUT_BITS
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    frames AS (
+      SELECT vec_id, CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS frame_idx, v
+      FROM e
+    ),
+    sliced AS (
+      SELECT vec_id, frame_idx, v[frame_idx * 16 + 1 : frame_idx * 16 + 16] AS fv
+      FROM frames
+    ),
+    quant AS (
+      SELECT vec_id, frame_idx,
+             CASE WHEN list_max(fv) > list_min(fv)
+                  THEN list_transform(fv, x -> CAST(floor(
+                         (x - list_min(fv)) * (255.0 / (list_max(fv) - list_min(fv)))
+                         + 0.5) AS BIGINT))
+                  ELSE list_transform(fv, x -> CAST(0 AS BIGINT)) END AS g
+      FROM sliced
+    ),
+    hashed AS (
+      SELECT vec_id, frame_idx,
+             CAST(list_sum(list_transform(range(1, 17),
+                  i -> CASE WHEN g[i] > CAST(list_sum(g) AS DOUBLE) / 16.0
+                            THEN CAST(2 AS BIGINT) ** (i - 1)
+                            ELSE 0 END)) AS BIGINT) AS h
+      FROM quant
+    ),
+    deltas AS (
+      SELECT vec_id,
+             bit_count(xor(h, lead(h) OVER (PARTITION BY vec_id
+                                            ORDER BY frame_idx))) AS d
+      FROM hashed
+    ),
+    clip AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN d > {_SCENE_CUT_BITS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts,
+             CAST(max(d) AS BIGINT) AS max_d
+      FROM deltas WHERE d IS NOT NULL
+      GROUP BY vec_id)
+    SELECT n_cuts <= {_MM_GATE_MAX_CUTS} AS admitted,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(n_cuts) AS BIGINT) AS cuts_total,
+           CAST(max(max_d) AS BIGINT) AS max_hamming
+    FROM clip GROUP BY n_cuts <= {_MM_GATE_MAX_CUTS}
+    """
+
+
+#: multimodal ingest gate: clips with more scene cuts than this are
+#: rejected at the door (multi-shot compilations need segmentation
+#: before they are useful as training clips)
+_MM_GATE_MAX_CUTS = 1
+
+
+@register(
+    "q_stream_multimodal_gate",
+    oracle=_stream_mm_oracle(),
+    doc="INGEST-TIME multimodal gate — the streaming form of the video "
+    "tier (the batch rungs decode the standing corpus; THIS decodes "
+    "clips as they ARRIVE and admits or rejects them at the door): "
+    "arriving payloads pack through the same length-prefixed PPM "
+    "container, decode through the same walk, and their scene-cut "
+    "count (consecutive-frame aHash Hamming deltas, the "
+    "q_multimodal_video_scene_cuts arithmetic) gates admission — at "
+    f"most {_MM_GATE_MAX_CUTS} cut per clip; multi-shot compilations "
+    "are routed to segmentation instead of training. STREAMING-LEGAL "
+    "by construction: the decode UDF emits each clip's 4 frame hashes "
+    "as ONE row (mapInPandas is a stateless streaming map; the batch "
+    "rung's per-frame window would not be), deltas fold in-array "
+    "row-locally, and ONE complete-mode aggregate holds the funnel. "
+    "Oracle: DuckDB re-derives every hash, delta, and verdict "
+    "arithmetically from the arrival slice. Shape (100 TB/day "
+    "ingest): per-arrival work is one Arrow-batched decode + an O(1) "
+    "in-row fold; state is O(2).",
+)
+def q_stream_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries.llm_text import _SCENE_CUT_BITS
+
+    staged = _stage_query_vectors(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+
+    def pack_decode_hash(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, rows = [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(vec, dtype=np.float64)
+                payload = bytearray(b"VID0" + len(a).to_bytes(4, "big"))
+                frames = []
+                for f in range(4):
+                    fv = a[f * 16 : (f + 1) * 16]
+                    lo, hi = float(fv.min()), float(fv.max())
+                    if hi > lo:
+                        g = np.floor((fv - lo) * (255.0 / (hi - lo)) + 0.5).astype(
+                            np.uint8
+                        )
+                    else:
+                        g = np.zeros(16, dtype=np.uint8)
+                    frames.append(b"P6\n4 4\n255\n" + np.repeat(g, 3).tobytes())
+                payload += len(frames).to_bytes(4, "big")
+                for fr in frames:
+                    payload += len(fr).to_bytes(4, "big") + fr
+                b = bytes(payload)
+                # decode back through the container walk (round-trip:
+                # the gate scores what it would STORE, not the input)
+                n_frames = int.from_bytes(b[8:12], "big")
+                off = 12
+                hs = []
+                for _ in range(n_frames):
+                    ln = int.from_bytes(b[off : off + 4], "big")
+                    frame = b[off + 4 : off + 4 + ln]
+                    off += 4 + ln
+                    if frame[:2] != b"P6":
+                        raise ValueError("not a P6 frame")
+                    hdr_end = frame.index(b"255\n") + 4
+                    g = np.frombuffer(
+                        frame[hdr_end : hdr_end + 48], dtype=np.uint8
+                    )[::3].astype(np.float64)
+                    bits = (g > g.mean()).astype(np.uint64)
+                    hs.append(int((bits << np.arange(16, dtype=np.uint64)).sum()))
+                ids.append(vid)
+                rows.append(hs)
+            yield pd.DataFrame({"vec_id": ids, "hs": rows})
+
+    hashed = arrivals.mapInPandas(pack_decode_hash, "vec_id long, hs array<long>")
+    # row-local delta fold: no window, one legal streaming projection
+    deltas = hashed.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, size(hs) - 1),"
+            " i -> bit_count(element_at(hs, i) ^ element_at(hs, i + 1)))"
+        ).alias("ds"),
+    )
+    clip = deltas.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(ds, CAST(0 AS BIGINT),"
+            f" (acc, d) -> acc + CASE WHEN d > {_SCENE_CUT_BITS} THEN 1 ELSE 0 END)"
+        ).alias("n_cuts"),
+        F.expr("CAST(array_max(ds) AS BIGINT)").alias("max_d"),
+    )
+    agg = (
+        clip.select(
+            (F.col("n_cuts") <= _MM_GATE_MAX_CUTS).alias("admitted"),
+            "n_cuts",
+            "max_d",
+        )
+        .groupBy("admitted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.sum("n_cuts").cast("bigint").alias("cuts_total"),
+            F.max("max_d").cast("bigint").alias("max_hamming"),
+        )
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")

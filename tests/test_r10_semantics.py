@@ -703,3 +703,26 @@ def test_temporal_split_tiles_events_and_orders_time(spark, sf_dir):
     assert rows["train"].n_users_seen_in_train == rows["train"].n_users
     for s in ("valid", "test"):
         assert 0 <= rows[s].n_users_seen_in_train <= rows[s].n_users
+
+
+def test_stream_multimodal_gate_agrees_with_batch_scene_cuts(spark, sf_dir):
+    """The gate's funnel must tile the arrival slice and agree with
+    the batch scene-cut rung clip by clip: the admitted count equals
+    the number of arrival clips whose batch n_cuts clears the
+    threshold — the streaming row-local in-array fold and the batch
+    window must be the same arithmetic."""
+    from azurestorage_blueprints_spark.queries.streaming_q import _MM_GATE_MAX_CUTS
+
+    rows = {r.admitted: r for r in REGISTRY["q_stream_multimodal_gate"].fn(spark, sf_dir).collect()}
+    batch = REGISTRY["q_multimodal_video_scene_cuts"].fn(spark, sf_dir).collect()
+    arr = [r for r in batch if r.vec_id % 10 == 0]
+    want_admit = sum(1 for r in arr if r.n_cuts <= _MM_GATE_MAX_CUTS)
+    got_admit = rows[True].n_clips if True in rows else 0
+    got_total = sum(r.n_clips for r in rows.values())
+    assert got_total == len(arr)
+    assert got_admit == want_admit
+    want_cuts = {True: 0, False: 0}
+    for r in arr:
+        want_cuts[r.n_cuts <= _MM_GATE_MAX_CUTS] += r.n_cuts
+    for adm, r in rows.items():
+        assert r.cuts_total == want_cuts[adm]
