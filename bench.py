@@ -204,6 +204,9 @@ HEADLINE = [
     "q_split_temporal",
     "q_dedup_minhash_calibration",
     "q_graph_kcore",
+    # round-10: the multimodal ingest gate (4-micro-batch replay +
+    # Arrow-batched decode — tracks the streaming-tier floor)
+    "q_stream_multimodal_gate",
 ]
 
 
