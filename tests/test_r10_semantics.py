@@ -726,3 +726,53 @@ def test_stream_multimodal_gate_agrees_with_batch_scene_cuts(spark, sf_dir):
         want_cuts[r.n_cuts <= _MM_GATE_MAX_CUTS] += r.n_cuts
     for adm, r in rows.items():
         assert r.cuts_total == want_cuts[adm]
+
+
+def test_dsir_and_mixer_arithmetic_never_leaves_int64():
+    """Pure-Python mirror of the DSIR feature hash and the
+    middle-square mixer chain, property-tested over adversarial
+    inputs: every intermediate must stay inside signed int64 (Spark
+    wraps silently on overflow while DuckDB raises — the divergence
+    class the _XSUB_POS_SHIFT convention exists for), and outputs
+    must stay inside their documented ranges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    M31 = 2147483647
+    MOD = 2147483648
+    I64 = 2**63
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=64), st.text(min_size=0, max_size=64))
+    def _hash_bounds(t1, t2):
+        def poly(t):
+            h = 0
+            for ch in t:
+                c = ord(ch)
+                assert abs(h * 31 + c) < I64
+                h = (h * 31 + c) % M31
+            return h
+
+        h1, h2 = poly(t1), poly(t2)
+        assert 0 <= h1 < M31 and 0 <= h2 < M31
+        assert abs(h1 * 8191 + h2) < I64
+        b = ((h1 * 8191 + h2) % M31) % 256
+        assert 0 <= b < 256
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**63 - 1), st.sampled_from([424243, 777767777]))
+    def _mixer_bounds(key, salt):
+        a = (key % MOD) * 2654435761 + salt
+        assert a < I64
+        a %= MOD
+        for _ in range(2):
+            sq = a * a
+            assert sq < I64
+            a = (sq // 65536 + a) % MOD
+        u32 = (a * 2654435761) % 4294967296
+        assert a * 2654435761 < I64
+        u = (u32 + 0.5) / 4294967296.0
+        assert 0.0 < u < 1.0
+
+    _hash_bounds()
+    _mixer_bounds()
