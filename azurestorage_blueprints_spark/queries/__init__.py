@@ -148,6 +148,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_multimodal_video_scene_cuts", "q_dp_noisy_counts",
     "q_text_langid_margin", "q_dedup_minhash_calibration",
     "q_graph_kcore", "q_split_temporal", "q_stream_multimodal_gate",
+    "q_stream_forget_gate",
 })
 
 

@@ -1815,3 +1815,66 @@ def q_stream_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stream_forget_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.quality import _FORGET_MOD
+
+    return f"""
+    WITH cohort AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {_FORGET_MOD} = 0
+    )
+    SELECT event_type,
+           user_id IN (SELECT c_custkey FROM cohort) AS suppressed,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_total
+    FROM events
+    GROUP BY event_type, user_id IN (SELECT c_custkey FROM cohort)
+    """
+
+
+@register(
+    "q_stream_forget_gate",
+    oracle=_stream_forget_oracle(),
+    doc="INGEST-TIME erasure enforcement — the streaming form of "
+    "q_forget_manifest (the batch rung walks the FK graph to plan a "
+    "delete; THIS stops NEW data about erased subjects from entering "
+    "the corpus at all, the half of right-to-be-forgotten that "
+    "file rewriting cannot cover): arriving events stream-static join "
+    "the erasure cohort (the same c_custkey % mod cohort as the batch "
+    "manifest) on user_id, rows about erased subjects are flagged "
+    "suppressed, and ONE complete-mode aggregate holds the per-"
+    "(event_type, suppressed) funnel — the compliance counter an "
+    "auditor reads (suppressed rows are COUNTED, never stored, in a "
+    "real sink; the funnel is the retention side's evidence). Oracle: "
+    "DuckDB recomputes the verdict over the full replay. Shape "
+    "(100 TB/day ingest): the cohort is deletion-request-scale — the "
+    "static side of a stream-static equi-join; per-arrival work is "
+    "one probe; state is O(event_types x 2).",
+)
+def q_stream_forget_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.queries.quality import _FORGET_MOD
+
+    staged = _stage_events(spark, sf_dir)
+    arrivals = _events_stream(spark, staged)
+    cohort = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _FORGET_MOD == 0)
+        .select(F.col("c_custkey").alias("erased_user"))
+    )
+    flagged = arrivals.join(
+        cohort, arrivals.user_id == cohort.erased_user, "left"
+    ).select(
+        "event_type",
+        F.col("erased_user").isNotNull().alias("suppressed"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    # COUNT(DISTINCT) is not a legal streaming aggregate; the funnel
+    # carries exact event counts + exact cents (the value mass the
+    # suppression withheld — what the compliance report quantifies)
+    agg = flagged.groupBy("event_type", "suppressed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("value_cents_total"),
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")

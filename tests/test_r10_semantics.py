@@ -776,3 +776,21 @@ def test_dsir_and_mixer_arithmetic_never_leaves_int64():
 
     _hash_bounds()
     _mixer_bounds()
+
+
+def test_stream_forget_gate_matches_batch_cohort(spark, sf_dir):
+    """The gate must tile the event stream exactly and its suppressed
+    partition must match an independent batch recount of the erasure
+    cohort's events — a dropped join condition (suppressing nothing or
+    everything) hash-passes the shared-SQL oracle only if both engines
+    share it, so the recount is the independent anchor."""
+    from azurestorage_blueprints_spark.queries.quality import _FORGET_MOD
+
+    rows = REGISTRY["q_stream_forget_gate"].fn(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % _FORGET_MOD == 0)
+    n_all = e.count()
+    n_sup = e.join(c, e.user_id == c.c_custkey, "left_semi").count()
+    assert sum(r.n_events for r in rows) == n_all
+    assert sum(r.n_events for r in rows if r.suppressed) == n_sup
+    assert n_sup > 0 and n_sup < n_all
