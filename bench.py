@@ -205,8 +205,10 @@ HEADLINE = [
     "q_dedup_minhash_calibration",
     "q_graph_kcore",
     # round-10: the multimodal ingest gate (4-micro-batch replay +
-    # Arrow-batched decode — tracks the streaming-tier floor)
+    # Arrow-batched decode — tracks the streaming-tier floor) and the
+    # erasure gate (stream-static probe — the cheapest streaming rung)
     "q_stream_multimodal_gate",
+    "q_stream_forget_gate",
 ]
 
 
