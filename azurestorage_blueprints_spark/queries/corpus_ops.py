@@ -15,7 +15,9 @@ hash-aggs keyed on small values (tokens, sources, canonical URLs) —
 never on document text. The trigram/posting-list explosions fan out
 per token but aggregate immediately with map-side partial combine;
 the mixture/sampling queries add a single window over the per-source
-partitioning they already need. Nothing collects to the driver.
+partitioning they already need. Nothing corpus-sized ever collects to
+the driver; the one driver round-trip in the module is _dsir_model's
+O(_DSIR_BUCKETS) count table (a documented model deploy, ≤ 256 rows).
 """
 
 from __future__ import annotations
@@ -1446,7 +1448,12 @@ def _dsir_importance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum — no second pass, no join of two models); the fitted "
     "O(buckets) log-ratio table broadcasts back onto the feature "
     "stream, so the only fact-scale exchange is the final per-document "
-    "agg, keyed on doc_id. Nothing collects to the driver.",
+    "agg, keyed on doc_id. Driver traffic: exactly ONE bounded "
+    "round-trip — _dsir_model collects the O(_DSIR_BUCKETS) count "
+    "table (≤ 256 integer rows) and redeploys the log-ratio model as "
+    "a LocalRelation (its docstring documents the convention); nothing "
+    "corpus-sized crosses the driver. q_dsir_resample shares this "
+    "plan and the same single bounded collect.",
 )
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     imp = _dsir_importance_df(spark, sf_dir)
@@ -1618,7 +1625,13 @@ _DOREMI_SQL = f"""
     "is exact bigint arithmetic). Surprisals quantize per TOKEN-TYPE "
     "to micro-units so both cross-entropy totals are exact bigint "
     "sums of count x quantized-log (the q_ccnet_perplexity_buckets "
-    "convention). Shape (100 TB): the only corpus-scale work is ONE "
+    "convention). Accumulator ceiling (r11, honest bound): a CE total "
+    "is sum(c_st x smicro) with smicro up to ~35e6 micro-nats, so the "
+    "bigint leaves int64 past ~2.6e11 tokens PER SOURCE (9.2e18/35e6); "
+    "beyond that, rescale the quantizer (milli-nats buys 1000x) or "
+    "pre-divide by n_s before summing — Spark would wrap silently "
+    "where DuckDB raises, so the ceiling is stated rather than "
+    "assumed away. Shape (100 TB): the only corpus-scale work is ONE "
     "tokenize + ONE (source, token) hash-agg with map-side combine; "
     "the global LM derives from that VOCAB-sized table (never a "
     "second corpus pass), the CE join is vocab x vocab on the token "

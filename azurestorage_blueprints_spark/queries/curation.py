@@ -1196,6 +1196,128 @@ def q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: reduction is then exact bigint arithmetic, order-free on any engine.
 _PPL_QZ = 1_000_000
 
+#: distributed-selection histogram granularity: thresholds are found by
+#: first histogramming logppl into milli-nat bins (floor(logppl*1000));
+#: the boundary bin is then resolved exactly. Order-preserving by
+#: construction (floor is monotone and equal logppl never straddles a
+#: bin), so the result is the EXACT k-th smallest, not an approximation.
+_PPL_BIN_QZ = 1000
+
+
+def _ppl_logppl():
+    """Mean per-token surprisal of a (n_tokens, ce_micro) document row —
+    the ONE shared ranking/compare expression of the whole CCNet family
+    (batch terciles, streaming gate, and both thresholds)."""
+    return F.col("ce_micro").cast("double") / float(_PPL_QZ) / F.col("n_tokens")
+
+
+def _ppl_thresholds(docce: DataFrame) -> DataFrame:
+    """Exact per-language tercile thresholds as the k-th-smallest
+    (logppl, doc_id) pairs (k = ceil(n/3) and ceil(2n/3)) WITHOUT a
+    corpus-scale window partitioned by the constant-cardinality ``lang``
+    key — the two-phase distributed-selection plan shared VERBATIM by
+    the batch tercile rung (q_ccnet_perplexity_buckets) and the
+    streaming ingest gate (q_stream_perplexity_gate):
+
+    * phase 1 — ONE corpus-scale hash-agg ``groupBy(lang, bin)``
+      (map-side combined) histograms logppl into milli-nat bins; the
+      running-count window that locates each k's boundary bin runs over
+      the O(langs × bins) histogram (≤ ~35k rows/lang at any corpus
+      size: logppl ≤ ln(N+V) ≈ 35 nats), never over the corpus;
+    * phase 2 — only the boundary bins' documents (an expected 1/bins
+      slice) are re-scanned and rank-windowed WITHIN (lang, bin) to
+      resolve the residual rank. The window key (lang, bin) is
+      value-dependent, not constant-cardinality; the degenerate
+      worst case (all docs in one bin) degrades to the sort this plan
+      exists to avoid, but real perplexity spreads over hundreds of
+      bins.
+
+    Exactness: binning is order-preserving in logppl and logppl ties
+    never straddle a bin, so global rank = (count in earlier bins) +
+    (rank within bin) — the DuckDB oracles may therefore compute the
+    same pairs with a free per-language sort and still agree
+    bit-for-bit. Input must carry (lang, doc_id, n_tokens, ce_micro);
+    returns O(langs) rows (lang, t1, t1_doc, t2, t2_doc).
+    """
+    logppl = _ppl_logppl()
+    binc = F.floor(logppl * F.lit(float(_PPL_BIN_QZ))).cast("bigint")
+    hist = docce.groupBy("lang", binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    k1 = F.ceil(F.col("n") / 3.0).cast("bigint")
+    k2 = F.ceil(F.col("n") * 2.0 / 3.0).cast("bigint")
+    prev = F.col("cum") - F.col("cnt")
+    hit1 = (F.col("cum") >= k1) & (prev < k1)
+    hit2 = (F.col("cum") >= k2) & (prev < k2)
+    bounds = cum.groupBy("lang").agg(
+        F.max(F.when(hit1, F.col("bin"))).alias("b1"),
+        F.max(F.when(hit1, k1 - prev)).alias("r1"),
+        F.max(F.when(hit2, F.col("bin"))).alias("b2"),
+        F.max(F.when(hit2, k2 - prev)).alias("r2"),
+    )
+    cand = (
+        docce.join(F.broadcast(bounds), "lang")
+        .withColumn("bin", binc)
+        .filter((F.col("bin") == F.col("b1")) | (F.col("bin") == F.col("b2")))
+    )
+    wrk = Window.partitionBy("lang", "bin").orderBy(logppl.asc(), F.col("doc_id").asc())
+    rcand = cand.select(
+        "lang",
+        "doc_id",
+        "bin",
+        "b1",
+        "r1",
+        "b2",
+        "r2",
+        logppl.alias("logppl"),
+        F.row_number().over(wrk).alias("rn"),
+    )
+    at1 = (F.col("bin") == F.col("b1")) & (F.col("rn") == F.col("r1"))
+    at2 = (F.col("bin") == F.col("b2")) & (F.col("rn") == F.col("r2"))
+    return rcand.groupBy("lang").agg(
+        F.max(F.when(at1, F.col("logppl"))).alias("t1"),
+        F.max(F.when(at1, F.col("doc_id"))).alias("t1_doc"),
+        F.max(F.when(at2, F.col("logppl"))).alias("t2"),
+        F.max(F.when(at2, F.col("doc_id"))).alias("t2_doc"),
+    )
+
+
+def _ppl_bucket():
+    """Tercile verdict by lexicographic threshold compare — shared
+    VERBATIM by the batch rung and the streaming gate (and mirrored in
+    both oracles): bucket 1 iff (logppl, doc_id) <=lex (t1, t1_doc),
+    else 2 iff <=lex (t2, t2_doc), else 3. Identical to
+    ntile(3) ORDER BY (logppl, doc_id) because the ordering is total
+    (doc_id unique) and k = ceil(n/3), ceil(2n/3) are exactly ntile's
+    first two group boundaries."""
+    lp = _ppl_logppl()
+    return (
+        F.when(
+            (lp < F.col("t1"))
+            | ((lp == F.col("t1")) & (F.col("doc_id") <= F.col("t1_doc"))),
+            1,
+        )
+        .when(
+            (lp < F.col("t2"))
+            | ((lp == F.col("t2")) & (F.col("doc_id") <= F.col("t2_doc"))),
+            2,
+        )
+        .otherwise(3)
+        .cast("bigint")
+    )
+
 
 @register(
     "q_ccnet_perplexity_buckets",
@@ -1221,36 +1343,59 @@ _PPL_QZ = 1_000_000
              CAST(count(*) AS BIGINT) AS n_tokens,
              CAST(sum(smicro) AS BIGINT) AS ce_micro
       FROM tok t JOIN s ON t.lang = s.lang AND t.token = s.token
-      GROUP BY t.doc_id, t.lang)
-    SELECT doc_id, lang, n_tokens, ce_micro,
+      GROUP BY t.doc_id, t.lang),
+    ranked AS (
+      SELECT lang, doc_id,
+             CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens AS logppl,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM doc),
+    thr AS (
+      SELECT lang,
+             max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT) THEN logppl END) AS t1,
+             max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT) THEN doc_id END) AS t1_doc,
+             max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN logppl END) AS t2,
+             max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN doc_id END) AS t2_doc
+      FROM ranked GROUP BY lang)
+    SELECT doc_id, doc.lang AS lang, n_tokens, ce_micro,
            CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens AS logppl,
-           CAST(ntile(3) OVER (PARTITION BY lang
-                 ORDER BY CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens, doc_id)
-                AS BIGINT) AS bucket
-    FROM doc
+           CAST(CASE WHEN CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens < t1
+                       OR (CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens = t1
+                           AND doc_id <= t1_doc) THEN 1
+                  WHEN CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens < t2
+                       OR (CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens = t2
+                           AND doc_id <= t2_doc) THEN 2
+                  ELSE 3 END AS BIGINT) AS bucket
+    FROM doc JOIN thr ON doc.lang = thr.lang
     """,
     doc="CCNet-style perplexity bucketing: every document scored by its "
     "mean per-token surprisal under an add-one-smoothed PER-LANGUAGE "
     "unigram LM trained on the corpus itself — "
     "-log p(w|lang), p = (c+1)/(N_lang+V_lang) — then each language "
-    "split into head/middle/tail perplexity terciles (ntile(3) ordered "
-    "by mean surprisal, doc_id tie-break). This is the production "
-    "quality filter of the CCNet pipeline: head+middle feed training, "
-    "tail goes to review — the language-conditioned upgrade of "
-    "q_token_commonness' global integer proxy. Determinism: each "
+    "split into head/middle/tail perplexity terciles. This is the "
+    "production quality filter of the CCNet pipeline: head+middle feed "
+    "training, tail goes to review — the language-conditioned upgrade "
+    "of q_token_commonness' global integer proxy. Determinism: each "
     "distinct (count, total) surprisal is rounded to integer micro-nats "
     "BEFORE the per-document sum, so the reduction is exact bigint "
     "arithmetic (the one ln() per vocab entry is boundary-safe at 1e-6 "
     "granularity and sweep-verified at three SFs). Shape (100 TB): the "
     "LM is a vocab-sized (lang, token) hash-agg, map-side combined; "
-    "scoring re-joins it onto the token stream (broadcast here — vocab "
-    "is bounded; shuffle-join on the same key when it isn't); the only "
-    "doc-scale exchanges are the per-doc agg and the per-language "
-    "tercile window. At 100 TB the ntile window becomes two "
-    "approx_percentile cuts per language broadcast back as thresholds "
-    "— same buckets within sketch tolerance, no per-language sort; the "
-    "exact window form is kept here because it is what the oracle can "
-    "certify bit-for-bit.",
+    "scoring re-joins it onto the token stream UNHINTED (AQE broadcasts "
+    "while the vocab fits and falls back to a shuffle join on (lang, "
+    "token) when it doesn't — never a forced corpus-blind hint); the "
+    "terciles come from _ppl_thresholds' two-phase distributed "
+    "selection — histogram groupBy(lang, bin), boundary-bin residual "
+    "rank — NOT a per-language ntile window, so no registered plan "
+    "sorts the corpus partitioned by the 5-value lang key. The "
+    "thresholds are the exact k-th-smallest (logppl, doc_id) pairs "
+    "(k = ceil(n/3), ceil(2n/3)) and the bucket verdict is the "
+    "lexicographic compare the streaming gate (q_stream_perplexity_"
+    "gate) applies at ingest — both rungs share _ppl_thresholds and "
+    "_ppl_bucket verbatim, and the verdict is provably identical to "
+    "the former ntile(3) form (total order, exact group boundaries).",
 )
 def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -1268,23 +1413,27 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(_PPL_QZ)
     ).cast("bigint")
     s = lm.join(F.broadcast(tot), "lang").select("lang", "token", smicro.alias("smicro"))
+    # UNHINTED scoring join (r11): the LM side is vocab-sized (~N^0.6,
+    # Heaps' law) — small enough that AQE broadcasts it at every test
+    # SF, but NOT provably bounded, so the hint that would force a
+    # 100 TB corpus' 1e8-entry vocab through the driver is gone.
     doc = (
-        tok.join(F.broadcast(s), ["lang", "token"])
+        tok.join(s, ["lang", "token"])
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum("smicro").cast("bigint").alias("ce_micro"),
         )
+        .persist()  # feeds the threshold phases AND the verdict scan
     )
-    logppl = F.col("ce_micro").cast("double") / float(_PPL_QZ) / F.col("n_tokens")
-    w = Window.partitionBy("lang").orderBy(logppl.asc(), F.col("doc_id").asc())
-    return doc.select(
+    thr = _ppl_thresholds(doc)
+    return doc.join(F.broadcast(thr), "lang").select(
         "doc_id",
         "lang",
         "n_tokens",
         "ce_micro",
-        logppl.alias("logppl"),
-        F.ntile(3).over(w).cast("bigint").alias("bucket"),
+        _ppl_logppl().alias("logppl"),
+        _ppl_bucket().alias("bucket"),
     )
 
 

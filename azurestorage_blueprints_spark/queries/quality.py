@@ -424,7 +424,15 @@ _DP_SQL = f"""
     "its own lane salt, the 32-bit uniform maps through the inverse "
     "CDF -sign(u-1/2)/eps x ln(1-2|u-1/2|), and the noise quantizes "
     "to micro-units so the released integer derives from identical "
-    "values on both engines. Shape (100 TB): one map-side-combined "
+    "values on both engines. CAVEAT (r11, not fine print): the "
+    "key-seeded DETERMINISTIC draw exists ONLY so the cross-engine "
+    "differential oracle can re-derive it — it models the mechanism's "
+    "ARITHMETIC, not its privacy guarantee. Anyone who knows the "
+    "public group key can recompute the draw and invert released_count "
+    "back to true_count exactly, so this output carries NO epsilon-DP "
+    "guarantee; a real release replaces the seed with fresh secret "
+    "randomness (and then necessarily gives up the bit-exact oracle). "
+    "Shape (100 TB): one map-side-combined "
     "count agg on the group key; the noise is a per-OUTPUT-row "
     "projection (O(groups), never row-scale); dimension join "
     "broadcasts. O(nations) rows out.",

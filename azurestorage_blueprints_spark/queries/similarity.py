@@ -2755,7 +2755,11 @@ def q_eval_ndcg_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT vec_id, label, v8, nrm,
              CAST(row_number() OVER (PARTITION BY label
-               ORDER BY (vec_id * 2654435761) % 1048576, vec_id) AS BIGINT) AS hr,
+               ORDER BY xor(((vec_id & {_PQ_SAMPLE_MASK}) * {_PQ_SAMPLE_MULT})
+                              % {_PQ_SAMPLE_M},
+                            (((vec_id & {_PQ_SAMPLE_MASK}) * {_PQ_SAMPLE_MULT})
+                              % {_PQ_SAMPLE_M}) // {1 << _PQ_SAMPLE_SHIFT})
+                        % 1048576, vec_id) AS BIGINT) AS hr,
              CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS ln
       FROM n8),
     neg AS (
@@ -2845,7 +2849,17 @@ def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("a_id", "p_id", F.col("sim").alias("p_sim"))
     )
-    wr = W.partitionBy("label").orderBy((F.col("vec_id") * 2654435761) % 1048576, "vec_id")
+    # portable hash-rank (r11): the _PQ_SAMPLE_MASK convention — vec_id
+    # masked to 31 bits BEFORE the multiply (overflow-safe on both
+    # engines at any id), folded mod 2^31, xor-shift mixed, then the
+    # 2^20 residue; the raw `vec_id * 2654435761` form wrapped silently
+    # in Spark past vec_id ~ 3.46e9 while DuckDB raised
+    _th = F.pmod(
+        F.col("vec_id").bitwiseAND(F.lit(_PQ_SAMPLE_MASK)) * F.lit(_PQ_SAMPLE_MULT),
+        F.lit(_PQ_SAMPLE_M),
+    )
+    _thm = _th.bitwiseXOR(F.shiftright(_th, _PQ_SAMPLE_SHIFT))
+    wr = W.partitionBy("label").orderBy(F.pmod(_thm, F.lit(1048576)), "vec_id")
     ranked = n8.select(
         "vec_id",
         "label",

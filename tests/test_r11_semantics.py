@@ -1,0 +1,123 @@
+"""Round-11 semantic gates — invariants the oracle cannot see for this
+round's scale-posture fixes (r10 verdict "What's wrong" #1-#3):
+
+- the perplexity gate's deployed LM must be V_cap-bounded AND the cap
+  must BIND at the gate SF (vocab > V_cap), so the OOV-tail path is
+  exercised, and the funnel must account for every arrival exactly once;
+- the two-phase distributed tercile selection (_ppl_thresholds +
+  _ppl_bucket) must reproduce the ntile(3) verdict bit-for-bit on real
+  data — the equivalence proof the re-plan rests on;
+- no registered streaming plan may force a broadcast whose argument
+  scales with the corpus (the grep-clean criterion from the r10
+  verdict, pinned at the source level so it cannot regress silently).
+"""
+
+from __future__ import annotations
+
+import inspect
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from azurestorage_blueprints_spark.queries import load_all
+from azurestorage_blueprints_spark.tables import table
+
+REGISTRY = load_all()
+
+
+def _standing_vocab_sizes(spark, sf_dir):
+    from azurestorage_blueprints_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    return {
+        r.lang: r.v
+        for r in tok.groupBy("lang").agg(F.countDistinct("token").alias("v")).collect()
+    }
+
+
+def test_ppl_gate_cap_binds_at_the_gate_sf(spark, sf_dir):
+    """The top-V cap is only a real test if V_cap < vocab: every
+    language must have tail tokens that fall to the OOV mass."""
+    from azurestorage_blueprints_spark.queries.streaming_q import _PPL_LM_TOPV
+
+    sizes = _standing_vocab_sizes(spark, sf_dir)
+    assert sizes, "standing corpus must have languages"
+    for lang, v in sizes.items():
+        assert v > _PPL_LM_TOPV, (
+            f"{lang}: vocab {v} <= V_cap {_PPL_LM_TOPV} — the cap no longer "
+            "binds at the gate SF and the OOV-tail path is untested"
+        )
+
+
+def test_ppl_gate_funnel_accounts_for_every_arrival(spark, sf_dir):
+    funnel = REGISTRY["q_stream_perplexity_gate"].fn(spark, sf_dir).collect()
+    assert all(r.bucket in (1, 2, 3) for r in funnel)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    arrivals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got: dict[str, int] = {}
+    for r in funnel:
+        got[r.lang] = got.get(r.lang, 0) + int(r.n_docs)
+        assert r.tok_total > 0 and r.ce_total_micro > 0
+    assert got == arrivals, "every arriving document lands in exactly one bucket"
+
+
+def test_ppl_tercile_thresholds_reproduce_ntile(spark, sf_dir):
+    """_ppl_thresholds (two-phase distributed selection) + _ppl_bucket
+    (lexicographic compare) must equal ntile(3) over (logppl, doc_id) —
+    checked per document on the real batch rung output."""
+    out = REGISTRY["q_ccnet_perplexity_buckets"].fn(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.col("logppl").asc(), F.col("doc_id").asc())
+    diff = (
+        out.withColumn("ntile_bucket", F.ntile(3).over(w).cast("bigint"))
+        .filter(F.col("bucket") != F.col("ntile_bucket"))
+        .count()
+    )
+    assert diff == 0, f"{diff} documents bucketed differently from ntile(3)"
+
+
+def test_ppl_thresholds_are_exact_kth_smallest(spark, sf_dir):
+    """The helper's (t1, t1_doc)/(t2, t2_doc) pairs must be the exact
+    k-th smallest (logppl, doc_id) rows, k = ceil(n/3), ceil(2n/3)."""
+    from azurestorage_blueprints_spark.queries.curation import _ppl_thresholds
+
+    out = REGISTRY["q_ccnet_perplexity_buckets"].fn(spark, sf_dir).persist()
+    docce = out.select("lang", "doc_id", "n_tokens", "ce_micro")
+    thr = {r.lang: r for r in _ppl_thresholds(docce).collect()}
+    rows = sorted(
+        out.select("lang", "doc_id", "logppl").collect(),
+        key=lambda r: (r.lang, r.logppl, r.doc_id),
+    )
+    bylang: dict[str, list] = {}
+    for r in rows:
+        bylang.setdefault(r.lang, []).append(r)
+    assert sorted(bylang) == sorted(thr)
+    for lang, rs in bylang.items():
+        n = len(rs)
+        k1, k2 = -(-n // 3), -(-2 * n // 3)
+        t = thr[lang]
+        assert (t.t1, t.t1_doc) == (rs[k1 - 1].logppl, rs[k1 - 1].doc_id), lang
+        assert (t.t2, t.t2_doc) == (rs[k2 - 1].logppl, rs[k2 - 1].doc_id), lang
+    out.unpersist()
+
+
+def test_no_forced_corpus_scale_broadcast_in_streaming_sources():
+    """Source-level pin of the r10 verdict's grep-clean criterion: in
+    streaming_q.py every F.broadcast argument must be one of the
+    audited bounded names (dimension tables, O(langs)/O(V_cap) model
+    constants) — never a corpus-derived band/signature/LM table."""
+    import azurestorage_blueprints_spark.queries.streaming_q as m
+
+    src = inspect.getsource(m)
+    import re
+
+    args = re.findall(r"F\.broadcast\((\w+)\)", src)
+    allowed = {"dim", "consts", "tot", "s_dep", "oovtbl"}
+    assert args, "expected audited broadcast sites to exist"
+    bad = [a for a in args if a not in allowed]
+    assert not bad, (
+        f"unaudited F.broadcast argument(s) {bad} in streaming_q.py — "
+        "if genuinely bounded, audit and add to the allowlist; a "
+        "corpus-scale broadcast (like the retired c_bands hint) OOMs "
+        "at 100 TB"
+    )
