@@ -139,16 +139,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: after every older never-checked name so the driver's fixed check
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
-    "q_knn_nprobe_tradeoff", "q_stream_ann_serving",
-    "q_stream_model_drift", "q_graph_label_propagation",
-    "q_knn_ivf_partitioned", "q_decontaminate_fuzzy",
-    "q_dsir_importance", "q_dsir_resample", "q_stream_dsir_gate",
-    "q_mixture_doremi_step", "q_k_anonymity", "q_knn_dim_truncation",
-    "q_zipf_fit", "q_knn_filtered_search", "q_text_unigram_entropy",
-    "q_multimodal_video_scene_cuts", "q_dp_noisy_counts",
-    "q_text_langid_margin", "q_dedup_minhash_calibration",
-    "q_graph_kcore", "q_split_temporal", "q_stream_multimodal_gate",
-    "q_stream_forget_gate",
+    "q_kn_bigram_perplexity", "q_quality_calibration",
+    "q_mixture_unimax", "q_span_corruption_plan",
+    "q_embed_pca_var_share",
 })
 
 

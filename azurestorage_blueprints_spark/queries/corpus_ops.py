@@ -1846,3 +1846,146 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ZIPF_FORM["intercept_ln_freq"]).alias("intercept_ln_freq"),
         F.expr(_ZIPF_FORM["r2"]).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixture allocation (r11; Chung et al. 2023) — the mixture
+# planner family's cap-aware member: DoReMi reweights by excess loss
+# and temperature-resampling reweights by share^1/T, but neither
+# respects a repetition budget. UniMax allocates a token budget as
+# UNIFORMLY as possible across sources subject to a per-source epoch
+# cap (never repeat a source more than E times), which is exact
+# water-filling: alloc_s = min(cap_s, theta) with theta chosen so the
+# allocations sum to the budget.
+
+#: epoch cap: at most one pass over any source (cap_s = n_s) — the
+#: no-repetition setting of the paper's ablation, which makes the cap
+#: a REAL constraint (sources smaller than the water level saturate).
+#: budget: 90% of the corpus' total tokens (exact integer 9/10), which
+#: at the near-uniform test sources saturates roughly the smaller half
+#: — both water-filling branches are exercised at every SF.
+_UNIMAX_BUDGET_NUM = 9
+_UNIMAX_BUDGET_DEN = 10
+
+
+@register(
+    "q_mixture_unimax",
+    oracle=f"""
+    WITH caps AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+               AS BIGINT) AS n_tok
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_tok) * {_UNIMAX_BUDGET_NUM} // {_UNIMAX_BUDGET_DEN}
+               AS BIGINT) AS t
+      FROM caps),
+    ranked AS (
+      SELECT source, n_tok,
+             CAST(row_number() OVER (ORDER BY n_tok, source) AS BIGINT) AS i,
+             CAST(sum(n_tok) OVER (ORDER BY n_tok, source
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+      FROM caps),
+    sat AS (
+      SELECT r.*, tot.t, tot.k, tot.n_total,
+             CASE WHEN (pfx - n_tok) + n_tok * (k - i + 1) <= t
+                  THEN 1 ELSE 0 END AS saturated
+      FROM ranked r CROSS JOIN tot),
+    istar AS (
+      SELECT CAST(coalesce(max(CASE WHEN saturated = 1 THEN i END), 0) AS BIGINT)
+               AS istar,
+             CAST(coalesce(max(CASE WHEN saturated = 1 THEN pfx END), 0) AS BIGINT)
+               AS satsum
+      FROM sat)
+    SELECT source, n_tok AS supply_tokens,
+           CAST(saturated AS BIGINT) AS saturated,
+           CASE WHEN saturated = 1 THEN CAST(n_tok AS DOUBLE)
+                ELSE CAST(t - satsum AS DOUBLE) / CAST(k - istar AS DOUBLE)
+           END AS alloc_tokens,
+           CASE WHEN saturated = 1 THEN 1.0
+                ELSE CAST(t - satsum AS DOUBLE) / CAST(k - istar AS DOUBLE)
+                     / CAST(n_tok AS DOUBLE) END AS epochs,
+           CASE WHEN saturated = 1 THEN CAST(n_tok AS DOUBLE) / CAST(t AS DOUBLE)
+                ELSE CAST(t - satsum AS DOUBLE) / CAST(k - istar AS DOUBLE)
+                     / CAST(t AS DOUBLE) END AS budget_share
+    FROM sat CROSS JOIN istar
+    """,
+    doc="UniMax mixture allocation (Chung et al. 2023): spread a token "
+    "budget (90% of corpus supply, exact integer) as uniformly as "
+    "possible across sources subject to a 1-epoch repetition cap — "
+    "exact water-filling. alloc_s = min(n_s, theta) where theta is "
+    "the water level at which allocations exhaust the budget; a "
+    "source saturates iff, sorted by supply ascending, giving every "
+    "remaining source at least its own supply still fits the budget "
+    "(prefix-closed by the sort, so the boundary is one conditional "
+    "max). Sits beside q_mixture_doremi_step (loss-driven) and the "
+    "temperature-resample rung (share-driven) as the cap-driven "
+    "planner — the one that provably never repeats data beyond the "
+    "epoch cap. Determinism: supply counts, the budget, prefix sums, "
+    "and the saturation test are ALL exact integer arithmetic; theta "
+    "and the three output doubles are single divides of identical "
+    "integers on both engines. Shape (100 TB): one map-side-combined "
+    "token-count agg per source is the ONLY corpus-scale work; the "
+    "water-filling (rank window, prefix window, boundary max) runs "
+    "over O(sources) rows. O(sources) out, nothing collects.",
+)
+def q_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    caps = d.select(
+        "source", F.size(F.expr(_TOKS)).cast("bigint").alias("d_tok")
+    ).groupBy("source").agg(F.sum("d_tok").cast("bigint").alias("n_tok"))
+    tot = caps.agg(
+        F.sum("n_tok").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.expr(
+            f"CAST(sum(n_tok) * {_UNIMAX_BUDGET_NUM} div {_UNIMAX_BUDGET_DEN} AS BIGINT)"
+        ).alias("t"),
+    )
+    wr = Window.orderBy("n_tok", "source")
+    ranked = caps.select(
+        "source",
+        "n_tok",
+        F.row_number().over(wr).cast("bigint").alias("i"),
+        F.sum("n_tok")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("pfx"),
+    )
+    sat = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "saturated",
+        F.when(
+            (F.col("pfx") - F.col("n_tok"))
+            + F.col("n_tok") * (F.col("k") - F.col("i") + 1)
+            <= F.col("t"),
+            1,
+        ).otherwise(0),
+    )
+    istar = sat.agg(
+        F.coalesce(F.max(F.when(F.col("saturated") == 1, F.col("i"))), F.lit(0))
+        .cast("bigint")
+        .alias("istar"),
+        F.coalesce(F.max(F.when(F.col("saturated") == 1, F.col("pfx"))), F.lit(0))
+        .cast("bigint")
+        .alias("satsum"),
+    )
+    j = sat.crossJoin(F.broadcast(istar))
+    theta = (F.col("t") - F.col("satsum")).cast("double") / (
+        F.col("k") - F.col("istar")
+    ).cast("double")
+    is_sat = F.col("saturated") == 1
+    return j.select(
+        "source",
+        F.col("n_tok").alias("supply_tokens"),
+        F.col("saturated").cast("bigint").alias("saturated"),
+        F.when(is_sat, F.col("n_tok").cast("double")).otherwise(theta).alias(
+            "alloc_tokens"
+        ),
+        F.when(is_sat, F.lit(1.0))
+        .otherwise(theta / F.col("n_tok").cast("double"))
+        .alias("epochs"),
+        F.when(is_sat, F.col("n_tok").cast("double") / F.col("t").cast("double"))
+        .otherwise(theta / F.col("t").cast("double"))
+        .alias("budget_share"),
+    )

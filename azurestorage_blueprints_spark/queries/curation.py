@@ -1520,3 +1520,420 @@ def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _bind_waterfall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (r11) — the ladder rung between the
+# add-one unigram (q_ccnet_perplexity_buckets) and the 5-gram KenLM
+# CCNet actually ships: held-out perplexity of the arrival slice under
+# a bigram model with absolute discounting and continuation-count
+# back-off, trained on the standing corpus (the % 10 split every
+# incremental rung shares). The reference pipeline has no analogue —
+# this is the LLM-curation north star's LM tier.
+
+#: absolute discount (Kneser-Ney's D): 0.75 is the textbook constant;
+#: exact in binary (3/4), so c - D and D * n are exact double ops on
+#: both engines.
+_KN_D = 0.75
+
+
+def _kn_sql() -> str:
+    d, qz = _KN_D, _PPL_QZ
+    puni_sql = (
+        "(CAST(coalesce(cont.n1pw2, 0) AS DOUBLE) + 1.0) "
+        "/ (CAST(lt.b_types AS DOUBLE) + CAST(vt.v AS DOUBLE) + 1.0)"
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents),
+    big0 AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS b
+      FROM toked WHERE len(tk) >= 2),
+    big AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM big0),
+    sbig AS (SELECT * FROM big WHERE doc_id % 10 <> 0),
+    abig AS (SELECT * FROM big WHERE doc_id % 10 = 0),
+    c12 AS (
+      SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM sbig GROUP BY lang, w1, w2),
+    ctx AS (
+      SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1w1
+      FROM c12 GROUP BY lang, w1),
+    cont AS (
+      SELECT lang, w2, CAST(count(*) AS BIGINT) AS n1pw2
+      FROM c12 GROUP BY lang, w2),
+    lt AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS b_types FROM c12 GROUP BY lang),
+    vt AS (
+      SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT lang, unnest(tk) AS w FROM toked WHERE doc_id % 10 <> 0)
+      GROUP BY lang),
+    trip AS (SELECT DISTINCT lang, w1, w2 FROM abig),
+    scored AS (
+      SELECT t.lang, t.w1, t.w2,
+             CASE WHEN c12.c12 IS NOT NULL THEN 1 ELSE 0 END AS seen,
+             CAST(round(-ln(
+               CASE WHEN ctx.c1 IS NOT NULL THEN
+                 (greatest(CAST(coalesce(c12.c12, 0) AS DOUBLE) - {d}, 0.0)
+                  + {d} * CAST(ctx.n1w1 AS DOUBLE) * ({puni_sql}))
+                 / CAST(ctx.c1 AS DOUBLE)
+               ELSE {puni_sql} END) * {qz}) AS BIGINT) AS smicro
+      FROM trip t
+      JOIN lt ON t.lang = lt.lang
+      JOIN vt ON t.lang = vt.lang
+      LEFT JOIN ctx ON t.lang = ctx.lang AND t.w1 = ctx.w1
+      LEFT JOIN c12 ON t.lang = c12.lang AND t.w1 = c12.w1 AND t.w2 = c12.w2
+      LEFT JOIN cont ON t.lang = cont.lang AND t.w2 = cont.w2)
+    SELECT a.doc_id, a.lang,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(1 - seen) AS BIGINT) AS n_unseen_bigrams,
+           CAST(sum(smicro) AS BIGINT) AS ce_micro,
+           CAST(sum(smicro) AS DOUBLE) / {qz}.0 / count(*) AS logppl
+    FROM abig a
+    JOIN scored s ON a.lang = s.lang AND a.w1 = s.w1 AND a.w2 = s.w2
+    GROUP BY a.doc_id, a.lang
+    """
+
+
+@register(
+    "q_kn_bigram_perplexity",
+    oracle=_kn_sql(),
+    doc="Interpolated Kneser-Ney bigram held-out perplexity — the LM "
+    "ladder rung between the add-one unigram tercile filter and the "
+    "5-gram KenLM CCNet ships in production: train the bigram model "
+    "on the STANDING corpus (doc_id % 10 != 0), score the ARRIVAL "
+    "slice (% 10 == 0), so the unseen-bigram and unseen-context "
+    "back-off paths are genuinely exercised (and counted per document "
+    "in n_unseen_bigrams). p(w2|w1) = (max(c12-D,0) + D*N1+(w1,.)*"
+    "p_cont(w2))/c(w1) for seen contexts, with the continuation "
+    "unigram p_cont = (N1+(.,w2)+1)/(B+V+1) (add-one so unseen words "
+    "keep positive mass) as the direct fallback for unseen contexts; "
+    "D = 0.75 (exact in binary). Engine portability: every p is built "
+    "from exact integer counts through IEEE correctly-rounded ops in "
+    "IDENTICAL expression order on both engines, the one ln() per "
+    "DISTINCT arrival triple quantizes to micro-nats BEFORE the "
+    "per-document sum (the _PPL_QZ convention), and the normalization "
+    "is approximate by design (p_cont add-one leaks ~1/(B+V+1) mass; "
+    "documented, identical on both engines). Shape (100 TB): the "
+    "model is three type-scale hash-aggs off ONE bigram stream "
+    "(bigram types grow sublinearly; map-side combined); scoring "
+    "joins are all equi-keyed on (lang,w1[,w2]) — the distinct-triple "
+    "table keeps ln() off the token stream; per-language constants "
+    "broadcast (O(langs)); the only doc-scale exchanges are the "
+    "bigram explode and the final per-doc agg. No windows, no "
+    "driver collects.",
+)
+def q_kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "lang", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("tk")) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("tk"), i).alias("w1"),
+            F.element_at(F.col("tk"), i + 1).alias("w2"),
+        ),
+    )
+    big = toked.select("doc_id", "lang", F.explode(pairs).alias("b")).select(
+        "doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    sbig = big.filter(F.col("doc_id") % 10 != 0)
+    abig = big.filter(F.col("doc_id") % 10 == 0)
+    c12 = sbig.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    ctx = c12.groupBy("lang", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1w1"),
+    )
+    cont = c12.groupBy("lang", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1pw2")
+    )
+    lt = c12.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("b_types"))
+    vt = (
+        toked.filter(F.col("doc_id") % 10 != 0)
+        .select("lang", F.explode("tk").alias("w"))
+        .groupBy("lang")
+        .agg(F.countDistinct("w").cast("bigint").alias("v"))
+    )
+    trip = abig.select("lang", "w1", "w2").distinct()
+    langc = lt.join(vt, "lang")
+    j = (
+        trip.join(F.broadcast(langc), "lang")
+        .join(ctx, ["lang", "w1"], "left")
+        .join(c12, ["lang", "w1", "w2"], "left")
+        .join(cont, ["lang", "w2"], "left")
+    )
+    dd = _KN_D
+    # IDENTICAL expression order to the SQL oracle — every op below is
+    # IEEE correctly-rounded, so the pre-ln double is bit-identical
+    puni = (F.coalesce(F.col("n1pw2"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("b_types").cast("double") + F.col("v").cast("double") + F.lit(1.0)
+    )
+    pseen = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.lit(dd), F.lit(0.0)
+        )
+        + F.lit(dd) * F.col("n1w1").cast("double") * puni
+    ) / F.col("c1").cast("double")
+    p = F.when(F.col("c1").isNotNull(), pseen).otherwise(puni)
+    scored = j.select(
+        "lang",
+        "w1",
+        "w2",
+        F.when(F.col("c12").isNotNull(), 1).otherwise(0).alias("seen"),
+        F.round(-F.log(p) * F.lit(float(_PPL_QZ))).cast("bigint").alias("smicro"),
+    )
+    return (
+        abig.join(scored, ["lang", "w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.lit(1) - F.col("seen")).cast("bigint").alias("n_unseen_bigrams"),
+            F.sum("smicro").cast("bigint").alias("ce_micro"),
+            (
+                F.sum("smicro").cast("double")
+                / float(_PPL_QZ)
+                / F.count(F.lit(1))
+            ).alias("logppl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (r11) — the instrument tier for the quality
+# classifier: a keep/drop model that is ACCURATE can still be badly
+# CALIBRATED (its confidence doesn't match its hit rate), and a
+# pipeline that thresholds on confidence needs the reliability diagram
+# before trusting the threshold.
+
+#: logistic temperature for mapping the integer perceptron margin to a
+#: confidence: sigma(s / tau). The frozen weights produce margins in
+#: [-241, 148] (12 distinct values at the gate SFs); tau = 64 spreads
+#: them across 7 of the 10 confidence bins, so the diagram shows the
+#: interior of the reliability curve, not just its saturated ends.
+_CAL_TAU = 64.0
+#: confidence quantizer: exp() is engine-libm territory (same class as
+#: ln — see _PPL_QZ), so each DISTINCT integer margin's sigmoid is
+#: rounded to integer micro-units BEFORE any aggregation; bucketing and
+#: the mean-confidence numerator are then exact integer arithmetic.
+_CAL_QZ = 1_000_000
+
+
+@register(
+    "q_quality_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN n_chars >= {_PCT_LABEL_CHARS} THEN 1 ELSE -1 END AS y,
+             {_pct_apply_score_sql()} AS s
+      FROM (SELECT n_chars,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents)),
+    dist AS (SELECT DISTINCT s FROM scored),
+    pm AS (
+      SELECT s, CAST(round({_CAL_QZ}.0
+               / (1.0 + exp(-CAST(s AS DOUBLE) / {_CAL_TAU}))) AS BIGINT) AS pmicro
+      FROM dist),
+    b AS (
+      SELECT y, pmicro,
+             least(pmicro // {_CAL_QZ // 10}, 9) AS bucket
+      FROM scored JOIN pm ON scored.s = pm.s),
+    g AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pmicro) AS BIGINT) AS spm,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+      FROM b GROUP BY bucket),
+    t AS (SELECT g.*, CAST(sum(n_docs) OVER () AS BIGINT) AS n_total FROM g)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, npos AS n_positive,
+           CAST(spm AS DOUBLE) / n_docs / {_CAL_QZ}.0 AS mean_confidence,
+           CAST(npos AS DOUBLE) / n_docs AS observed_rate,
+           abs(CAST(spm AS DOUBLE) / n_docs / {_CAL_QZ}.0
+               - CAST(npos AS DOUBLE) / n_docs) AS abs_gap,
+           CAST(n_docs AS DOUBLE) / n_total
+             * abs(CAST(spm AS DOUBLE) / n_docs / {_CAL_QZ}.0
+                   - CAST(npos AS DOUBLE) / n_docs) AS ece_term
+    FROM t
+    """,
+    doc="Reliability diagram + ECE for the frozen quality classifier "
+    "(q_quality_classifier_apply's weights): each document's integer "
+    "perceptron margin maps through a temperature-64 logistic to a "
+    "confidence, documents bucket into 10 confidence bins, and each "
+    "bin reports mean confidence vs observed positive rate (the "
+    "deterministic length label the classifier was trained against) "
+    "plus its Expected-Calibration-Error contribution (sum ece_term "
+    "over bins = ECE). This is the instrument a pipeline reads before "
+    "thresholding on classifier confidence — accuracy alone doesn't "
+    "certify the threshold. Determinism: exp() is libm territory, so "
+    "each DISTINCT integer margin's sigmoid quantizes to micro-units "
+    "once (<= 2^5 margins exist — bias + 4 binary features), then "
+    "bucketing (integer divide), the confidence numerator, and the "
+    "positive counts are exact integer arithmetic; the output doubles "
+    "are one divide per cell from identical integers. Shape (100 TB): "
+    "ONE codegen scan computes margin and label row-locally; the "
+    "sigmoid table is O(32) via a distinct-margin agg; the funnel is "
+    "an O(10)-row map-side-combined agg and the total rides a window "
+    "over those 10 rows. No corpus-scale window, nothing collects.",
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    y = F.when(F.col("n_chars") >= _PCT_LABEL_CHARS, 1).otherwise(-1).cast("bigint")
+    scored = d.select(y.alias("y"), _pct_apply_score_col().alias("s"))
+    dist = scored.select("s").distinct()
+    pmicro = F.round(
+        F.lit(float(_CAL_QZ))
+        / (F.lit(1.0) + F.exp(-F.col("s").cast("double") / F.lit(_CAL_TAU)))
+    ).cast("bigint")
+    pm = dist.select("s", pmicro.alias("pmicro"))
+    b = scored.join(F.broadcast(pm), "s").select(
+        "y",
+        "pmicro",
+        F.least(F.expr(f"pmicro div {_CAL_QZ // 10}"), F.lit(9).cast("bigint")).alias(
+            "bucket"
+        ),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pmicro").cast("bigint").alias("spm"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("npos"),
+    )
+    t = g.withColumn(
+        "n_total", F.sum("n_docs").over(Window.partitionBy()).cast("bigint")
+    )
+    conf = F.col("spm").cast("double") / F.col("n_docs") / float(_CAL_QZ)
+    rate = F.col("npos").cast("double") / F.col("n_docs")
+    gap = F.abs(conf - rate)
+    return t.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_docs",
+        F.col("npos").alias("n_positive"),
+        conf.alias("mean_confidence"),
+        rate.alias("observed_rate"),
+        gap.alias("abs_gap"),
+        (F.col("n_docs").cast("double") / F.col("n_total") * gap).alias("ece_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption planner (r11) — the T5/UL2 pretraining objective's
+# data-side report: deterministic span masks over the token stream,
+# with the realized corruption rate and span statistics a training
+# team tunes the objective against (target ~15% corruption, mean span
+# ~3). Masks must be DETERMINISTIC (the multiplicative-hash sampling
+# convention of sampling.py) so the plan is reproducible and
+# oracle-checkable.
+
+#: a position STARTS a masked span iff its (doc_id, pos) hash falls in
+#: 1/_SPAN_START_MOD of the space (5% starts x lookback-3 spans ~ 14%
+#: realized corruption after overlap merge — measured in the rung).
+_SPAN_START_MOD = 20
+#: span length: a position is masked iff ANY of positions [i-2, i]
+#: started a span (fixed length 3, overlap-merged by the exists()).
+_SPAN_LOOKBACK = 2
+
+
+@register(
+    "q_span_corruption_plan",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents),
+    marked AS (
+      SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(list_sum(list_transform(range(1, len(tk) + 1),
+               i -> CASE WHEN ((doc_id % 2147483648) * 2654435761 + i * 40503)
+                              % 2147483648 % {_SPAN_START_MOD} = 0
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_starts,
+             CAST(list_sum(list_transform(range(1, len(tk) + 1),
+               i -> CASE WHEN len(list_filter(
+                      range(greatest(i - {_SPAN_LOOKBACK}, 1), i + 1),
+                      j -> ((doc_id % 2147483648) * 2654435761 + j * 40503)
+                           % 2147483648 % {_SPAN_START_MOD} = 0)) > 0
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_masked
+      FROM toked WHERE len(tk) >= 1)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_total,
+           CAST(sum(n_masked) AS BIGINT) AS masked_total,
+           CAST(sum(n_starts) AS BIGINT) AS span_total,
+           CAST(sum(n_masked) AS DOUBLE) / sum(n_tok) AS corruption_rate,
+           CAST(sum(n_masked) AS DOUBLE) / greatest(sum(n_starts), 1)
+             AS mean_span_len
+    FROM marked GROUP BY source
+    """,
+    doc="Span-corruption planning report (T5/UL2 objective, data side): "
+    "every token position deterministically either starts a length-3 "
+    "masked span (multiplicative hash of (doc_id, pos) — the "
+    "sampling.py convention, 5% of positions) or not; a position is "
+    "masked iff any of the last 3 positions started a span (overlap "
+    "merges for free in the exists()). Per source: realized "
+    "corruption rate and mean merged-span length — the two numbers "
+    "tuned against the objective's ~15%/~3 targets; a tokenizer or "
+    "corpus change moves them, which is why the report exists. "
+    "Determinism: the mask is a pure integer function of (doc_id, "
+    "pos), so both engines reproduce every span; all totals are exact "
+    "bigint sums, the two ratios are one divide each. Shape (100 TB): "
+    "the mask, merge, and per-doc counts are ALL in-array expressions "
+    "inside one codegen scan — ZERO token-level shuffle; the only "
+    "exchange is the O(sources) map-side-combined agg. Nothing "
+    "collects.",
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "source", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 1
+    )
+    m31 = F.lit(2147483648).cast("bigint")
+
+    def start(j):
+        return (
+            ((F.col("doc_id") % m31) * F.lit(2654435761).cast("bigint") + j * 40503)
+            % m31
+            % _SPAN_START_MOD
+            == 0
+        )
+
+    n = F.size(F.col("tk"))
+    starts = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.when(start(i), 1).otherwise(0)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    masked = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(
+                F.exists(
+                    F.sequence(F.greatest(i - _SPAN_LOOKBACK, F.lit(1)), i),
+                    lambda j: start(j),
+                ),
+                1,
+            ).otherwise(0),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    marked = toked.select(
+        "source",
+        n.cast("bigint").alias("n_tok"),
+        starts.alias("n_starts"),
+        masked.alias("n_masked"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_total"),
+        F.sum("n_masked").cast("bigint").alias("masked_total"),
+        F.sum("n_starts").cast("bigint").alias("span_total"),
+        (F.sum("n_masked").cast("double") / F.sum("n_tok")).alias("corruption_rate"),
+        (
+            F.sum("n_masked").cast("double")
+            / F.greatest(F.sum("n_starts"), F.lit(1).cast("bigint"))
+        ).alias("mean_span_len"),
+    )

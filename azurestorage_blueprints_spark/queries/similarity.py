@@ -3283,3 +3283,184 @@ def q_knn_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Centered PCA + variance-explained share (r11) — the instrument the
+# existing q_embed_pca_power (uncentered direction, 2 rounds, no
+# eigenvalue) stops short of: the CENTERED top principal component
+# (covariance N*Sxy - Sx*Sy, mean correction from the same single
+# scan), its eigenvalue, and the variance-explained share lambda/trace
+# — what a deployment reads before choosing PQ subspaces, truncation
+# dims (q_knn_dim_tradeoff), or whitening. All covariance arithmetic is
+# exact-integer from the shared int8 quantization; the 8 unrolled
+# power-iteration rounds renormalize by the INFINITY norm so no sqrt
+# ever enters — every round is one exact bigint mat-vec plus one IEEE
+# divide per component, bit-portable across engines.
+
+_PCA2_D = 64  #: embedding dimensionality (the _PQ_M x _PQ_D layout)
+_PCA2_ROUNDS = 8  #: unrolled power-iteration rounds (gap-converged at test SFs)
+_PCA2_QZ = 1_000_000  #: component quantizer between rounds
+
+
+def _pca2_oracle() -> str:
+    d, qz, rr = _PCA2_D, _PCA2_QZ, _PCA2_ROUNDS
+    parts = [f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q8 AS MATERIALIZED (SELECT vec_id,
+                  list_transform(v, x -> CAST(floor(x * 127.0
+                      / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)
+                      + 0.5) AS BIGINT)) AS v8
+           FROM e),
+    cells AS MATERIALIZED (
+      SELECT ii.i AS i, jj.j AS j,
+             CAST(sum(v8[ii.i + 1] * v8[jj.j + 1]) AS BIGINT) AS sxy
+      FROM q8, unnest(range(0, {d})) AS ii(i), unnest(range(0, {d})) AS jj(j)
+      GROUP BY ii.i, jj.j),
+    dsum AS MATERIALIZED (
+      SELECT ii.i AS i, CAST(sum(v8[ii.i + 1]) AS BIGINT) AS si
+      FROM q8, unnest(range(0, {d})) AS ii(i) GROUP BY ii.i),
+    nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM q8),
+    md AS MATERIALIZED (
+      SELECT c.i, c.j,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(a.si AS DOUBLE) * CAST(b.si AS DOUBLE) AS m
+      FROM cells c JOIN dsum a ON c.i = a.i JOIN dsum b ON c.j = b.i
+      CROSS JOIN nv),
+    mx AS MATERIALIZED (SELECT greatest(max(abs(m)), 1e-12) AS mab FROM md),
+    mq AS MATERIALIZED (SELECT i, j, CAST(floor(m / mab * {qz}.0 + 0.5) AS BIGINT) AS mq
+           FROM md CROSS JOIN mx),
+    tr AS MATERIALIZED (SELECT CAST(sum(mq) AS BIGINT) AS trace FROM mq WHERE i = j),
+    x0 AS MATERIALIZED (SELECT ii.i AS j, CAST({qz} AS BIGINT) AS x
+           FROM unnest(range(0, {d})) AS ii(i))"""]
+    for r in range(1, rr + 1):
+        parts.append(f""",
+    y{r} AS MATERIALIZED (SELECT mq.i AS j, CAST(sum(mq.mq * x{r - 1}.x) AS BIGINT) AS y
+             FROM mq JOIN x{r - 1} ON mq.j = x{r - 1}.j GROUP BY mq.i),
+    m{r} AS MATERIALIZED (SELECT CAST(max(abs(y)) AS BIGINT) AS m FROM y{r}),
+    x{r} AS MATERIALIZED (SELECT j, CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+                          * {qz}.0 + 0.5) AS BIGINT) AS x
+             FROM y{r} CROSS JOIN m{r})""")
+    parts.append(f"""
+    SELECT CAST(x{rr}.j AS BIGINT) AS dim,
+           CAST(x{rr}.x AS DOUBLE) / {qz}.0 AS component,
+           m{rr}.m AS lambda_units,
+           CAST(m{rr}.m AS DOUBLE) / {qz}.0 / CAST(tr.trace AS DOUBLE) AS var_share
+    FROM x{rr} CROSS JOIN m{rr} CROSS JOIN tr""")
+    return "".join(parts)
+
+
+@register(
+    "q_embed_pca_var_share",
+    oracle=_pca2_oracle(),
+    doc="CENTERED top principal component + eigenvalue + variance-"
+    "explained share by 8 unrolled power-iteration rounds over the "
+    "int8-quantized scaled covariance N*Sxy - Sx*Sy (the mean "
+    "correction comes from the same single scan — no centering pass; "
+    "q_embed_pca_power, by contrast, iterates the UNCENTERED second "
+    "moment and reports no eigenvalue). Renormalization uses the "
+    "INFINITY norm, so the whole loop is sqrt-free: per round, one "
+    "exact bigint mat-vec (64x64 integer cells x micro-unit integer "
+    "vector — order-free), one abs-max, one IEEE divide per component "
+    "(operands < 2^53, so the engines' doubles are bit-identical), "
+    "floor(.+0.5) requantization (floor, never round — the engines' "
+    "round() semantics differ on negative halves). Output: the unit "
+    "(infinity-norm) component vector, the top eigenvalue in "
+    "quantized-covariance units, and variance-explained share "
+    "lambda/trace — what a deployment reads before choosing PQ "
+    "subspaces or a truncation dim. Shape (100 TB): ONE corpus-scale "
+    "pass builds the O(D^2)=4096-cell moment table (self-join on "
+    "vec_id co-partitions, map-side-combined agg); the covariance "
+    "combine is double arithmetic (identical both engines), so there "
+    "is NO int64 ceiling on corpus size; the 4096-cell model collects "
+    "once (the _dsir_model bounded-deploy convention) and the 8 "
+    "rounds run on the O(D^2) model, never the corpus. The driver "
+    "iteration uses only exact Python ints and IEEE divides in the "
+    "oracle's expression order, so DuckDB's unrolled-CTE rerun "
+    "re-certifies every round bit-for-bit.",
+)
+def q_embed_pca_var_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def quantize(col):
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        return F.transform(
+            col, lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5)
+        )
+
+    q8 = e.select("vec_id", quantize(F.col("embedding")).alias("v8"))
+    a = q8.select("vec_id", F.posexplode("v8").alias("i", "xi"))
+    b = q8.select(
+        F.col("vec_id").alias("vid2"), F.posexplode("v8").alias("j", "xj")
+    )
+    cells = (
+        a.join(b, a["vec_id"] == b["vid2"])
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).cast("bigint").alias("sxy"))
+    )
+    dsum = a.groupBy("i").agg(F.sum("xi").cast("bigint").alias("si"))
+    nv = q8.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    md = (
+        cells.join(
+            F.broadcast(dsum.select(F.col("i").alias("ii"), F.col("si").alias("sa"))),
+            F.col("i") == F.col("ii"),
+        )
+        .join(
+            F.broadcast(dsum.select(F.col("i").alias("jj"), F.col("si").alias("sb"))),
+            F.col("j") == F.col("jj"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sa").cast("double") * F.col("sb").cast("double")
+            ).alias("m"),
+        )
+    )
+    mab = md.agg(F.greatest(F.max(F.abs(F.col("m"))), F.lit(1e-12)).alias("mab"))
+    mq_df = md.crossJoin(F.broadcast(mab)).select(
+        "i",
+        "j",
+        F.floor(F.col("m") / F.col("mab") * F.lit(float(_PCA2_QZ)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("mq"),
+    )
+    # bounded model deploy (the _dsir_model convention): O(D^2) = 4096
+    # integer cells cross the driver ONCE; the corpus never does
+    cells_local = {(r.i, r.j): int(r.mq) for r in mq_df.collect()}
+    dd = _PCA2_D
+    trace = sum(cells_local[(i, i)] for i in range(dd))
+    x = [_PCA2_QZ] * dd
+    m = 1
+    for _ in range(_PCA2_ROUNDS):
+        y = [
+            sum(cells_local[(i, j)] * x[j] for j in range(dd)) for i in range(dd)
+        ]  # exact Python ints — order-free, matches the engines' bigint sums
+        m = max(abs(v) for v in y)
+        # v/m: both operands < 2^53, so Python's correctly-rounded int
+        # division equals the engines' double divide bit-for-bit
+        x = [math.floor(v / m * float(_PCA2_QZ) + 0.5) for v in y]
+    out = spark.createDataFrame(
+        [(i, x[i], m, trace) for i in range(dd)],
+        "dim bigint, comp_units bigint, lambda_units bigint, trace_units bigint",
+    )
+    return out.select(
+        "dim",
+        (F.col("comp_units").cast("double") / F.lit(float(_PCA2_QZ))).alias(
+            "component"
+        ),
+        "lambda_units",
+        (
+            F.col("lambda_units").cast("double")
+            / F.lit(float(_PCA2_QZ))
+            / F.col("trace_units").cast("double")
+        ).alias("var_share"),
+    )

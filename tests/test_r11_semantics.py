@@ -121,3 +121,74 @@ def test_no_forced_corpus_scale_broadcast_in_streaming_sources():
         "corpus-scale broadcast (like the retired c_bands hint) OOMs "
         "at 100 TB"
     )
+
+
+def test_kn_bigram_heldout_exercises_backoff(spark, sf_dir):
+    rows = REGISTRY["q_kn_bigram_perplexity"].fn(spark, sf_dir).collect()
+    assert rows, "arrival slice must score"
+    assert all(r.n_bigrams >= 1 for r in rows)
+    assert all(0 <= r.n_unseen_bigrams <= r.n_bigrams for r in rows)
+    assert all(r.logppl > 0 for r in rows)
+    # held-out split means SOME arrival bigram was never seen standing —
+    # otherwise the back-off path (the point of KN) is untested
+    assert sum(r.n_unseen_bigrams for r in rows) > 0
+
+
+def test_unimax_waterfilling_invariants(spark, sf_dir):
+    rows = REGISTRY["q_mixture_unimax"].fn(spark, sf_dir).collect()
+    supply = sum(r.supply_tokens for r in rows)
+    budget = supply * 9 // 10
+    alloc = sum(r.alloc_tokens for r in rows)
+    assert abs(alloc - budget) < 1e-6 * budget, (alloc, budget)
+    for r in rows:
+        assert r.alloc_tokens <= r.supply_tokens + 1e-9, "epoch cap violated"
+        assert 0 < r.epochs <= 1.0 + 1e-12
+        assert (r.saturated == 1) == (abs(r.alloc_tokens - r.supply_tokens) < 1e-9)
+    # both water-filling branches must be exercised at the gate SF
+    assert any(r.saturated == 1 for r in rows)
+    assert any(r.saturated == 0 for r in rows)
+    # unsaturated sources all sit at ONE water level
+    levels = {round(r.alloc_tokens, 6) for r in rows if r.saturated == 0}
+    assert len(levels) == 1, levels
+
+
+def test_calibration_diagram_is_consistent(spark, sf_dir):
+    from azurestorage_blueprints_spark.tables import table as _t
+
+    rows = REGISTRY["q_quality_calibration"].fn(spark, sf_dir).collect()
+    n_total = _t(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert all(0 <= r.bucket <= 9 for r in rows)
+    assert len(rows) >= 4, "tau must spread the margins over several bins"
+    for r in rows:
+        assert 0.0 < r.mean_confidence < 1.0
+        assert 0.0 <= r.observed_rate <= 1.0
+        assert abs(r.abs_gap - abs(r.mean_confidence - r.observed_rate)) < 1e-12
+        assert r.ece_term <= r.abs_gap + 1e-12  # weight <= 1
+
+
+def test_span_corruption_realized_stats(spark, sf_dir):
+    rows = REGISTRY["q_span_corruption_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.masked_total >= r.span_total, "every span masks its start"
+        assert 1.0 <= r.mean_span_len <= 3.0 + 1e-12
+        assert 0.0 < r.corruption_rate < 0.5
+    tot = sum(r.tok_total for r in rows)
+    masked = sum(r.masked_total for r in rows)
+    # 5% starts x length 3 -> ~14% corruption; gate a generous band
+    assert 0.05 < masked / tot < 0.30, masked / tot
+
+
+def test_pca_var_share_component_is_unit_infnorm(spark, sf_dir):
+    rows = REGISTRY["q_embed_pca_var_share"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    comps = [r.component for r in rows]
+    assert max(abs(c) for c in comps) == 1.0, "infinity-norm normalization"
+    lam = {r.lambda_units for r in rows}
+    assert len(lam) == 1 and lam.pop() > 0
+    vs = {r.var_share for r in rows}
+    assert len(vs) == 1
+    share = vs.pop()
+    # the top component must explain at least the uniform 1/64 baseline
+    assert 1.0 / 64.0 <= share < 1.0, share
