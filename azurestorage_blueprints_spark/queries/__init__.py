@@ -142,6 +142,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_kn_bigram_perplexity", "q_quality_calibration",
     "q_mixture_unimax", "q_span_corruption_plan",
     "q_embed_pca_var_share",
+    "q_markov_stationary", "q_conformal_ppl_coverage",
 })
 
 

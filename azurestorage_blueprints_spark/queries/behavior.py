@@ -422,3 +422,129 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bounce).cast("bigint").alias("n_bounces"),
         (F.sum(bounce).cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (r11) — the convergence target of the
+# q_event_transitions chain: where does a user's event process spend
+# its time in the long run? The sixth oracle-checked iterative
+# algorithm (beside k-means, BPE, PageRank, the perceptron, and
+# centered PCA), using the same bounded-model power-iteration
+# machinery as q_embed_pca_var_share: the transition matrix is
+# O(|event_type|^2) at ANY corpus size, so it collects once and the
+# 12 unrolled rounds run on the model, never the events.
+
+_MKV_ROUNDS = 12
+_MKV_QZ = 1_000_000
+
+
+def _mkv_oracle() -> str:
+    qz, rr = _MKV_QZ, _MKV_ROUNDS
+    parts = [f"""
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    trans AS MATERIALIZED (
+      SELECT prev_type AS a, event_type AS b, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+    states AS MATERIALIZED (
+      SELECT DISTINCT st FROM (
+        SELECT a AS st FROM trans UNION SELECT b AS st FROM trans)),
+    rowtot AS MATERIALIZED (
+      SELECT a, CAST(sum(c) AS BIGINT) AS rt FROM trans GROUP BY a),
+    pq AS MATERIALIZED (
+      SELECT sa.st AS a, sb.st AS b,
+             CAST(coalesce(t.c, 0) * {qz} // rt AS BIGINT) AS pq
+      FROM states sa
+      JOIN rowtot r ON sa.st = r.a
+      CROSS JOIN states sb
+      LEFT JOIN trans t ON t.a = sa.st AND t.b = sb.st),
+    x0 AS MATERIALIZED (SELECT st AS b, CAST({qz} AS BIGINT) AS x FROM states)"""]
+    for r in range(1, rr + 1):
+        parts.append(f""",
+    y{r} AS MATERIALIZED (
+      SELECT pq.b, CAST(sum(x.x * pq.pq) AS BIGINT) AS y
+      FROM pq JOIN x{r - 1} x ON pq.a = x.b GROUP BY pq.b),
+    s{r} AS MATERIALIZED (SELECT CAST(sum(y) AS BIGINT) AS s FROM y{r}),
+    x{r} AS MATERIALIZED (
+      SELECT b, CAST(floor(CAST(y AS DOUBLE) / CAST(s AS DOUBLE)
+                     * {qz}.0 + 0.5) AS BIGINT) AS x
+      FROM y{r} CROSS JOIN s{r})""")
+    parts.append(f"""
+    SELECT x.b AS event_type, CAST(coalesce(rt, 0) AS BIGINT) AS n_out,
+           x.x AS stationary_micro,
+           CAST(x.x AS DOUBLE) / {qz}.0 AS stationary
+    FROM x{rr} x LEFT JOIN rowtot r ON x.b = r.a""")
+    return "".join(parts)
+
+
+@register(
+    "q_markov_stationary",
+    oracle=_mkv_oracle(),
+    doc="Stationary distribution of the first-order event-type Markov "
+    "chain (the long-run time share per event type — where "
+    "q_event_transitions' conditional probabilities converge): "
+    "transition counts come from the SAME lag-within-(user, time) "
+    "expressions as q_event_transitions; the row-stochastic matrix "
+    "quantizes per cell to exact micro-units by integer floor "
+    "division; 12 unrolled power-iteration rounds renormalize by the "
+    "L1 sum (no sqrt, no libm anywhere — the whole loop is exact "
+    "bigint mat-vecs plus one IEEE divide per state per round, every "
+    "intermediate < 2^53 so the engines' doubles are bit-identical). "
+    "DuckDB re-derives the chain AND re-runs all 12 rounds via "
+    "unrolled MATERIALIZED CTEs, so every round is differential-"
+    "certified. Shape (100 TB): one user_id-partitioned lag window "
+    "(the q_event_transitions shuffle) + one O(|types|^2) hash-agg is "
+    "the ONLY corpus-scale work; the 25-cell model collects once (the "
+    "bounded-deploy convention) and the iteration never touches the "
+    "events again.",
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cells = {(r.prev_type, r.event_type): int(r.c) for r in trans.collect()}
+    states = sorted({a for a, _ in cells} | {b for _, b in cells})
+    rowtot = {
+        a: sum(c for (x_, _), c in cells.items() if x_ == a) for a in states
+    }
+    pq = {
+        (a, b): (cells.get((a, b), 0) * _MKV_QZ) // rowtot[a]
+        for a in states
+        if rowtot.get(a, 0) > 0
+        for b in states
+    }
+    x = {a: _MKV_QZ for a in states}
+    for _ in range(_MKV_ROUNDS):
+        y = {b: sum(x[a] * pq.get((a, b), 0) for a in states) for b in states}
+        stot = sum(y.values())
+        # y/stot: both < 2^53, so Python's division equals the engines'
+        # double divide bit-for-bit (the q_embed_pca_var_share argument)
+        x = {b: math.floor(y[b] / stot * float(_MKV_QZ) + 0.5) for b in states}
+    out = spark.createDataFrame(
+        [(st, rowtot.get(st, 0), x[st]) for st in states],
+        "event_type string, n_out bigint, stationary_micro bigint",
+    )
+    return out.select(
+        "event_type",
+        "n_out",
+        "stationary_micro",
+        (F.col("stationary_micro").cast("double") / F.lit(float(_MKV_QZ))).alias(
+            "stationary"
+        ),
+    )

@@ -1211,7 +1211,7 @@ def _ppl_logppl():
     return F.col("ce_micro").cast("double") / float(_PPL_QZ) / F.col("n_tokens")
 
 
-def _ppl_thresholds(docce: DataFrame) -> DataFrame:
+def _ppl_thresholds(docce: DataFrame, ks=None) -> DataFrame:
     """Exact per-language tercile thresholds as the k-th-smallest
     (logppl, doc_id) pairs (k = ceil(n/3) and ceil(2n/3)) WITHOUT a
     corpus-scale window partitioned by the constant-cardinality ``lang``
@@ -1238,7 +1238,18 @@ def _ppl_thresholds(docce: DataFrame) -> DataFrame:
     same pairs with a free per-language sort and still agree
     bit-for-bit. Input must carry (lang, doc_id, n_tokens, ce_micro);
     returns O(langs) rows (lang, t1, t1_doc, t2, t2_doc).
+
+    ``ks`` generalizes the rank list (r11, for the conformal rung):
+    a list of callables n_col -> k_col; default is the tercile pair
+    [ceil(n/3), ceil(2n/3)]. Output aliases are t{i}/t{i}_doc in list
+    order. Every k shares the SAME histogram and the SAME boundary-bin
+    rescan — still exactly two passes over docce regardless of len(ks).
     """
+    if ks is None:
+        ks = [
+            lambda n: F.ceil(n / 3.0).cast("bigint"),
+            lambda n: F.ceil(n * 2.0 / 3.0).cast("bigint"),
+        ]
     logppl = _ppl_logppl()
     binc = F.floor(logppl * F.lit(float(_PPL_BIN_QZ))).cast("bigint")
     hist = docce.groupBy("lang", binc.alias("bin")).agg(
@@ -1256,42 +1267,39 @@ def _ppl_thresholds(docce: DataFrame) -> DataFrame:
         F.sum("cnt").over(wcum).alias("cum"),
         F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
     )
-    k1 = F.ceil(F.col("n") / 3.0).cast("bigint")
-    k2 = F.ceil(F.col("n") * 2.0 / 3.0).cast("bigint")
+    idx = range(1, len(ks) + 1)
+    kcols = {i: ks[i - 1](F.col("n")) for i in idx}
     prev = F.col("cum") - F.col("cnt")
-    hit1 = (F.col("cum") >= k1) & (prev < k1)
-    hit2 = (F.col("cum") >= k2) & (prev < k2)
-    bounds = cum.groupBy("lang").agg(
-        F.max(F.when(hit1, F.col("bin"))).alias("b1"),
-        F.max(F.when(hit1, k1 - prev)).alias("r1"),
-        F.max(F.when(hit2, F.col("bin"))).alias("b2"),
-        F.max(F.when(hit2, k2 - prev)).alias("r2"),
-    )
+    hits = {i: (F.col("cum") >= kcols[i]) & (prev < kcols[i]) for i in idx}
+    bound_aggs = []
+    for i in idx:
+        bound_aggs.append(F.max(F.when(hits[i], F.col("bin"))).alias(f"b{i}"))
+        bound_aggs.append(F.max(F.when(hits[i], kcols[i] - prev)).alias(f"r{i}"))
+    bounds = cum.groupBy("lang").agg(*bound_aggs)
+    in_boundary = None
+    for i in idx:
+        cond = F.col("bin") == F.col(f"b{i}")
+        in_boundary = cond if in_boundary is None else (in_boundary | cond)
     cand = (
         docce.join(F.broadcast(bounds), "lang")
         .withColumn("bin", binc)
-        .filter((F.col("bin") == F.col("b1")) | (F.col("bin") == F.col("b2")))
+        .filter(in_boundary)
     )
     wrk = Window.partitionBy("lang", "bin").orderBy(logppl.asc(), F.col("doc_id").asc())
     rcand = cand.select(
         "lang",
         "doc_id",
         "bin",
-        "b1",
-        "r1",
-        "b2",
-        "r2",
+        *[c for i in idx for c in (f"b{i}", f"r{i}")],
         logppl.alias("logppl"),
         F.row_number().over(wrk).alias("rn"),
     )
-    at1 = (F.col("bin") == F.col("b1")) & (F.col("rn") == F.col("r1"))
-    at2 = (F.col("bin") == F.col("b2")) & (F.col("rn") == F.col("r2"))
-    return rcand.groupBy("lang").agg(
-        F.max(F.when(at1, F.col("logppl"))).alias("t1"),
-        F.max(F.when(at1, F.col("doc_id"))).alias("t1_doc"),
-        F.max(F.when(at2, F.col("logppl"))).alias("t2"),
-        F.max(F.when(at2, F.col("doc_id"))).alias("t2_doc"),
-    )
+    out_aggs = []
+    for i in idx:
+        at = (F.col("bin") == F.col(f"b{i}")) & (F.col("rn") == F.col(f"r{i}"))
+        out_aggs.append(F.max(F.when(at, F.col("logppl"))).alias(f"t{i}"))
+        out_aggs.append(F.max(F.when(at, F.col("doc_id"))).alias(f"t{i}_doc"))
+    return rcand.groupBy("lang").agg(*out_aggs)
 
 
 def _ppl_bucket():
@@ -1936,4 +1944,197 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_masked").cast("double")
             / F.greatest(F.sum("n_starts"), F.lit(1).cast("bigint"))
         ).alias("mean_span_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal coverage (r11) — distribution-free uncertainty for
+# the perplexity scorer: calibrate a per-language score threshold at
+# the ceil((n+1)(1-alpha))-th smallest calibration score, then measure
+# the coverage it actually delivers on the arrival slice. This is the
+# governance instrument behind "flag the weirdest 10% for review":
+# conformal calibration is the only way to set that threshold with a
+# finite-sample guarantee, and the report shows whether the guarantee
+# held out of sample.
+
+#: miscoverage level alpha = 1/10 (exact integer rank arithmetic:
+#: k = ceil((n_cal + 1) * 9 / 10), clamped to n_cal)
+_CONF_NUM = 9
+_CONF_DEN = 10
+
+
+def _conformal_sql() -> str:
+    qz = _PPL_QZ
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents WHERE doc_id % 10 <> 0),
+    lm AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, token),
+    tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_l, CAST(count(*) AS BIGINT) AS v_l
+      FROM lm GROUP BY lang),
+    s AS (
+      SELECT lm.lang, token,
+             CAST(round(ln((CAST(n_l AS DOUBLE) + CAST(v_l AS DOUBLE))
+                           / (CAST(c AS DOUBLE) + 1.0)) * {qz}) AS BIGINT)
+               AS smicro
+      FROM lm JOIN tot ON lm.lang = tot.lang),
+    oov AS (
+      SELECT lang,
+             CAST(round(ln(CAST(n_l + v_l AS DOUBLE)) * {qz}) AS BIGINT) AS oovs
+      FROM tot),
+    caldoc AS (
+      SELECT t.doc_id, t.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(smicro, oovs)) AS BIGINT) AS ce_micro
+      FROM tok t
+      JOIN oov ON t.lang = oov.lang
+      LEFT JOIN s ON t.lang = s.lang AND t.token = s.token
+      GROUP BY t.doc_id, t.lang),
+    atok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents WHERE doc_id % 10 = 0),
+    testdoc AS (
+      SELECT a.doc_id, a.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(smicro, oovs)) AS BIGINT) AS ce_micro
+      FROM atok a
+      JOIN oov ON a.lang = oov.lang
+      LEFT JOIN s ON a.lang = s.lang AND a.token = s.token
+      GROUP BY a.doc_id, a.lang),
+    ranked AS (
+      SELECT lang, doc_id,
+             CAST(ce_micro AS DOUBLE) / {qz}.0 / n_tokens AS logppl,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY CAST(ce_micro AS DOUBLE) / {qz}.0 / n_tokens, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM caldoc),
+    thr AS (
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_cal,
+             CAST(max(least(CAST(ceil((n + 1) * {_CONF_NUM} / {_CONF_DEN}.0)
+                              AS BIGINT), n)) AS BIGINT) AS k,
+             max(CASE WHEN rn = least(CAST(ceil((n + 1) * {_CONF_NUM}
+                        / {_CONF_DEN}.0) AS BIGINT), n) THEN logppl END) AS t1,
+             max(CASE WHEN rn = least(CAST(ceil((n + 1) * {_CONF_NUM}
+                        / {_CONF_DEN}.0) AS BIGINT), n) THEN doc_id END) AS t1_doc
+      FROM ranked GROUP BY lang)
+    SELECT d.lang, thr.n_cal, thr.k, thr.t1 AS threshold,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN CAST(ce_micro AS DOUBLE) / {qz}.0 / n_tokens < t1
+                          OR (CAST(ce_micro AS DOUBLE) / {qz}.0 / n_tokens = t1
+                              AND d.doc_id <= t1_doc)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN CAST(ce_micro AS DOUBLE) / {qz}.0 / n_tokens < t1
+                          OR (CAST(ce_micro AS DOUBLE) / {qz}.0 / n_tokens = t1
+                              AND d.doc_id <= t1_doc)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage,
+           {_CONF_NUM} / {_CONF_DEN}.0 AS target_coverage
+    FROM testdoc d JOIN thr ON d.lang = thr.lang
+    GROUP BY d.lang, thr.n_cal, thr.k, thr.t1
+    """
+
+
+@register(
+    "q_conformal_ppl_coverage",
+    oracle=_conformal_sql(),
+    doc="Split-conformal coverage report for the per-language unigram "
+    "perplexity scorer: the standing corpus is the calibration set "
+    "(model AND calibration scores come from it — the exchangeability "
+    "caveat of reusing training data as calibration is documented, "
+    "not hidden; a production run holds calibration out), the "
+    "threshold is the exact ceil((n+1)*(1-alpha))-th smallest "
+    "(logppl, doc_id) calibration pair at alpha = 0.1 — found by the "
+    "SAME two-phase distributed selection as the tercile rungs "
+    "(_ppl_thresholds with a custom rank list, no corpus-scale window "
+    "on the lang key) — and the report measures the coverage that "
+    "threshold actually delivers on the held-out arrival slice, next "
+    "to the 0.9 target. The lexicographic (logppl, doc_id) compare "
+    "makes the decision boundary deterministic cross-engine (arrival "
+    "ids are disjoint from calibration ids by the % 10 split). Shape "
+    "(100 TB): the model is the vocab-sized hash-agg (unhinted "
+    "scoring join — AQE decides); the selection is histogram + "
+    "boundary-bin rescan; everything else is per-doc aggs and an "
+    "O(langs) report. Nothing collects.",
+)
+def q_conformal_ppl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 0)
+    arrivals = d.filter(F.col("doc_id") % 10 == 0)
+
+    def tokstream(docs):
+        return docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+        )
+
+    tok = tokstream(standing)
+    lm = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = lm.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_l"),
+        F.count(F.lit(1)).cast("bigint").alias("v_l"),
+    )
+    smicro = F.round(
+        F.log(
+            (F.col("n_l").cast("double") + F.col("v_l").cast("double"))
+            / (F.col("c").cast("double") + F.lit(1.0))
+        )
+        * F.lit(_PPL_QZ)
+    ).cast("bigint")
+    s = lm.join(F.broadcast(tot), "lang").select("lang", "token", smicro.alias("smicro"))
+    oovtbl = tot.select(
+        "lang",
+        F.round(F.log((F.col("n_l") + F.col("v_l")).cast("double")) * F.lit(_PPL_QZ))
+        .cast("bigint")
+        .alias("oovs"),
+    )
+
+    def score(ts):
+        return (
+            ts.join(F.broadcast(oovtbl), "lang")
+            .join(s, ["lang", "token"], "left")
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum(F.coalesce(F.col("smicro"), F.col("oovs")))
+                .cast("bigint")
+                .alias("ce_micro"),
+            )
+        )
+
+    caldoc = score(tok)
+    testdoc = score(tokstream(arrivals))
+    kfn = lambda n: F.least(  # noqa: E731 — the shared rank-list convention
+        F.ceil((n + 1) * _CONF_NUM / F.lit(float(_CONF_DEN))).cast("bigint"),
+        n.cast("bigint"),
+    )
+    thr = _ppl_thresholds(caldoc, ks=[kfn])
+    ncal = caldoc.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    lp = _ppl_logppl()
+    covered = (lp < F.col("t1")) | (
+        (lp == F.col("t1")) & (F.col("doc_id") <= F.col("t1_doc"))
+    )
+    return (
+        testdoc.join(F.broadcast(thr), "lang")
+        .join(F.broadcast(ncal), "lang")
+        .groupBy(
+            "lang",
+            "n_cal",
+            kfn(F.col("n_cal")).alias("k"),
+            F.col("t1").alias("threshold"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(covered, 1).otherwise(0)).cast("bigint").alias("n_covered"),
+            (
+                F.sum(F.when(covered, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .withColumn(
+            "target_coverage", F.lit(_CONF_NUM).cast("double") / F.lit(float(_CONF_DEN))
+        )
     )

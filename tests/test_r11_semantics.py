@@ -192,3 +192,47 @@ def test_pca_var_share_component_is_unit_infnorm(spark, sf_dir):
     share = vs.pop()
     # the top component must explain at least the uniform 1/64 baseline
     assert 1.0 / 64.0 <= share < 1.0, share
+
+
+def test_markov_stationary_is_a_distribution_fixed_point(spark, sf_dir):
+    rows = REGISTRY["q_markov_stationary"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    total = sum(r.stationary_micro for r in rows)
+    # L1-renormalized micro-units: rounding drift at most 1 per state
+    assert abs(total - 1_000_000) <= len(rows), total
+    assert all(r.stationary_micro >= 0 and r.n_out > 0 for r in rows)
+    # fixed point: one more exact-integer application of the quantized
+    # chain must move no component by more than a few micro-units
+    import math
+
+    trans = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in REGISTRY["q_event_transitions"].fn(spark, sf_dir).collect()
+    }
+    states = sorted({a for a, _ in trans} | {b for _, b in trans})
+    rowtot = {a: sum(c for (x_, _), c in trans.items() if x_ == a) for a in states}
+    pq = {
+        (a, b): trans.get((a, b), 0) * 1_000_000 // rowtot[a]
+        for a in states
+        for b in states
+    }
+    x = {r.event_type: r.stationary_micro for r in rows}
+    y = {b: sum(x[a] * pq[(a, b)] for a in states) for b in states}
+    stot = sum(y.values())
+    drift = max(
+        abs(math.floor(y[b] / stot * 1e6 + 0.5) - x[b]) for b in states
+    )
+    assert drift <= 5, f"stationary vector not converged: drift {drift} micro"
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    rows = REGISTRY["q_conformal_ppl_coverage"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.k == min(-(-(r.n_cal + 1) * 9 // 10), r.n_cal)
+        assert 0 <= r.n_covered <= r.n_test
+        assert r.target_coverage == 0.9
+        # finite-sample conformal band: the guarantee is >= 1 - alpha in
+        # expectation over exchangeable splits; with the training set
+        # doubling as calibration (documented) allow a generous band
+        assert 0.7 <= r.coverage <= 1.0, (r.lang, r.coverage)
