@@ -1768,7 +1768,10 @@ _CAL_QZ = 1_000_000
     FROM t
     """,
     doc="Reliability diagram + ECE for the frozen quality classifier "
-    "(q_quality_classifier_apply's weights): each document's integer "
+    "(q_quality_classifier_apply's weights) — completing the "
+    "train (q_quality_classifier_train) / apply / CALIBRATE triad for "
+    "the TRAINED model, where q_eval_calibration calibrates the "
+    "untrained stop-word-density langid proxy: each document's integer "
     "perceptron margin maps through a temperature-64 logistic to a "
     "confidence, documents bucket into 10 confidence bins, and each "
     "bin reports mean confidence vs observed positive rate (the "

@@ -209,6 +209,18 @@ HEADLINE = [
     # erasure gate (stream-static probe — the cheapest streaming rung)
     "q_stream_multimodal_gate",
     "q_stream_forget_gate",
+    # round-11: the LM ladder rung (KN bigram held-out perplexity),
+    # the cap-aware mixture planner, the trained-classifier calibration
+    # instrument, the span-corruption planner (pure in-array scan),
+    # centered PCA with variance share, the Markov stationary vector,
+    # and the split-conformal coverage report
+    "q_kn_bigram_perplexity",
+    "q_mixture_unimax",
+    "q_quality_calibration",
+    "q_span_corruption_plan",
+    "q_embed_pca_var_share",
+    "q_markov_stationary",
+    "q_conformal_ppl_coverage",
 ]
 
 

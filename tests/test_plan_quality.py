@@ -923,3 +923,49 @@ def test_ivf_partitioned_scan_carries_partition_filters(spark, sf_dir):
         "the list-key IN predicate must reach the partitioned scan as a "
         "PartitionFilter - the index layout is not being pruned"
     )
+
+
+def test_span_corruption_is_one_scan_one_source_agg(spark, sf_dir):
+    # the mask/merge/count pipeline must be in-array inside the scan:
+    # the ONLY hash exchange is the O(sources) final agg key
+    plan = _plan(spark, "q_span_corruption_plan", sf_dir)
+    import re
+
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(keys) <= {"source"}, f"token-level shuffle leaked: {keys}"
+    assert "CartesianProduct" not in plan
+
+
+def test_unimax_shuffles_source_totals_only(spark, sf_dir):
+    # one corpus-scale token-count agg on source; the water-filling
+    # windows ride the O(sources) table (a single-partition window over
+    # 20 rows is fine; over the corpus it would not be)
+    plan = _plan(spark, "q_mixture_unimax", sf_dir)
+    import re
+
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(keys) <= {"source"}, keys
+    assert "BroadcastExchange" in plan  # tot/istar ride broadcasts
+
+
+def test_kn_bigram_has_no_window_and_no_cartesian(spark, sf_dir):
+    # the KN model + scoring is pure equi-join/hash-agg: any Window
+    # (rank/ntile) or cartesian in this plan is a scale regression
+    plan = _plan(spark, "q_kn_bigram_perplexity", sf_dir)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_have_no_lang_partitioned_corpus_window(spark, sf_dir):
+    # r11 re-plan: the tercile thresholds come from the histogram
+    # selection; the only Window operators allowed partition by
+    # (lang, bin) — the histogram running count and the boundary-bin
+    # residual rank — never by lang alone (the 5-partition corpus sort)
+    plan = _plan(spark, "q_ccnet_perplexity_buckets", sf_dir)
+    import re
+
+    specs = re.findall(r"partitionBy=\[([^\]]*)\]", plan)
+    windows = re.findall(r"Window .*partitionBy=\[([^\]]*)\]", plan)
+    for spec in windows or specs:
+        if "bin" not in spec:
+            assert "lang" not in spec, f"lang-only corpus window survived: {spec}"
