@@ -368,15 +368,18 @@ def main() -> None:
 
 
 def abbrev(name: str) -> str:
-    """Compact-line key: drop the q_ prefix, cut the first token to 3
-    chars and every later token to 2 (q_stats_mann_whitney ->
-    stamawh). Deterministic; uniqueness over HEADLINE is gated in
-    tests/test_bench_output.py. r10: the separator was dropped at 105
-    headline queries, then the tail tokens tightened to 2 chars at 117
-    (the all-3-char form hit 1907) — the 3/2 form is 1721 with ~180
-    chars of headroom in the driver's 2000-char tail window."""
+    """Compact-line key: drop the q_ prefix, cut every token to 2
+    chars (q_stats_mann_whitney -> stmawh). Deterministic; uniqueness
+    over HEADLINE is gated in tests/test_bench_output.py. History: the
+    separator was dropped at 105 headline queries (r10), the tail
+    tokens tightened to 2 chars at 117, and the FIRST token tightened
+    3 -> 2 at 135 (r11: the 3/2 form hit 1981 against the driver's
+    2000-char tail) — the 2/2 form is 1854, collision-free, with ~46
+    chars (~5 queries) of headroom; the next growth round must move to
+    a committed key-manifest (full name -> key JSON) instead of
+    squeezing chars again."""
     ts = name.removeprefix("q_").split("_")
-    return ts[0][:3] + "".join(t[:2] for t in ts[1:])
+    return "".join(t[:2] for t in ts)
 
 
 def emit_lines(
