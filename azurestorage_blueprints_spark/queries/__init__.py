@@ -50,7 +50,14 @@ REGISTRY: dict[str, Query] = {}
 #: before the next query — wired into ``__spark_entry__.queries()`` and
 #: bench.py). Everything else must leave the cache empty on return;
 #: tests/test_cache_hygiene.py enforces both halves.
-PERSIST_THROUGH_RETURN: frozenset[str] = frozenset({"q_multimodal_image_ahash"})
+PERSIST_THROUGH_RETURN: frozenset[str] = frozenset({
+    "q_multimodal_image_ahash",
+    # r11: the per-document CE table feeds the two threshold-selection
+    # phases AND the final verdict scan; the output is corpus-scale
+    # (one row per document), so finalize_bounded's collect route
+    # cannot apply — the standard per-query teardown releases it
+    "q_ccnet_perplexity_buckets",
+})
 
 
 #: driver-side row budget for :func:`finalize_bounded` (env-overridable).
