@@ -3464,3 +3464,167 @@ def q_embed_pca_var_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("trace_units").cast("double")
         ).alias("var_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift monitor (r11) — the model-monitoring
+# classic, per embedding dimension: PSI = sum over bins of
+# (p_ref - p_cur) * ln(p_ref / p_cur) between the standing corpus and
+# the arrival slice. q_knn_model_drift watches the INDEX (quantization
+# error vs a frozen codebook); THIS watches the DATA (has the feature
+# distribution itself moved?) — together they answer "retrain because
+# the index degraded" vs "retrain because the world changed".
+
+_PSI_BINS = 10
+_PSI_QZ = 1_000_000
+#: the classic PSI traffic-light thresholds (in micro-units) — emitted
+#: as the `band` column; they assume production-scale windows
+_PSI_WATCH = 100_000  # 0.10
+_PSI_ALERT = 250_000  # 0.25
+#: finite-sample-aware verdict: under H0 (no drift) the smoothed PSI's
+#: chi-square approximation gives E[PSI] ~ (B-1)(1/n_ref + 1/n_cur), so
+#: the `verdict` column thresholds the RATIO psi / E_H0[psi] — small
+#: windows stop false-alarming (an identical-split window of 50 vectors
+#: has E[PSI] ~ 0.2, far above the classic 0.10 band) while production
+#: windows keep the same sensitivity
+_PSI_RATIO_WATCH = 8
+_PSI_RATIO_ALERT = 20
+
+
+@register(
+    "q_embed_psi_drift",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(dd.d AS BIGINT) AS dim,
+             least(greatest(CAST(floor((embedding[dd.d + 1] + 0.5) * {_PSI_BINS})
+               AS BIGINT), 0), {_PSI_BINS - 1}) AS bin,
+             CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END AS is_ref
+      FROM embeddings, unnest(range(0, 64)) AS dd(d)),
+    g AS (
+      SELECT dim, bin,
+             CAST(sum(is_ref) AS BIGINT) AS c_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS c_cur
+      FROM cells GROUP BY dim, bin),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM embeddings),
+    terms AS (
+      SELECT dim, n_ref, n_cur,
+             CAST(round(
+               ((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {_PSI_BINS} AS DOUBLE))
+                - (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + {_PSI_BINS} AS DOUBLE)))
+               * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {_PSI_BINS} AS DOUBLE))
+                    / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + {_PSI_BINS} AS DOUBLE)))
+               * {_PSI_QZ}) AS BIGINT) AS t_micro
+      FROM g CROSS JOIN tot),
+    perdim AS (
+      SELECT dim, CAST(sum(t_micro) AS BIGINT) AS psi_micro,
+             ({_PSI_BINS} - 1.0) * (1.0 / CAST(max(n_ref) AS DOUBLE)
+                                    + 1.0 / CAST(max(n_cur) AS DOUBLE)) AS h0
+      FROM terms GROUP BY dim)
+    SELECT dim, psi_micro,
+           CAST(psi_micro AS DOUBLE) / {_PSI_QZ}.0 AS psi,
+           CASE WHEN psi_micro >= {_PSI_ALERT} THEN 'shifted'
+                WHEN psi_micro >= {_PSI_WATCH} THEN 'watch'
+                ELSE 'stable' END AS band,
+           h0 AS h0_mean_psi,
+           CAST(psi_micro AS DOUBLE) / {_PSI_QZ}.0 / h0 AS drift_ratio,
+           CASE WHEN CAST(psi_micro AS DOUBLE) / {_PSI_QZ}.0 / h0 >= {_PSI_RATIO_ALERT}.0
+                  THEN 'shifted'
+                WHEN CAST(psi_micro AS DOUBLE) / {_PSI_QZ}.0 / h0 >= {_PSI_RATIO_WATCH}.0
+                  THEN 'watch'
+                ELSE 'stable' END AS verdict
+    FROM perdim
+    """,
+    doc="Per-dimension Population Stability Index between the standing "
+    "corpus (vec_id % 10 != 0, the reference window) and the arrival "
+    "slice (the current window) — the model-monitoring classic. Two "
+    "judgments per dimension: `band` applies the standard 0.10/0.25 "
+    "PSI thresholds (what a production dashboard shows at production "
+    "window sizes), and `verdict` thresholds the FINITE-SAMPLE ratio "
+    "psi / E_H0[psi] with E_H0 ~ (B-1)(1/n_ref + 1/n_cur) (chi-square "
+    "approximation) — so a small window's sampling noise cannot false-"
+    "alarm (an identical-split 50-vector window has E_H0 ~ 0.2, ABOVE "
+    "the classic watch band). Each dimension's values "
+    "histogram into 10 fixed-width bins over [-0.5, 0.5) (clamped "
+    "edges), add-one smoothing keeps every log defined, and each "
+    "bin's (p_ref - p_cur)*ln(p_ref/p_cur) term — provably >= 0 — "
+    "quantizes to micro-units BEFORE the per-dimension sum, so the "
+    "reduction is exact bigint arithmetic (the _PPL_QZ convention; "
+    "the one ln() runs per (dim, bin) cell — 640 cells at ANY corpus "
+    "size). Complements q_knn_model_drift: that rung watches the "
+    "frozen INDEX degrade, this one watches the DATA distribution "
+    "move — the two reasons to retrain. Shape (100 TB): one "
+    "posexplode scan feeds a map-side-combined O(dims x bins) grid "
+    "agg; the two window totals ride a 1-row broadcast; O(dims) rows "
+    "out. No windows, nothing collects.",
+)
+def q_embed_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("v").cast("double") + F.lit(0.5)) * _PSI_BINS).cast(
+                    "bigint"
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(_PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.when(F.col("vec_id") % 10 != 0, 1).otherwise(0).alias("is_ref"),
+    )
+    g = cells.groupBy("dim", "bin").agg(
+        F.sum("is_ref").cast("bigint").alias("c_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("bigint").alias("c_cur"),
+    )
+    tot = e.agg(
+        F.sum(F.when(F.col("vec_id") % 10 != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 10 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + _PSI_BINS).cast(
+        "double"
+    )
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + _PSI_BINS).cast(
+        "double"
+    )
+    t_micro = F.round((p - q) * F.log(p / q) * F.lit(_PSI_QZ)).cast("bigint")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "dim", "n_ref", "n_cur", t_micro.alias("t_micro")
+    )
+    perdim = terms.groupBy("dim").agg(
+        F.sum("t_micro").cast("bigint").alias("psi_micro"),
+        (
+            F.lit(_PSI_BINS - 1.0)
+            * (
+                F.lit(1.0) / F.max("n_ref").cast("double")
+                + F.lit(1.0) / F.max("n_cur").cast("double")
+            )
+        ).alias("h0"),
+    )
+    psi = F.col("psi_micro").cast("double") / float(_PSI_QZ)
+    ratio = psi / F.col("h0")
+    return perdim.select(
+        "dim",
+        "psi_micro",
+        psi.alias("psi"),
+        F.when(F.col("psi_micro") >= _PSI_ALERT, F.lit("shifted"))
+        .when(F.col("psi_micro") >= _PSI_WATCH, F.lit("watch"))
+        .otherwise(F.lit("stable"))
+        .alias("band"),
+        F.col("h0").alias("h0_mean_psi"),
+        ratio.alias("drift_ratio"),
+        F.when(ratio >= float(_PSI_RATIO_ALERT), F.lit("shifted"))
+        .when(ratio >= float(_PSI_RATIO_WATCH), F.lit("watch"))
+        .otherwise(F.lit("stable"))
+        .alias("verdict"),
+    )

@@ -221,6 +221,7 @@ HEADLINE = [
     "q_embed_pca_var_share",
     "q_markov_stationary",
     "q_conformal_ppl_coverage",
+    "q_embed_psi_drift",
 ]
 
 

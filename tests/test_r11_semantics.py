@@ -236,3 +236,19 @@ def test_conformal_coverage_near_target(spark, sf_dir):
         # expectation over exchangeable splits; with the training set
         # doubling as calibration (documented) allow a generous band
         assert 0.7 <= r.coverage <= 1.0, (r.lang, r.coverage)
+
+
+def test_psi_drift_same_distribution_is_stable(spark, sf_dir):
+    rows = REGISTRY["q_embed_psi_drift"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.psi_micro >= 0, "PSI terms are (p-q)ln(p/q) >= 0"
+        assert r.band in ("stable", "watch", "shifted")
+        assert r.verdict in ("stable", "watch", "shifted")
+        assert r.h0_mean_psi > 0
+        assert abs(r.drift_ratio - r.psi / r.h0_mean_psi) < 1e-9
+    # the %10 split of ONE distribution must read stable under the
+    # finite-sample verdict at EVERY SF (the classic band false-alarms
+    # on tiny windows by design — that is what the ratio verdict fixes)
+    unstable = [r.dim for r in rows if r.verdict != "stable"]
+    assert not unstable, f"identical split flagged dims {unstable}"
