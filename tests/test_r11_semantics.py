@@ -252,3 +252,61 @@ def test_psi_drift_same_distribution_is_stable(spark, sf_dir):
     # on tiny windows by design — that is what the ratio verdict fixes)
     unstable = [r.dim for r in rows if r.verdict != "stable"]
     assert not unstable, f"identical split flagged dims {unstable}"
+
+
+def test_ppl_thresholds_adversarial_cases(spark):
+    """Crafted worst cases for the two-phase distributed selection:
+    all-ties (single-bin degenerate), singleton/pair languages, values
+    exactly on bin edges, mixed sizes — each checked against a plain
+    sorted-rank reference, for both the tercile default and a custom
+    conformal-style rank list."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from azurestorage_blueprints_spark.queries.curation import (
+        _PPL_QZ,
+        _ppl_thresholds,
+    )
+
+    cases = {
+        # every doc identical: logppl ties across the whole language —
+        # the degenerate all-in-one-bin case the docstring prices
+        "allties": [("a", i, 2, 4_000_000) for i in range(1, 10)],
+        # singleton and pair languages (k1 == k2 == n edge)
+        "tiny": [("a", 1, 3, 9_000_000), ("b", 1, 2, 4_000_000), ("b", 2, 1, 7_000_000)],
+        # logppl exactly on milli-nat bin edges: ce/QZ/n = 2.001, 2.002...
+        "edges": [("a", i, 1, 2_000_000 + i * 1000) for i in range(1, 8)],
+        # mixed: ties + edges + a second language of different size
+        "mixed": (
+            [("a", i, 1, 3_000_000) for i in range(1, 5)]
+            + [("a", 10 + i, 1, 3_000_000 + i * 500) for i in range(1, 6)]
+            + [("b", i, 2, 5_000_000 + i * 7000) for i in range(1, 12)]
+        ),
+    }
+    for label, rows in cases.items():
+        docce = spark.createDataFrame(
+            rows, "lang string, doc_id bigint, n_tokens bigint, ce_micro bigint"
+        )
+        bylang: dict[str, list] = {}
+        for lang, did, nt, ce in rows:
+            bylang.setdefault(lang, []).append((ce / _PPL_QZ / nt, did))
+        for ks, names in [
+            (None, ("t1", "t2")),
+            ([lambda n: F.least(F.ceil((n + 1) * 9 / F.lit(10.0)).cast("bigint"),
+                                n.cast("bigint"))], ("t1",)),
+        ]:
+            got = {r.lang: r for r in _ppl_thresholds(docce, ks=ks).collect()}
+            for lang, vals in bylang.items():
+                vals = sorted(vals)
+                n = len(vals)
+                if ks is None:
+                    kk = [-(-n // 3), -(-2 * n // 3)]
+                else:
+                    kk = [min(math.ceil((n + 1) * 9 / 10.0), n)]
+                for name, k in zip(names, kk):
+                    exp_lp, exp_doc = vals[k - 1]
+                    r = got[lang]
+                    assert (getattr(r, name), getattr(r, f"{name}_doc")) == (
+                        exp_lp,
+                        exp_doc,
+                    ), (label, lang, name, k)
