@@ -150,7 +150,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_mixture_unimax", "q_span_corruption_plan",
     "q_embed_pca_var_share",
     "q_markov_stationary", "q_conformal_ppl_coverage",
-    "q_embed_psi_drift",
+    "q_embed_psi_drift", "q_stream_conformal_gate",
 })
 
 

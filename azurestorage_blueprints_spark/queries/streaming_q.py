@@ -1247,11 +1247,81 @@ def q_stream_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_LM_TOPV = 24
 
 
-def _stream_ppl_oracle() -> str:
+def _capped_lm_parts(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side training pre-pass of the capped-LM ingest
+    gates: returns (d, s_dep, oovtbl, docce) where ``s_dep`` is the
+    PERSISTED top-V deployed LM (O(V_cap x langs)), ``oovtbl`` the
+    PERSISTED O(langs) OOV-mass table, and ``docce`` the standing
+    corpus scored under the SAME capped model (feeds threshold
+    calibration). Callers must unpersist s_dep/oovtbl after the
+    deploy collects."""
+    from pyspark.sql import Window as W
+
+    from azurestorage_blueprints_spark.functions.text import tokens
     from azurestorage_blueprints_spark.queries.curation import _PPL_QZ
 
-    return f"""
-    WITH tok AS (
+    d = table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 0)
+    tok = standing.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    lm = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = lm.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_l"),
+        F.count(F.lit(1)).cast("bigint").alias("v_l"),
+    )
+    smicro = F.round(
+        F.log(
+            (F.col("n_l").cast("double") + F.col("v_l").cast("double"))
+            / (F.col("c").cast("double") + F.lit(1.0))
+        )
+        * F.lit(_PPL_QZ)
+    ).cast("bigint")
+    s = lm.join(F.broadcast(tot), "lang").select(
+        "lang", "token", "c", smicro.alias("smicro")
+    )
+    # SIZE-BOUNDED deployment (constants doc at _PPL_LM_TOPV): the rank
+    # window runs over the VOCAB table (sublinear model-fit pass) —
+    # everything that crosses the driver or a broadcast from here on is
+    # O(V_cap x langs) by construction
+    wv = W.partitionBy("lang").orderBy(F.desc("c"), F.col("token").asc())
+    s_dep = (
+        s.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") <= _PPL_LM_TOPV)
+        .select("lang", "token", "smicro")
+        .persist()
+    )
+    oovtbl = tot.select(
+        "lang",
+        F.round(F.log((F.col("n_l") + F.col("v_l")).cast("double")) * F.lit(_PPL_QZ))
+        .cast("bigint")
+        .alias("oov"),
+    ).persist()
+    docce = (
+        tok.join(F.broadcast(oovtbl), "lang")
+        .join(F.broadcast(s_dep), ["lang", "token"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("smicro"), F.col("oov")))
+            .cast("bigint")
+            .alias("ce_micro"),
+        )
+    )
+    return d, s_dep, oovtbl, docce
+
+
+def _capped_lm_cte() -> str:
+    """Shared oracle CTE prefix of the capped-LM ingest gates
+    (q_stream_perplexity_gate, q_stream_conformal_gate): train the
+    per-language add-one unigram LM on the standing corpus, cap the
+    deployed table at top-V tokens (the _PPL_LM_TOPV convention),
+    score BOTH the standing slice (``stdoc`` — threshold calibration)
+    and the arrival slice (``adoc``) with the SAME capped model +
+    OOV fallback."""
+    from azurestorage_blueprints_spark.queries.curation import _PPL_QZ
+
+    return f"""tok AS (
       SELECT doc_id, lang,
              unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
       FROM documents WHERE doc_id % 10 <> 0),
@@ -1285,6 +1355,25 @@ def _stream_ppl_oracle() -> str:
       JOIN oov ON t.lang = oov.lang
       LEFT JOIN sdep ON t.lang = sdep.lang AND t.token = sdep.token
       GROUP BY t.doc_id, t.lang),
+    atok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents WHERE doc_id % 10 = 0),
+    adoc AS (
+      SELECT a.doc_id, a.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(smicro, oovs)) AS BIGINT) AS ce_micro
+      FROM atok a
+      JOIN oov ON a.lang = oov.lang
+      LEFT JOIN sdep ON a.lang = sdep.lang AND a.token = sdep.token
+      GROUP BY a.doc_id, a.lang)"""
+
+
+def _stream_ppl_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.curation import _PPL_QZ
+
+    return f"""
+    WITH {_capped_lm_cte()},
     ranked AS (
       SELECT lang, doc_id,
              CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens AS logppl,
@@ -1300,18 +1389,6 @@ def _stream_ppl_oracle() -> str:
              max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN logppl END) AS t2,
              max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN doc_id END) AS t2_doc
       FROM ranked GROUP BY lang),
-    atok AS (
-      SELECT doc_id, lang,
-             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
-      FROM documents WHERE doc_id % 10 = 0),
-    adoc AS (
-      SELECT a.doc_id, a.lang,
-             CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(coalesce(smicro, oovs)) AS BIGINT) AS ce_micro
-      FROM atok a
-      JOIN oov ON a.lang = oov.lang
-      LEFT JOIN sdep ON a.lang = sdep.lang AND a.token = sdep.token
-      GROUP BY a.doc_id, a.lang),
     verdict AS (
       SELECT adoc.lang, adoc.doc_id, n_tokens, ce_micro,
              CASE WHEN CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens < t1
@@ -1373,67 +1450,15 @@ def _stream_ppl_oracle() -> str:
 def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections import defaultdict
 
-    from pyspark.sql import Window as W
-
     from azurestorage_blueprints_spark.functions.text import tokens
     from azurestorage_blueprints_spark.queries.curation import (
         _PPL_QZ,
         _ppl_thresholds,
     )
 
-    d = table(spark, sf_dir, "documents")
-    standing = d.filter(F.col("doc_id") % 10 != 0)
-    tok = standing.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
-    )
-    lm = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    tot = lm.groupBy("lang").agg(
-        F.sum("c").cast("bigint").alias("n_l"),
-        F.count(F.lit(1)).cast("bigint").alias("v_l"),
-    )
-    smicro = F.round(
-        F.log(
-            (F.col("n_l").cast("double") + F.col("v_l").cast("double"))
-            / (F.col("c").cast("double") + F.lit(1.0))
-        )
-        * F.lit(_PPL_QZ)
-    ).cast("bigint")
-    s = lm.join(F.broadcast(tot), "lang").select(
-        "lang", "token", "c", smicro.alias("smicro")
-    )
-    # SIZE-BOUNDED deployment (r11, constants doc at _PPL_LM_TOPV): the
-    # frozen artifact keeps the top-V tokens per language; the rank
-    # window runs over the VOCAB table (sublinear model-fit pass, ~N^0.6
-    # — never the corpus), and from here on everything that crosses the
-    # driver or a broadcast is O(V_cap x langs) by construction.
-    wv = W.partitionBy("lang").orderBy(F.desc("c"), F.col("token").asc())
-    s_dep = (
-        s.withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") <= _PPL_LM_TOPV)
-        .select("lang", "token", "smicro")
-        .persist()  # feeds the standing-corpus scoring join AND the deploy collect
-    )
-    oovtbl = tot.select(
-        "lang",
-        F.round(F.log((F.col("n_l") + F.col("v_l")).cast("double")) * F.lit(_PPL_QZ))
-        .cast("bigint")
-        .alias("oov"),
-    ).persist()  # O(langs); feeds scoring and the deploy collect
-    # threshold training scores the STANDING corpus with the SAME capped
-    # model the gate will apply at ingest (LEFT join + OOV fallback —
-    # the broadcast hints are now legal: both sides are provably
-    # O(V_cap x langs) / O(langs))
-    docce = (
-        tok.join(F.broadcast(oovtbl), "lang")
-        .join(F.broadcast(s_dep), ["lang", "token"], "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("smicro"), F.col("oov")))
-            .cast("bigint")
-            .alias("ce_micro"),
-        )
-    )
+    # shared capped-LM training pre-pass (r11: O(V_cap x langs) deploy
+    # by construction — see _capped_lm_parts / _PPL_LM_TOPV docs)
+    d, s_dep, oovtbl, docce = _capped_lm_parts(spark, sf_dir)
     # frozen tercile thresholds: the k-th-smallest (logppl, doc_id)
     # pairs via the two-phase distributed selection SHARED VERBATIM
     # with the batch rung (curation._ppl_thresholds) — no corpus-scale
@@ -1505,6 +1530,147 @@ def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / float(_PPL_QZ)
                 / F.sum("n_tokens")
             ).alias("mean_token_surprisal"),
+        )
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stream_conformal_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.curation import (
+        _CONF_DEN,
+        _CONF_NUM,
+        _PPL_QZ,
+    )
+
+    return f"""
+    WITH {_capped_lm_cte()},
+    ranked AS (
+      SELECT lang, doc_id,
+             CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens AS logppl,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM stdoc),
+    thr AS (
+      SELECT lang,
+             max(CASE WHEN rn = least(CAST(ceil((n + 1) * {_CONF_NUM}
+                        / {_CONF_DEN}.0) AS BIGINT), n) THEN logppl END) AS t1,
+             max(CASE WHEN rn = least(CAST(ceil((n + 1) * {_CONF_NUM}
+                        / {_CONF_DEN}.0) AS BIGINT), n) THEN doc_id END) AS t1_doc
+      FROM ranked GROUP BY lang)
+    SELECT a.lang,
+           CAST(CASE WHEN CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens < t1
+                      OR (CAST(ce_micro AS DOUBLE) / {_PPL_QZ}.0 / n_tokens = t1
+                          AND a.doc_id <= t1_doc)
+                     THEN 0 ELSE 1 END AS BIGINT) AS flagged,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+           CAST(sum(ce_micro) AS BIGINT) AS ce_total_micro
+    FROM adoc a JOIN thr ON a.lang = thr.lang
+    GROUP BY a.lang, 2
+    """
+
+
+@register(
+    "q_stream_conformal_gate",
+    oracle=_stream_conformal_oracle(),
+    doc="INGEST-TIME conformal outlier gate — the streaming form of "
+    "q_conformal_ppl_coverage (the batch rung MEASURES the coverage a "
+    "conformal threshold delivers; THIS gate APPLIES the frozen "
+    "threshold at the door, flagging the weirdest ~10% of arrivals "
+    "for review — the distribution-free alarm a crawl pipeline runs "
+    "in front of the curation funnel): the SAME capped-LM pre-pass as "
+    "q_stream_perplexity_gate (_capped_lm_parts — top-V deploy, OOV "
+    "tail, O(V_cap x langs) collects by construction) calibrates the "
+    "per-language threshold at the exact ceil((n+1)(1-alpha))-th "
+    "smallest standing (logppl, doc_id) pair (alpha = 0.1, via the "
+    "shared _ppl_thresholds rank-list machinery — note the DEPLOYED "
+    "threshold is calibrated under the capped model, while the batch "
+    "rung calibrates under the full LM: each is self-consistent with "
+    "the scorer it ships). Arrivals pick up their stored language "
+    "(stream-static metadata join, unhinted), fold surprisal "
+    "row-locally against the broadcast map, and ONE complete-mode "
+    "aggregate holds the running per-(lang, flagged) funnel. DuckDB "
+    "retrains the capped model, re-derives the threshold, and "
+    "reproduces every funnel cell. Shape (100 TB ingest): per-arrival "
+    "work is one map fold + one keyed metadata lookup; state is "
+    "O(langs x 2) counter rows; the deployed artifact is "
+    "O(V_cap x langs).",
+)
+def q_stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections import defaultdict
+
+    from azurestorage_blueprints_spark.functions.text import tokens
+    from azurestorage_blueprints_spark.queries.curation import (
+        _CONF_DEN,
+        _CONF_NUM,
+        _PPL_QZ,
+        _ppl_thresholds,
+    )
+
+    d, s_dep, oovtbl, docce = _capped_lm_parts(spark, sf_dir)
+    kfn = lambda n: F.least(  # noqa: E731 — the shared rank-list convention
+        F.ceil((n + 1) * _CONF_NUM / F.lit(float(_CONF_DEN))).cast("bigint"),
+        n.cast("bigint"),
+    )
+    thr = _ppl_thresholds(docce, ks=[kfn])
+    mp: dict[str, dict[str, int]] = defaultdict(dict)
+    for r in s_dep.collect():
+        mp[r.lang][r.token] = int(r.smicro)
+    oovm = {r.lang: int(r.oov) for r in oovtbl.collect()}
+    consts = spark.createDataFrame(
+        [
+            (t.lang, mp[t.lang], oovm[t.lang], float(t.t1), int(t.t1_doc))
+            for t in thr.collect()
+        ],
+        "lang string, lmmap map<string,bigint>, oov bigint, "
+        "t1 double, t1_doc bigint",
+    )
+    s_dep.unpersist()
+    oovtbl.unpersist()
+
+    staged = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    lang_store = d.select("doc_id", "lang")
+    arr = arrivals.join(lang_store, "doc_id").join(F.broadcast(consts), "lang")
+    tk = tokens(F.col("text"))
+    ce = F.aggregate(
+        tk,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.coalesce(F.element_at(F.col("lmmap"), t), F.col("oov")),
+    )
+    scored = arr.select(
+        "lang",
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        ce.alias("ce_micro"),
+        "t1",
+        "t1_doc",
+    )
+    lp = F.col("ce_micro").cast("double") / float(_PPL_QZ) / F.col("n_tokens")
+    flagged = (
+        F.when(
+            (lp < F.col("t1"))
+            | ((lp == F.col("t1")) & (F.col("doc_id") <= F.col("t1_doc"))),
+            0,
+        )
+        .otherwise(1)
+        .cast("bigint")
+    )
+    agg = (
+        scored.select("lang", flagged.alias("flagged"), "n_tokens", "ce_micro")
+        .groupBy("lang", "flagged")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tok_total"),
+            F.sum("ce_micro").cast("bigint").alias("ce_total_micro"),
         )
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")

@@ -222,6 +222,7 @@ HEADLINE = [
     "q_markov_stationary",
     "q_conformal_ppl_coverage",
     "q_embed_psi_drift",
+    "q_stream_conformal_gate",
 ]
 
 

@@ -310,3 +310,21 @@ def test_ppl_thresholds_adversarial_cases(spark):
                         exp_lp,
                         exp_doc,
                     ), (label, lang, name, k)
+
+
+def test_conformal_gate_flags_about_alpha(spark, sf_dir):
+    funnel = REGISTRY["q_stream_conformal_gate"].fn(spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    arrivals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got: dict[str, int] = {}
+    flagged: dict[str, int] = {}
+    for r in funnel:
+        assert r.flagged in (0, 1)
+        got[r.lang] = got.get(r.lang, 0) + int(r.n_docs)
+        if r.flagged == 1:
+            flagged[r.lang] = int(r.n_docs)
+    assert got == arrivals, "every arrival is either flagged or passed"
+    n_tot = sum(arrivals.values())
+    n_flag = sum(flagged.values())
+    # alpha = 0.1 with a small exchangeable-ish window: generous band
+    assert 0.0 <= n_flag / n_tot <= 0.35, (n_flag, n_tot)
