@@ -64,3 +64,15 @@ def test_compact_abbreviation_is_collision_free():
         a = bench.abbrev(name)
         assert a not in seen, f"abbrev collision: {name} vs {seen[a]} -> {a}"
         seen[a] = name
+
+
+def test_bench_keys_manifest_matches_headline():
+    """BENCH_KEYS.json decodes the compact line's abbreviated keys —
+    regenerate it whenever HEADLINE changes (it is what a reader joins
+    the tail-truncated driver artifact against)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_KEYS.json")
+    manifest = json.load(open(path))
+    assert manifest == {n: bench.abbrev(n) for n in bench.HEADLINE}
