@@ -1847,6 +1847,25 @@ _SPAN_START_MOD = 20
 _SPAN_LOOKBACK = 2
 
 
+def _span_start(j):
+    """Deterministic span-start predicate of (doc_id, position j).
+    The position term promotes to bigint BEFORE the multiply (r11
+    ADVICE): F.sequence yields IntegerType, and j * 40503 in int32
+    wraps silently past j ~ 53,021 — a >53k-token document would
+    diverge from the DuckDB oracle's 64-bit arithmetic
+    (tests/test_r12_semantics.py pins the 64-bit mirror to 60k)."""
+    m31 = F.lit(2147483648).cast("bigint")
+    return (
+        (
+            (F.col("doc_id") % m31) * F.lit(2654435761).cast("bigint")
+            + j.cast("bigint") * F.lit(40503)
+        )
+        % m31
+        % _SPAN_START_MOD
+        == 0
+    )
+
+
 @register(
     "q_span_corruption_plan",
     oracle=f"""
@@ -1899,16 +1918,7 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.select("doc_id", "source", tokens(F.col("text")).alias("tk")).filter(
         F.size("tk") >= 1
     )
-    m31 = F.lit(2147483648).cast("bigint")
-
-    def start(j):
-        return (
-            ((F.col("doc_id") % m31) * F.lit(2654435761).cast("bigint") + j * 40503)
-            % m31
-            % _SPAN_START_MOD
-            == 0
-        )
-
+    start = _span_start
     n = F.size(F.col("tk"))
     starts = F.aggregate(
         F.transform(

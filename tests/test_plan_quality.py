@@ -961,11 +961,16 @@ def test_ccnet_buckets_have_no_lang_partitioned_corpus_window(spark, sf_dir):
     # selection; the only Window operators allowed partition by
     # (lang, bin) — the histogram running count and the boundary-bin
     # residual rank — never by lang alone (the 5-partition corpus sort)
+    # r12: the r11 partitionBy=[...] regex never matched the formatted
+    # plan's Window spelling (windowspecdefinition lines) — the gate
+    # passed vacuously; parse the actual spec lines instead
     plan = _plan(spark, "q_ccnet_perplexity_buckets", sf_dir)
-    import re
-
-    specs = re.findall(r"partitionBy=\[([^\]]*)\]", plan)
-    windows = re.findall(r"Window .*partitionBy=\[([^\]]*)\]", plan)
-    for spec in windows or specs:
-        if "bin" not in spec:
-            assert "lang" not in spec, f"lang-only corpus window survived: {spec}"
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, "expected the histogram-selection windows in the plan"
+    for spec in specs:
+        if "lang" in spec:
+            # histogram windows consume bin/cnt columns; a corpus-scale
+            # window would rank logppl / ce / doc columns instead
+            assert "bin" in spec or "cnt" in spec, (
+                f"lang-partitioned corpus window survived: {spec}"
+            )
