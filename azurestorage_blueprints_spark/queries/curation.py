@@ -26,7 +26,7 @@ from azurestorage_blueprints_spark.functions.text import (
     word_set_occurrences,
     word_shingles,
 )
-from azurestorage_blueprints_spark.queries import register
+from azurestorage_blueprints_spark.queries import finalize_bounded, register
 from azurestorage_blueprints_spark.tables import table
 
 #: email pattern in the Java-regex ∩ RE2 common subset (no lookahead)
@@ -1211,7 +1211,7 @@ def _ppl_logppl():
     return F.col("ce_micro").cast("double") / float(_PPL_QZ) / F.col("n_tokens")
 
 
-def _ppl_thresholds(docce: DataFrame, ks=None) -> DataFrame:
+def _ppl_thresholds(docce: DataFrame, ks=None, with_n: bool = False) -> DataFrame:
     """Exact per-language tercile thresholds as the k-th-smallest
     (logppl, doc_id) pairs (k = ceil(n/3) and ceil(2n/3)) WITHOUT a
     corpus-scale window partitioned by the constant-cardinality ``lang``
@@ -1244,6 +1244,12 @@ def _ppl_thresholds(docce: DataFrame, ks=None) -> DataFrame:
     [ceil(n/3), ceil(2n/3)]. Output aliases are t{i}/t{i}_doc in list
     order. Every k shares the SAME histogram and the SAME boundary-bin
     rescan — still exactly two passes over docce regardless of len(ks).
+
+    ``with_n`` (r12, r11 ADVICE): also emit the per-language input
+    count as ``n_cal`` — it is already sitting in the histogram's
+    running totals, so a caller that needs n (the conformal rung's
+    calibration count) gets it for free instead of a third corpus
+    pass over docce.
     """
     if ks is None:
         ks = [
@@ -1275,6 +1281,7 @@ def _ppl_thresholds(docce: DataFrame, ks=None) -> DataFrame:
     for i in idx:
         bound_aggs.append(F.max(F.when(hits[i], F.col("bin"))).alias(f"b{i}"))
         bound_aggs.append(F.max(F.when(hits[i], kcols[i] - prev)).alias(f"r{i}"))
+    bound_aggs.append(F.max(F.col("n")).alias("_n_lang"))
     bounds = cum.groupBy("lang").agg(*bound_aggs)
     in_boundary = None
     for i in idx:
@@ -1290,6 +1297,7 @@ def _ppl_thresholds(docce: DataFrame, ks=None) -> DataFrame:
         "lang",
         "doc_id",
         "bin",
+        "_n_lang",
         *[c for i in idx for c in (f"b{i}", f"r{i}")],
         logppl.alias("logppl"),
         F.row_number().over(wrk).alias("rn"),
@@ -1299,6 +1307,8 @@ def _ppl_thresholds(docce: DataFrame, ks=None) -> DataFrame:
         at = (F.col("bin") == F.col(f"b{i}")) & (F.col("rn") == F.col(f"r{i}"))
         out_aggs.append(F.max(F.when(at, F.col("logppl"))).alias(f"t{i}"))
         out_aggs.append(F.max(F.when(at, F.col("doc_id"))).alias(f"t{i}_doc"))
+    if with_n:
+        out_aggs.append(F.max(F.col("_n_lang")).cast("bigint").alias("n_cal"))
     return rcand.groupBy("lang").agg(*out_aggs)
 
 
@@ -2071,8 +2081,11 @@ def _conformal_sql() -> str:
     "ids are disjoint from calibration ids by the % 10 split). Shape "
     "(100 TB): the model is the vocab-sized hash-agg (unhinted "
     "scoring join — AQE decides); the selection is histogram + "
-    "boundary-bin rescan; everything else is per-doc aggs and an "
-    "O(langs) report. Nothing collects.",
+    "boundary-bin rescan over a PERSISTED caldoc (r12 — the selection "
+    "phases and n_cal previously recomputed the corpus-scale scoring "
+    "three times; n_cal now rides the histogram's own totals via "
+    "with_n); finalize_bounded materializes the O(langs) report and "
+    "releases the cache — the only driver traffic.",
 )
 def q_conformal_ppl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -2118,21 +2131,25 @@ def q_conformal_ppl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    caldoc = score(tok)
+    # caldoc fans out into the histogram pass AND its boundary-bin
+    # rescan (r11 ADVICE: three corpus-scale recomputes with no
+    # persist); n_cal rides the histogram's own running totals
+    # (with_n) instead of a separate count pass, and finalize_bounded
+    # materializes the O(langs) report while the cache is hot, then
+    # releases it
+    caldoc = score(tok).persist()
     testdoc = score(tokstream(arrivals))
     kfn = lambda n: F.least(  # noqa: E731 — the shared rank-list convention
         F.ceil((n + 1) * _CONF_NUM / F.lit(float(_CONF_DEN))).cast("bigint"),
         n.cast("bigint"),
     )
-    thr = _ppl_thresholds(caldoc, ks=[kfn])
-    ncal = caldoc.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    thr = _ppl_thresholds(caldoc, ks=[kfn], with_n=True)
     lp = _ppl_logppl()
     covered = (lp < F.col("t1")) | (
         (lp == F.col("t1")) & (F.col("doc_id") <= F.col("t1_doc"))
     )
-    return (
+    report = (
         testdoc.join(F.broadcast(thr), "lang")
-        .join(F.broadcast(ncal), "lang")
         .groupBy(
             "lang",
             "n_cal",
@@ -2151,3 +2168,4 @@ def q_conformal_ppl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_coverage", F.lit(_CONF_NUM).cast("double") / F.lit(float(_CONF_DEN))
         )
     )
+    return finalize_bounded(report, caldoc)

@@ -296,9 +296,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_knn_int8",
-    oracle=f"""
+#: shared int8-cosine oracle (r12): q_knn_int8 AND q_knn_pandas_vectorized
+#: compute the identical quantized scores — integer dot products are
+#: exact in float64 at 64 dims (every partial sum < 2^53), so even a
+#: BLAS-reordered accumulation reproduces them bit-for-bit
+_KNN_INT8_SQL = f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     q8 AS (SELECT vec_id,
@@ -316,7 +318,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
       FROM scored)
     SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= {_TOP_K}
-    """,
+    """
+
+
+@register(
+    "q_knn_int8",
+    oracle=_KNN_INT8_SQL,
     doc="Scalar-quantized (int8) brute-force cosine top-k: each vector is "
     "scaled by its max-abs component and rounded to [-127, 127], then scored "
     "with integer dot products — cosine is scale-invariant so the per-vector "
@@ -422,12 +429,20 @@ def q_vector_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_knn_pandas_vectorized",
-    oracle=None,  # BLAS reduction order differs from the sequential fold — rows-only
+    oracle=_KNN_INT8_SQL,
     doc="Vectorized brute-force cosine top-k via mapInPandas: each Arrow "
     "batch of corpus vectors is scored against the (tiny, closure-captured) "
     "query matrix with one numpy matmul — the real 100 TB fast path, "
     "~10-100x the per-row fold since BLAS touches each batch once. "
-    "Equivalence to q_knn_brute_force is asserted in tests/test_ann_recall.py.",
+    "r12 (promoted from rows-only to hash-checked): the worker scores "
+    "the q_knn_int8 QUANTIZED vectors (floor(x*127/maxabs + 0.5), the "
+    "ADC convention) so every dot/norm accumulation is a sum of exact "
+    "integers inside float64 — all partial sums < 2^53 at 64 dims, so "
+    "the BLAS reduction order cannot move a bit and the scores equal "
+    "the sequential fold / DuckDB oracle bit-for-bit (cosine is scale-"
+    "invariant, so the per-vector quantization scale cancels exactly "
+    "as in q_knn_int8; rank agreement vs the float baseline is gated "
+    "in tests/test_ann_recall.py).",
 )
 def q_knn_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -444,15 +459,25 @@ def q_knn_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        Q = np.asarray(q_vecs, dtype=np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        def quant(m):
+            # mirrors the oracle expression-for-expression:
+            # floor(x * 127.0 / greatest(maxabs, 1e-12) + 0.5), all in
+            # float64 with identical operation order
+            scale = np.maximum(np.abs(m).max(axis=1, keepdims=True), 1e-12)
+            return np.floor(m * 127.0 / scale + 0.5)
+
+        Q = quant(np.asarray(q_vecs, dtype=np.float64))
+        Qn = np.sqrt((Q * Q).sum(axis=1))  # exact integer sums -> sqrt
         qid = np.asarray(q_ids)
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sims = Vn @ Qn.T  # (batch, n_queries) in one BLAS call
+            V = quant(np.asarray(pdf["embedding"].tolist(), dtype=np.float64))
+            Vn = np.sqrt((V * V).sum(axis=1))
+            # integer-valued float64 matmul: exact regardless of BLAS
+            # blocking, then ONE multiply + ONE divide per pair in the
+            # oracle's operation order dot / (sqrt(q) * sqrt(c))
+            sims = (V @ Q.T) / (Vn[:, None] * Qn[None, :])
             n = len(pdf)
             yield pd.DataFrame(
                 {
@@ -3505,6 +3530,13 @@ _PSI_RATIO_ALERT = 20
              CAST(sum(is_ref) AS BIGINT) AS c_ref,
              CAST(sum(1 - is_ref) AS BIGINT) AS c_cur
       FROM cells GROUP BY dim, bin),
+    spine AS (
+      SELECT CAST(dd.d AS BIGINT) AS dim, CAST(bb.b AS BIGINT) AS bin
+      FROM unnest(range(0, 64)) AS dd(d), unnest(range(0, {_PSI_BINS})) AS bb(b)),
+    gf AS (
+      SELECT s.dim, s.bin,
+             coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+      FROM spine s LEFT JOIN g ON s.dim = g.dim AND s.bin = g.bin),
     tot AS (
       SELECT CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_ref,
@@ -3519,7 +3551,7 @@ _PSI_RATIO_ALERT = 20
                * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {_PSI_BINS} AS DOUBLE))
                     / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + {_PSI_BINS} AS DOUBLE)))
                * {_PSI_QZ}) AS BIGINT) AS t_micro
-      FROM g CROSS JOIN tot),
+      FROM gf CROSS JOIN tot),
     perdim AS (
       SELECT dim, CAST(sum(t_micro) AS BIGINT) AS psi_micro,
              ({_PSI_BINS} - 1.0) * (1.0 / CAST(max(n_ref) AS DOUBLE)
@@ -3550,8 +3582,12 @@ _PSI_RATIO_ALERT = 20
     "alarm (an identical-split 50-vector window has E_H0 ~ 0.2, ABOVE "
     "the classic watch band). Each dimension's values "
     "histogram into 10 fixed-width bins over [-0.5, 0.5) (clamped "
-    "edges), add-one smoothing keeps every log defined, and each "
-    "bin's (p_ref - p_cur)*ln(p_ref/p_cur) term — provably >= 0 — "
+    "edges), a generated O(dims x bins) spine keeps EVERY bin in the "
+    "sum (r12: a bin empty in both windows still carries a nonzero "
+    "smoothed term when n_ref != n_cur — the all-bins definition the "
+    "h0 formula assumes), add-one smoothing keeps every log defined, "
+    "and each bin's (p_ref - p_cur)*ln(p_ref/p_cur) term — provably "
+    ">= 0 — "
     "quantizes to micro-units BEFORE the per-dimension sum, so the "
     "reduction is exact bigint arithmetic (the _PPL_QZ convention; "
     "the one ln() runs per (dim, bin) cell — 640 cells at ANY corpus "
@@ -3583,6 +3619,20 @@ def q_embed_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").cast("bigint").alias("c_ref"),
         F.sum(F.lit(1) - F.col("is_ref")).cast("bigint").alias("c_cur"),
     )
+    # full (dim, bin) spine (r11 ADVICE): a bin empty in BOTH windows
+    # still contributes its smoothed (p-q)ln(p/q) term whenever
+    # n_ref != n_cur — dropping it understated PSI vs the all-bins
+    # definition the h0 formula assumes. O(dims x bins) = 640 rows.
+    spine = spark.range(64 * _PSI_BINS).select(
+        F.floor(F.col("id") / _PSI_BINS).cast("bigint").alias("dim"),
+        (F.col("id") % _PSI_BINS).cast("bigint").alias("bin"),
+    )
+    gf = spine.join(F.broadcast(g), ["dim", "bin"], "left").select(
+        "dim",
+        "bin",
+        F.coalesce(F.col("c_ref"), F.lit(0)).cast("bigint").alias("c_ref"),
+        F.coalesce(F.col("c_cur"), F.lit(0)).cast("bigint").alias("c_cur"),
+    )
     tot = e.agg(
         F.sum(F.when(F.col("vec_id") % 10 != 0, 1).otherwise(0))
         .cast("bigint")
@@ -3598,7 +3648,7 @@ def q_embed_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     t_micro = F.round((p - q) * F.log(p / q) * F.lit(_PSI_QZ)).cast("bigint")
-    terms = g.crossJoin(F.broadcast(tot)).select(
+    terms = gf.crossJoin(F.broadcast(tot)).select(
         "dim", "n_ref", "n_cur", t_micro.alias("t_micro")
     )
     perdim = terms.groupBy("dim").agg(

@@ -1471,8 +1471,8 @@ def _stream_ppl_oracle() -> str:
     SELECT lang, CAST(bucket AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS tok_total,
-           CAST(sum(ce_micro) AS BIGINT) AS ce_total_micro,
-           CAST(sum(ce_micro) AS DOUBLE) / {_PPL_QZ}.0 / sum(n_tokens)
+           CAST(sum((ce_micro + 500) // 1000) AS BIGINT) AS ce_total_milli,
+           CAST(sum((ce_micro + 500) // 1000) AS DOUBLE) / 1000.0 / sum(n_tokens)
              AS mean_token_surprisal
     FROM verdict GROUP BY lang, bucket
     """
@@ -1592,16 +1592,24 @@ def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .cast("bigint")
     )
+    # funnel totals sum an exact per-doc MILLI rounding (r12): per-doc
+    # ce stays micro-nat (threshold semantics untouched) while the
+    # corpus-scale total gains 1000x int64 headroom — inside int64
+    # through a full 100 TB arrival slice (SCALING.md, accumulator
+    # ceilings; integer div is exact and portable on positives)
+    ce_mil = F.expr("(ce_micro + 500) div 1000")
     agg = (
-        scored.select("lang", bucket.alias("bucket"), "n_tokens", "ce_micro")
+        scored.select(
+            "lang", bucket.alias("bucket"), "n_tokens", ce_mil.alias("ce_milli")
+        )
         .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("tok_total"),
-            F.sum("ce_micro").cast("bigint").alias("ce_total_micro"),
+            F.sum("ce_milli").cast("bigint").alias("ce_total_milli"),
             (
-                F.sum("ce_micro").cast("double")
-                / float(_PPL_QZ)
+                F.sum("ce_milli").cast("double")
+                / 1000.0
                 / F.sum("n_tokens")
             ).alias("mean_token_surprisal"),
         )
@@ -1640,7 +1648,7 @@ def _stream_conformal_oracle() -> str:
                      THEN 0 ELSE 1 END AS BIGINT) AS flagged,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS tok_total,
-           CAST(sum(ce_micro) AS BIGINT) AS ce_total_micro
+           CAST(sum((ce_micro + 500) // 1000) AS BIGINT) AS ce_total_milli
     FROM adoc a JOIN thr ON a.lang = thr.lang
     GROUP BY a.lang, 2
     """
@@ -1740,13 +1748,19 @@ def q_stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .cast("bigint")
     )
+    # the r12 milli funnel convention — see q_stream_perplexity_gate
     agg = (
-        scored.select("lang", flagged.alias("flagged"), "n_tokens", "ce_micro")
+        scored.select(
+            "lang",
+            flagged.alias("flagged"),
+            "n_tokens",
+            F.expr("(ce_micro + 500) div 1000").alias("ce_milli"),
+        )
         .groupBy("lang", "flagged")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("tok_total"),
-            F.sum("ce_micro").cast("bigint").alias("ce_total_micro"),
+            F.sum("ce_milli").cast("bigint").alias("ce_total_milli"),
         )
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
@@ -1793,7 +1807,7 @@ def _stream_dsir_oracle() -> str:
       SELECT bucket,
              CAST(round((ln((c_t + 1.0) / (n_t + {_DSIR_BUCKETS}.0))
                        - ln((c_r + 1.0) / (n_r + {_DSIR_BUCKETS}.0)))
-                  * {_DSIR_QZ}.0) AS BIGINT) AS lr_micro
+                  * {_DSIR_QZ}.0) AS BIGINT) AS lr_milli
       FROM counts CROSS JOIN tots),
     unseen AS (
       SELECT CAST(round((ln(1.0 / (n_t + {_DSIR_BUCKETS}.0))
@@ -1809,16 +1823,16 @@ def _stream_dsir_oracle() -> str:
     adoc AS (
       SELECT f.doc_id, f.lang,
              CAST(count(*) AS BIGINT) AS n_feats,
-             CAST(sum(coalesce(l.lr_micro, u.u)) AS BIGINT) AS imp_micro
+             CAST(sum(coalesce(l.lr_milli, u.u)) AS BIGINT) AS imp_milli
       FROM afeats f LEFT JOIN lr l ON f.bucket = l.bucket CROSS JOIN unseen u
       GROUP BY f.doc_id, f.lang)
-    SELECT lang, imp_micro > 0 AS admitted,
+    SELECT lang, imp_milli > 0 AS admitted,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_feats) AS BIGINT) AS feat_total,
-           CAST(sum(imp_micro) AS BIGINT) AS imp_total_micro,
-           CAST(sum(imp_micro) AS DOUBLE) / {_DSIR_QZ}.0 / count(*)
+           CAST(sum(imp_milli) AS BIGINT) AS imp_total_milli,
+           CAST(sum(imp_milli) AS DOUBLE) / {_DSIR_QZ}.0 / count(*)
              AS mean_log_importance
-    FROM adoc GROUP BY lang, imp_micro > 0
+    FROM adoc GROUP BY lang, imp_milli > 0
     """
 
 
@@ -1842,13 +1856,13 @@ def _stream_dsir_oracle() -> str:
     "raw). The funnel report per (lang, admitted) aggregates in "
     "complete mode. Oracle: DuckDB retrains the model and rescores the "
     "arrival slice end-to-end — any drift between the deployed map and "
-    "the training expressions breaks the hash. Accumulator ceiling "
-    "(r11, honest bound): imp_total_micro sums per-document micro-unit "
-    "importance weights, so the bigint leaves int64 once a funnel "
-    "cell's |docs| x |imp_micro| product nears 9.2e18 (~1e12 docs at "
-    "typical single-digit-nat weights); past that, coarsen the "
-    "quantizer or report per-shard partial sums — Spark would wrap "
-    "silently where DuckDB raises. Shape (100 TB/day "
+    "the training expressions breaks the hash. Accumulators (r12 "
+    "milli rescale): imp_total_milli sums per-document MILLI-unit "
+    "importance weights — |lr_milli| <= ln(n + buckets) x 1000, so a "
+    "funnel cell stays inside int64 through a full 100 TB arrival "
+    "slice with ~10x headroom (bound proof in "
+    "tests/test_r12_semantics.py; the r11 micro form documented a "
+    "~1e12-doc ceiling instead of removing it). Shape (100 TB/day "
     "ingest): model fit is one O(buckets) map-side-combined agg per "
     "retrain cadence; per-arrival work is one projection, state is "
     "O(langs x 2).",
@@ -1864,7 +1878,7 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     standing = d.filter(F.col("doc_id") % 10 != 0)
     model = {
-        int(r.bucket): int(r.lr_micro)
+        int(r.bucket): int(r.lr_milli)
         for r in _dsir_model(spark, standing, with_unseen=True).collect()
     }
     unseen = model.pop(-1)
@@ -1914,19 +1928,19 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bk.select(
         "lang",
         F.size("bk").cast("bigint").alias("n_feats"),
-        imp.alias("imp_micro"),
+        imp.alias("imp_milli"),
     )
     agg = (
         scored.select(
-            "lang", (F.col("imp_micro") > 0).alias("admitted"), "n_feats", "imp_micro"
+            "lang", (F.col("imp_milli") > 0).alias("admitted"), "n_feats", "imp_milli"
         )
         .groupBy("lang", "admitted")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_feats").cast("bigint").alias("feat_total"),
-            F.sum("imp_micro").cast("bigint").alias("imp_total_micro"),
+            F.sum("imp_milli").cast("bigint").alias("imp_total_milli"),
             (
-                F.sum("imp_micro").cast("double")
+                F.sum("imp_milli").cast("double")
                 / float(_DSIR_QZ)
                 / F.count(F.lit(1))
             ).alias("mean_log_importance"),

@@ -134,16 +134,22 @@ def test_simhash_pairs_match_brute_force_hamming(spark):
     assert got == expected
 
 
-def test_pandas_vectorized_matches_brute_force(spark, sf_dir):
-    """The BLAS-batched scorer must produce the same top-k sets as the
-    sequential-fold baseline (sim values agree to float tolerance)."""
+def test_pandas_vectorized_matches_int8_bitwise(spark, sf_dir):
+    """r12: the BLAS-batched scorer computes the q_knn_int8 quantized
+    scores — integer dots are exact in float64, so the two rungs must
+    agree BIT-FOR-BIT (the property that promoted this rung from
+    rows-only to hash-checked), and stay close to the float baseline."""
     brute = REGISTRY["q_knn_brute_force"].fn(spark, sf_dir).collect()
+    int8 = REGISTRY["q_knn_int8"].fn(spark, sf_dir).collect()
     fast = REGISTRY["q_knn_pandas_vectorized"].fn(spark, sf_dir).collect()
-    b = {(r.q_id, r.n_id): r.sim for r in brute}
+    i = {(r.q_id, r.n_id): r.sim for r in int8}
     f = {(r.q_id, r.n_id): r.sim for r in fast}
-    assert set(b) == set(f), "top-k membership diverged"
-    for k, sim in b.items():
-        assert abs(sim - f[k]) < 1e-9
+    assert i == f, "BLAS-batched scores diverged from the sequential fold"
+    b = {(r.q_id, r.n_id): r.sim for r in brute}
+    common = set(b) & set(f)
+    assert len(common) >= len(b) * 0.8, "quantized top-k drifted from float"
+    for k in common:
+        assert abs(b[k] - f[k]) < 0.02  # ~1/254-per-component quantization
 
 
 def test_int8_quantized_knn_tracks_float_ranking(spark, sf_dir):

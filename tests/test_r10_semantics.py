@@ -255,7 +255,7 @@ def test_stream_perplexity_gate_tiles_arrivals_and_orders_buckets(spark, sf_dir)
         assert r.bucket in (1, 2, 3)
         assert r.bucket not in by_lang[r.lang], "one cell per (lang, bucket)"
         by_lang[r.lang][r.bucket] = r
-        want = r.ce_total_micro / _PPL_QZ / r.tok_total
+        want = r.ce_total_milli / 1000.0 / r.tok_total
         assert abs(r.mean_token_surprisal - want) < 1e-12
         assert r.mean_token_surprisal > 0
     for lang, cells in by_lang.items():
@@ -409,7 +409,7 @@ def test_dsir_importance_separates_target_from_raw(spark, sf_dir):
 
 def test_dsir_resample_upsamples_target_and_is_a_subset(spark, sf_dir):
     """Gumbel-top-k selection: exactly k rows, a subset of the scored
-    docs with consistent imp_micro, and the target slice's share in
+    docs with consistent imp_milli, and the target slice's share in
     the selection must exceed its natural share (importance sampling
     toward the target, the paper's acceptance criterion)."""
     from azurestorage_blueprints_spark.queries.corpus_ops import _DSIR_K
@@ -417,11 +417,11 @@ def test_dsir_resample_upsamples_target_and_is_a_subset(spark, sf_dir):
     sel = REGISTRY["q_dsir_resample"].fn(spark, sf_dir).collect()
     assert len(sel) == _DSIR_K
     imp = {
-        r.doc_id: r.imp_micro
+        r.doc_id: r.imp_milli
         for r in REGISTRY["q_dsir_importance"].fn(spark, sf_dir).collect()
     }
-    assert all(r.doc_id in imp and imp[r.doc_id] == r.imp_micro for r in sel)
-    assert all(r.key_micro == r.imp_micro + r.gumbel_micro for r in sel)
+    assert all(r.doc_id in imp and imp[r.doc_id] == r.imp_milli for r in sel)
+    assert all(r.key_milli == r.imp_milli + r.gumbel_milli for r in sel)
     d = table(spark, sf_dir, "documents")
     n_all = d.count()
     n_en = d.filter(F.col("lang") == "en").count()

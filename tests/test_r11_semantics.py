@@ -58,7 +58,7 @@ def test_ppl_gate_funnel_accounts_for_every_arrival(spark, sf_dir):
     got: dict[str, int] = {}
     for r in funnel:
         got[r.lang] = got.get(r.lang, 0) + int(r.n_docs)
-        assert r.tok_total > 0 and r.ce_total_micro > 0
+        assert r.tok_total > 0 and r.ce_total_milli > 0
     assert got == arrivals, "every arriving document lands in exactly one bucket"
 
 
