@@ -93,22 +93,64 @@ def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_knn_lsh",
-    oracle=None,  # bucket assignment depends on engine hash seeds — rows-only
-    doc="Random-hyperplane LSH ANN: 8 deterministic pseudo-hyperplanes (derived "
-    "from murmur3 of (dim_index, plane_index)), bucket = sign bit-pattern of "
-    "the 8 projections; candidates are scored only within the query's bucket. "
-    "Turns the O(QxN) cross join into an equi-join on bucket — the shape that "
-    "scales. Recall vs brute force asserted in tests/test_ann_recall.py.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    tb AS (SELECT vec_id, v, tt.t FROM e CROSS JOIN unnest(range(0, {_LSH_TABLES})) AS tt(t)),
+    bk AS (
+      SELECT vec_id, t,
+             CAST(list_sum(list_transform(range(0, {_LSH_BITS}), p ->
+               CASE WHEN list_reduce(list_prepend(0.0,
+                 list_transform(range(0, len(v)), i -> v[i + 1] *
+                   (CAST((i * 8191 + (t * {_LSH_BITS} + p)) * 2654435761
+                         % 2147483648 % 1000 - 500 AS DOUBLE) / 1000.0))),
+                 (a, b) -> a + b) > 0
+               THEN (1 << p) ELSE 0 END)) + t * {2**_LSH_BITS} AS BIGINT) AS bucket
+      FROM tb),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+      FROM bk q JOIN bk c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT cand.q_id, cand.n_id, list_cosine_similarity(qe.v, ne.v) AS sim
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.q_id
+      JOIN e ne ON ne.vec_id = cand.n_id),
+    ranked AS (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+    doc="Random-hyperplane LSH ANN: 8 deterministic pseudo-hyperplanes "
+    "(r12: components derive from the repo's PORTABLE multiplicative "
+    "hash of (dim_index, plane_index) — the masked-multiply "
+    "convention — instead of engine-seeded murmur3, which is what "
+    "promoted this rung from rows-only to hash-checked: DuckDB now "
+    "reproduces every bucket, candidate set, and clamped sequential-"
+    "fold cosine bit-for-bit), bucket = sign bit-pattern of the "
+    "projections per table; candidates are scored only within the "
+    "query's buckets. Turns the O(QxN) cross join into an equi-join "
+    "on bucket — the shape that scales. Recall vs brute force "
+    "asserted in tests/test_ann_recall.py.",
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
 
     def _proj(plane: int):
-        # pseudo-random hyperplane component for (dim i, plane p): a
-        # deterministic hash mapped to [-0.5, 0.5) — same for every row,
-        # computed JVM-side, no driver-side materialization
+        # pseudo-random hyperplane component for (dim i, plane p): the
+        # portable multiplicative hash mapped to [-0.5, 0.5) — same for
+        # every row, computed JVM-side, mirrored in the DuckDB oracle
+        # (bigint-safe: key < 2^20, key * 2654435761 < 2^51)
         return lambda x, i: x.cast("double") * (
-            (F.pmod(F.hash(i, F.lit(plane)), F.lit(1000)) - 500).cast("double") / 1000.0
+            (
+                (i.cast("bigint") * 8191 + F.lit(plane))
+                * F.lit(2654435761).cast("bigint")
+                % F.lit(2147483648).cast("bigint")
+                % 1000
+                - 500
+            ).cast("double")
+            / 1000.0
         )
 
     def bucket(col, tbl: int):

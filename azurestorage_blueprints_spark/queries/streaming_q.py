@@ -1517,6 +1517,22 @@ def _stream_ppl_oracle() -> str:
     "q_knn_model_drift-style monitoring dictates.",
 )
 def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        _ppl_gate_stream(spark, sf_dir),
+        f"t_{uuid.uuid4().hex[:12]}",
+        output_mode="complete",
+    )
+
+
+def _ppl_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the perplexity gate's full streaming plan (pre-pass deploy
+    + arrival scoring + complete-mode funnel agg) WITHOUT starting it.
+    Shared by the registered rung (run_to_memory drives it to
+    completion) and the checkpoint-recovery gate
+    (tests/test_streaming.py::test_gate_checkpoint_recovery), which
+    stops the stream mid-replay and restarts it from the same on-disk
+    checkpoint — the state-store recovery property a production ingest
+    restart actually depends on."""
     from collections import defaultdict
 
     from azurestorage_blueprints_spark.functions.text import tokens
@@ -1614,7 +1630,7 @@ def q_stream_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_token_surprisal"),
         )
     )
-    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+    return agg
 
 
 def _stream_conformal_oracle() -> str:

@@ -369,19 +369,24 @@ def main() -> None:
         print(line)
 
 
+_B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
 def abbrev(name: str) -> str:
-    """Compact-line key: drop the q_ prefix, cut every token to 2
-    chars (q_stats_mann_whitney -> stmawh). Deterministic; uniqueness
-    over HEADLINE is gated in tests/test_bench_output.py. History: the
-    separator was dropped at 105 headline queries (r10), the tail
-    tokens tightened to 2 chars at 117, and the FIRST token tightened
-    3 -> 2 at 135 (r11: the 3/2 form hit 1981 against the driver's
-    2000-char tail) — the 2/2 form is 1854, collision-free, with ~46
-    chars (~5 queries) of headroom; the next growth round must move to
-    a committed key-manifest (full name -> key JSON) instead of
-    squeezing chars again."""
-    ts = name.removeprefix("q_").split("_")
-    return "".join(t[:2] for t in ts)
+    """Compact-line key: the committed key-manifest scheme (r12) — each
+    HEADLINE query's key is its position in base36 (1-2 chars at up to
+    1296 queries), decoded via BENCH_KEYS.json, which tests gate to
+    stay in sync with HEADLINE. History: name-derived abbreviations
+    were squeezed from 3 to 2 chars per token through r10-r11 and ran
+    out of tail-window headroom at 135 queries; positional keys cut
+    the per-query cost to <= 2 chars and bought room for the per-run
+    contention diagnostics the r11 driver artifact lacked (its single
+    contended run read as a 39% regression until hand-checked against
+    local medians)."""
+    i = HEADLINE.index(name)
+    if i < 36:
+        return _B36[i]
+    return _B36[i // 36] + _B36[i % 36]
 
 
 def emit_lines(
@@ -415,18 +420,49 @@ def emit_lines(
         "queries": timings,
         "value": value,
     }
-    # second, compact, tail-survivable summary line: no spread/errors,
-    # 1-decimal medians, minimal separators and keys, queries first and
-    # the total LAST — so even a front-truncated tail still ends with
-    # the headline value; must fit the driver's 2000-char tail window
-    # at the full headline count (gated in tests/test_bench_output.py).
-    # keys are abbreviated (q_ prefix dropped, each name token cut to 3
-    # chars) in the compact line ONLY — at 76 queries the full names
-    # outgrew the window; the abbreviation is deterministic, gated
-    # collision-free over HEADLINE, and the full artifact line keeps
-    # the exact registry names
+    # second, compact, tail-survivable summary line: no per-query
+    # spread/errors, 1-decimal medians, positional BENCH_KEYS keys,
+    # queries first and the total LAST — so even a front-truncated
+    # tail still ends with the headline value; must fit the driver's
+    # 2000-char tail window at the full headline count (gated in
+    # tests/test_bench_output.py). The full artifact line keeps the
+    # exact registry names.
+    #
+    # contention self-identification (r12, r11 verdict task 3): the
+    # r11 driver artifact was a single contended run — uniform ~1.29x
+    # elevation across unrelated queries — and could only be diagnosed
+    # by hand against committed local medians. The compact line now
+    # carries the med/min ratio percentiles ("sprd": r50/r90/max over
+    # all queries) and the worst stalled rungs ("stall": up to 8
+    # [key, min, med] with med > 1.3x min). A quiet box reads r50 ~ 1.0
+    # and an empty stall list; box contention self-identifies as a
+    # uniformly elevated r50 in the artifact itself.
+    ratios = sorted(
+        timings[k] / spread[k][0]
+        for k in timings
+        if k in spread and spread[k][0] > 0
+    )
+    sprd = (
+        {
+            "r50": round(ratios[len(ratios) // 2], 2),
+            "r90": round(ratios[(len(ratios) * 9) // 10], 2),
+            "max": round(ratios[-1], 2),
+        }
+        if ratios
+        else {}
+    )
+    stalled = sorted(
+        (
+            (timings[k] / spread[k][0], k)
+            for k in timings
+            if k in spread and spread[k][0] > 0 and timings[k] > 1.3 * spread[k][0]
+        ),
+        reverse=True,
+    )[:8]
     compact = {
         "queries": {abbrev(k): round(v, 1) for k, v in timings.items()},
+        "sprd": sprd,
+        "stall": {abbrev(k): [spread[k][0], round(timings[k], 1)] for _, k in stalled},
         "sf": sf,
         "n_ok": len(timings),
         "value": value,

@@ -13,7 +13,9 @@ durationMs.triggerExecution so first-vs-steady-state is a committed
 number.
 
 Usage: python scripts/stream_batch_timing.py [--sf DIR] [--reps N]
-       [gate names...; default: a representative gate per family]
+       [gate names...; default: ALL TEN ingest gates (r11 verdict
+       task 7 — the claim must be measured for every gate, not a
+       representative subset)]
 Writes STREAM_BATCH_TIMING.json at the repo root.
 """
 
@@ -32,8 +34,15 @@ from azurestorage_blueprints_spark.streaming import windows as sw
 
 DEFAULT_GATES = [
     "q_stream_dedup_incremental",
-    "q_stream_dsir_gate",
+    "q_stream_substring_incremental",
+    "q_stream_curation_gate",
+    "q_stream_ann_serving",
+    "q_stream_model_drift",
     "q_stream_perplexity_gate",
+    "q_stream_conformal_gate",
+    "q_stream_dsir_gate",
+    "q_stream_multimodal_gate",
+    "q_stream_forget_gate",
 ]
 
 

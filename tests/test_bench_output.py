@@ -76,3 +76,20 @@ def test_bench_keys_manifest_matches_headline():
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_KEYS.json")
     manifest = json.load(open(path))
     assert manifest == {n: bench.abbrev(n) for n in bench.HEADLINE}
+
+
+def test_compact_line_contention_diagnostics():
+    """r12 (r11 verdict task 3): the compact line must self-identify a
+    contended run — med/min ratio percentiles always present, the
+    stall list empty on a quiet box and capped at 8 when everything
+    stalls (so the worst case still fits the tail window)."""
+    timings, spread = _fake_run()
+    quiet = json.loads(bench.emit_lines(timings, spread, {}, 0.1)[-1])
+    assert quiet["sprd"]["r50"] == round(12.345 / 9.876, 2)
+    assert quiet["stall"] == {}, "1.25x med/min is under the 1.3x stall bar"
+    contended = {name: [6.0, 19.876] for name in bench.HEADLINE}
+    hot = json.loads(bench.emit_lines(timings, contended, {}, 0.1)[-1])
+    assert hot["sprd"]["r50"] > 2.0
+    assert len(hot["stall"]) == 8
+    for _k, (mn, med) in hot["stall"].items():
+        assert med > 1.3 * mn

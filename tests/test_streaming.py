@@ -118,3 +118,69 @@ def test_stateful_running_totals(spark, sf_dir, stream_dir):
     for uid, (n, total) in final.items():
         assert n == batch[uid][0], f"user {uid}: stream count {n} != batch {batch[uid][0]}"
         assert abs(total - batch[uid][1]) < 1e-6 * max(1.0, abs(batch[uid][1]))
+
+
+def test_gate_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Production ingest RESTARTS: a gate stopped mid-replay (after ~2
+    of its 4 micro-batches, checkpointLocation on disk) and restarted
+    from the same checkpoint must recover its aggregation state and
+    produce the exact full-replay funnel — the state-store recovery
+    property 100 TB ingest actually needs. The single-run replay the
+    registered rungs use never exercises it."""
+    import time
+
+    from azurestorage_blueprints_spark.queries.streaming_q import _ppl_gate_stream
+
+    ckpt = str(tmp_path / "gate_ckpt")
+
+    def start(name):
+        return (
+            _ppl_gate_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start("gate_recovery_a")
+    try:
+        # stop mid-replay: wait until at least batch 1 (the 2nd of 4
+        # micro-batches) has committed, then kill the query
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            lp = q1.lastProgress
+            if lp is not None and lp["batchId"] >= 1:
+                break
+            time.sleep(0.25)
+        else:
+            raise AssertionError("gate never committed its 2nd micro-batch")
+    finally:
+        q1.stop()
+    batches_before = q1.lastProgress["batchId"] + 1
+    assert batches_before < 4, "stop raced past the full replay — not a recovery test"
+
+    # restart from the SAME checkpoint: offsets + state store recover,
+    # the remaining micro-batches stream in, complete mode rebuilds the
+    # full funnel table
+    q2 = start("gate_recovery_b")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    import json
+
+    resumed_first = json.loads(q2.recentProgress[0].json)["batchId"]
+    assert resumed_first >= batches_before - 1, (
+        f"restart reprocessed from batch {resumed_first}, "
+        f"not from the checkpointed offset {batches_before}"
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM gate_recovery_b").collect()))
+
+    # batch oracle: the registered rung's single uninterrupted replay
+    from azurestorage_blueprints_spark.queries import load_all
+
+    want = sorted(
+        map(tuple, load_all()["q_stream_perplexity_gate"].fn(spark, sf_dir).collect())
+    )
+    assert got == want, "recovered funnel diverged from the uninterrupted replay"
