@@ -1258,3 +1258,69 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (r12) — the two-phase histogram selection
+# generalized out of the CCNet family into a standalone relational
+# operator (operators/selection.py). Spark's built-in is
+# percentile_approx (a GK sketch: approximate AND engine-specific); the
+# naive exact form sorts each group's whole corpus slice in one task.
+
+
+@register(
+    "q_quantiles_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN o_totalprice END) AS q1,
+           max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN o_orderkey END) AS q1_key,
+           max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                    THEN o_totalprice END) AS q2,
+           max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                    THEN o_orderkey END) AS q2_key,
+           max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                    THEN o_totalprice END) AS q3,
+           max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                    THEN o_orderkey END) AS q3_key
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    doc="EXACT per-group order statistics (p50/p90/p99 of order value "
+    "per priority class) WITHOUT a per-group sort: Spark only ships "
+    "percentile_approx (GK sketch — approximate and engine-specific), "
+    "and the naive exact plan windows over a constant-cardinality "
+    "group key (5 priorities x the whole corpus through 5 sort tasks "
+    "at 100 TB). This rung runs operators/selection.py's two-phase "
+    "distributed selection — the CCNet threshold machinery "
+    "generalized: ONE map-side-combined (group, milli-log-bin) "
+    "histogram, rank location over the O(groups x ~13k-bin) "
+    "histogram, then a boundary-bin-only rescan resolves each exact "
+    "k-th smallest (value, key) pair, k = ceil(q x n). Quantiles are "
+    "defined by RANK (the discrete lower-quantile convention), so the "
+    "DuckDB oracle takes its free per-group sort and agrees "
+    "bit-for-bit — binning exactness needs only monotonicity, never "
+    "cross-engine libm agreement. The selected keys make the result "
+    "auditable: q3_key IS the order sitting at p99, the row a "
+    "latency/cost investigation opens first.",
+)
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.operators.selection import (
+        exact_group_quantiles,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    ks = [
+        lambda n: F.ceil(n * F.lit(0.5)).cast("bigint"),
+        lambda n: F.ceil(n * F.lit(0.9)).cast("bigint"),
+        lambda n: F.ceil(n * F.lit(0.99)).cast("bigint"),
+    ]
+    return exact_group_quantiles(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", ks
+    )

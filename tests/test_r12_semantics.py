@@ -199,3 +199,105 @@ def test_doremi_and_dsir_sources_state_no_sub100tb_ceiling():
     for m in (corpus_ops, streaming_q):
         src = inspect.getsource(m)
         assert "2.6e11" not in src, f"{m.__name__} still quotes the micro ceiling"
+
+
+def test_exact_group_quantiles_match_window_reference(spark, sf_dir):
+    """The generalized two-phase selection (operators/selection.py)
+    must reproduce the rank-window reference exactly on real data —
+    the equivalence the q_quantiles_exact rung rests on."""
+    from azurestorage_blueprints_spark.operators.selection import (
+        exact_group_quantiles,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    ks = [
+        lambda n: F.ceil(n * F.lit(0.5)).cast("bigint"),
+        lambda n: F.ceil(n * F.lit(0.99)).cast("bigint"),
+    ]
+    got = {
+        r.o_orderpriority: r
+        for r in exact_group_quantiles(
+            o, "o_orderpriority", "o_totalprice", "o_orderkey", ks
+        ).collect()
+    }
+    rows = sorted(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey").collect(),
+        key=lambda r: (r.o_orderpriority, r.o_totalprice, r.o_orderkey),
+    )
+    bygrp: dict[str, list] = {}
+    for r in rows:
+        bygrp.setdefault(r.o_orderpriority, []).append(r)
+    assert sorted(bygrp) == sorted(got)
+    for grp, rs in bygrp.items():
+        n = len(rs)
+        g = got[grp]
+        assert g.n == n
+        import math
+
+        for qi, frac in ((1, 0.5), (2, 0.99)):
+            k = math.ceil(n * frac)
+            want = rs[k - 1]
+            assert getattr(g, f"q{qi}") == want.o_totalprice, (grp, qi)
+            assert getattr(g, f"q{qi}_key") == want.o_orderkey, (grp, qi)
+
+
+def test_exact_group_quantiles_adversarial_cases(spark):
+    """Crafted worst cases: all-ties (single bin), ties exactly at the
+    rank, singleton groups, mixed group sizes."""
+    from azurestorage_blueprints_spark.operators.selection import (
+        exact_group_quantiles,
+    )
+
+    cases = {
+        "ties": [("a", 7.0, i) for i in range(9)],
+        "cut_tie": [("a", 1.0, 1), ("a", 2.0, 2), ("a", 2.0, 3), ("a", 9.0, 4)],
+        "singleton": [("a", 3.5, 1)],
+        "mixed": [("a", float(i + 1), i) for i in range(10)]
+        + [("b", 2.0, 11), ("b", 1.0, 12)],
+    }
+    ks = [
+        lambda n: F.ceil(n * F.lit(0.5)).cast("bigint"),
+        lambda n: n.cast("bigint"),  # the max — boundary bin is the last
+    ]
+    import math
+
+    for name, rows in cases.items():
+        df = spark.createDataFrame(rows, "g string, v double, k bigint")
+        got = {r.g: r for r in exact_group_quantiles(df, "g", "v", "k", ks).collect()}
+        bygrp: dict[str, list] = {}
+        for g, v, k in rows:
+            bygrp.setdefault(g, []).append((v, k))
+        for g, vs in bygrp.items():
+            vs.sort()
+            n = len(vs)
+            r = got[g]
+            assert r.n == n, name
+            k1 = math.ceil(n * 0.5)
+            assert (r.q1, r.q1_key) == vs[k1 - 1], (name, g)
+            assert (r.q2, r.q2_key) == vs[n - 1], (name, g)
+
+
+def test_exact_group_quantiles_plan_windows_ride_the_histogram(spark, sf_dir):
+    """No Window in the selection plan may partition by the group key
+    without the histogram bin — the constant-key corpus sort this
+    operator exists to avoid."""
+    from azurestorage_blueprints_spark.operators.selection import (
+        exact_group_quantiles,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    df = exact_group_quantiles(
+        o,
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        [lambda n: F.ceil(n * F.lit(0.5)).cast("bigint")],
+    )
+    plan = _plan_of(spark, df)
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert len(specs) >= 2
+    for spec in specs:
+        if "o_orderpriority" in spec:
+            assert "_qbin" in spec or "_cnt" in spec, (
+                f"group-only corpus window survived: {spec}"
+            )
