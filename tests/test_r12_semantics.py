@@ -301,3 +301,28 @@ def test_exact_group_quantiles_plan_windows_ride_the_histogram(spark, sf_dir):
             assert "_qbin" in spec or "_cnt" in spec, (
                 f"group-only corpus window survived: {spec}"
             )
+
+
+def test_exact_group_quantiles_rescan_is_a_sliver(spark, sf_dir):
+    """Scale posture of the two-phase selection: phase 2 re-scans ONLY
+    the boundary bins, an expected ~len(ks)/bins slice of the corpus.
+    Gate the realized fraction on real data so a binning regression
+    (too-coarse bins -> phase 2 degrades toward the full sort this
+    operator exists to avoid) fails loudly."""
+    from azurestorage_blueprints_spark.operators.selection import log_bin
+
+    o = table(spark, sf_dir, "orders")
+    binc = log_bin(F.col("o_totalprice"))
+    hist = o.groupBy("o_orderpriority", binc.alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_rows = o.count()
+    n_bins = hist.count()
+    # hundreds of distinct milli-log bins per group on real prices
+    assert n_bins / 5 > 100, f"binning collapsed to {n_bins} bins"
+    # worst single bin (any boundary bin's rescan cost) stays a sliver
+    worst = hist.agg(F.max("c")).first()[0]
+    assert worst / n_rows < 0.05, (
+        f"largest bin holds {worst}/{n_rows} rows — phase 2 would rescan "
+        "a material corpus share"
+    )
