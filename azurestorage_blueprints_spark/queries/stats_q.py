@@ -1324,3 +1324,63 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_group_quantiles(
         o, "o_orderpriority", "o_totalprice", "o_orderkey", ks
     )
+
+
+@register(
+    "q_quantiles_global",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice,
+             l_orderkey * 8 + l_linenumber AS line_key,
+             row_number() OVER (ORDER BY l_extendedprice,
+                                l_orderkey * 8 + l_linenumber) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem)
+    SELECT 'all' AS scope, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN l_extendedprice END) AS q1,
+           max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN line_key END) AS q1_key,
+           max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                    THEN l_extendedprice END) AS q2,
+           max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                    THEN line_key END) AS q2_key,
+           max(CASE WHEN rn = CAST(ceil(n * 0.999) AS BIGINT)
+                    THEN l_extendedprice END) AS q3,
+           max(CASE WHEN rn = CAST(ceil(n * 0.999) AS BIGINT)
+                    THEN line_key END) AS q3_key
+    FROM ranked
+    """,
+    doc="GLOBAL exact p50/p99/p999 over the fact table — the DEGENERATE "
+    "single-group case of q_quantiles_exact, which is exactly where "
+    "the naive exact plan is worst: an ungrouped rank window puts the "
+    "ENTIRE corpus through one sort task (Spark plans a "
+    "single-partition Window for an empty partitionBy — at 100 TB, "
+    "one executor sorts 100 TB). The two-phase histogram selection "
+    "(operators/selection.py) is indifferent: the corpus-scale work "
+    "stays one map-side-combined histogram agg + a boundary-bin "
+    "rescan, and the only windows ride the O(bins) histogram. The "
+    "unique tiebreak is the composite line key (l_orderkey * 8 + "
+    "l_linenumber, exact bigint on both engines); the DuckDB oracle "
+    "takes its free global sort and agrees bit-for-bit. p999 with a "
+    "witness key is the production ask this exists for: 'which line "
+    "item sits at the revenue tail' without sorting the corpus.",
+)
+def q_quantiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.operators.selection import (
+        exact_group_quantiles,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.lit("all").alias("scope"),
+        F.col("l_extendedprice"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber").cast("bigint")).alias(
+            "line_key"
+        ),
+    )
+    ks = [
+        lambda n: F.ceil(n * F.lit(0.5)).cast("bigint"),
+        lambda n: F.ceil(n * F.lit(0.99)).cast("bigint"),
+        lambda n: F.ceil(n * F.lit(0.999)).cast("bigint"),
+    ]
+    return exact_group_quantiles(li, "scope", "l_extendedprice", "line_key", ks)

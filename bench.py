@@ -223,10 +223,12 @@ HEADLINE = [
     "q_conformal_ppl_coverage",
     "q_embed_psi_drift",
     "q_stream_conformal_gate",
-    # round-12: exact distributed per-group quantiles (two-phase
-    # histogram selection generalized out of the CCNet family — its
-    # bench number pins the selection machinery's relational floor)
+    # round-12: exact distributed quantiles (two-phase histogram
+    # selection generalized out of the CCNet family — per-group and
+    # the degenerate global case; their bench numbers pin the
+    # selection machinery's relational floor)
     "q_quantiles_exact",
+    "q_quantiles_global",
 ]
 
 

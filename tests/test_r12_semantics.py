@@ -326,3 +326,33 @@ def test_exact_group_quantiles_rescan_is_a_sliver(spark, sf_dir):
         f"largest bin holds {worst}/{n_rows} rows — phase 2 would rescan "
         "a material corpus share"
     )
+
+
+def test_global_quantiles_degenerate_case_plan_and_values(spark, sf_dir):
+    """The single-group (constant-key) case is where the naive exact
+    plan is worst — an empty-partitionBy window sorts the whole corpus
+    in ONE task. The selection plan must keep every window on the
+    histogram, and the values must equal a driver-side sorted
+    reference."""
+    out = REGISTRY["q_quantiles_global"].fn(spark, sf_dir)
+    plan = _plan_of(spark, out)
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs
+    for spec in specs:
+        assert "_qbin" in spec or "_cnt" in spec, (
+            f"corpus-scale window in the global-quantile plan: {spec}"
+        )
+    li = sorted(
+        (r.l_extendedprice, r.l_orderkey * 8 + r.l_linenumber)
+        for r in table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    import math
+
+    r = out.first()
+    n = len(li)
+    assert r.n == n
+    for qi, frac in ((1, 0.5), (2, 0.99), (3, 0.999)):
+        k = math.ceil(n * frac)
+        assert (getattr(r, f"q{qi}"), getattr(r, f"q{qi}_key")) == li[k - 1], qi
