@@ -2197,3 +2197,127 @@ def q_stream_forget_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("value_cents_total"),
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile gate (r12) — the deployment half of the exact
+# distributed order statistics (operators/selection.py): calibrate
+# frozen per-language tail thresholds on the standing corpus with the
+# two-phase histogram selection, then funnel arrivals against them at
+# the ingest door. The production ask is "flag documents past the
+# standing p95 length as they arrive" — a frozen-artifact compare, the
+# same legal streaming shape as the perplexity/conformal gates.
+
+
+def _stream_qtile_oracle() -> str:
+    return """
+    WITH st AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 10 <> 0),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM st),
+    thr AS (
+      SELECT lang,
+             max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                      THEN n_chars END) AS t1,
+             max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                      THEN doc_id END) AS t1_key
+      FROM ranked GROUP BY lang),
+    arr AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT a.lang,
+           CAST(CASE WHEN a.n_chars > t1
+                      OR (a.n_chars = t1 AND a.doc_id > t1_key)
+                     THEN 1 ELSE 0 END AS BIGINT) AS over_p95,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(a.n_chars) AS BIGINT) AS chars_total,
+           CAST(max(a.n_chars) AS BIGINT) AS max_chars
+    FROM arr a JOIN thr ON a.lang = thr.lang
+    GROUP BY a.lang, 2
+    """
+
+
+@register(
+    "q_stream_quantile_gate",
+    oracle=_stream_qtile_oracle(),
+    doc="INGEST-TIME tail-threshold gate — the deployment half of "
+    "q_quantiles_exact (the batch rung measures order statistics; "
+    "THIS freezes them and meters arrivals against them, the 'flag "
+    "documents past the standing p95 as they arrive' production "
+    "monitor): a batch pre-pass finds each language's EXACT p95 "
+    "(n_chars, doc_id) pair on the standing corpus (doc_id % 10 != 0) "
+    "via the two-phase histogram selection — no constant-key "
+    "sort-window, the operators/selection.py machinery — deploys the "
+    "O(langs) threshold table as broadcast constants, and arrivals "
+    "(doc_id % 10 == 0 replayed as micro-batches) compare ROW-LOCALLY "
+    "with the lexicographic (value, key) convention the conformal "
+    "gate established, funneling per (lang, over_p95) in complete "
+    "mode. Oracle: DuckDB recalibrates the thresholds with its free "
+    "per-language sort (ranks, not bins, define the quantile) and "
+    "reproduces every funnel cell bit-for-bit. Shape (100 TB ingest): "
+    "calibration is one histogram agg + boundary-bin rescan per "
+    "retrain cadence; per-arrival work is one length + one compare; "
+    "state is O(langs x 2) counter rows; the deployed artifact is "
+    "O(langs).",
+)
+def q_stream_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.operators.selection import (
+        exact_group_quantiles,
+        log_bin,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 0).select(
+        "lang", "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    # +1 inside the log bin: n_chars is >= 0 and log_bin needs a
+    # positive argument; the shift is monotone so exactness holds
+    thr = exact_group_quantiles(
+        standing,
+        "lang",
+        "n_chars",
+        "doc_id",
+        [lambda n: F.ceil(n * F.lit(0.95)).cast("bigint")],
+        bin_of=lambda v: log_bin(v + F.lit(1)),
+    )
+    # O(langs) model deploy — the bounded-collect convention
+    consts = spark.createDataFrame(
+        [(t.lang, int(t.q1), int(t.q1_key)) for t in thr.collect()],
+        "lang string, t1 bigint, t1_key bigint",
+    )
+
+    staged = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    lang_store = d.select("doc_id", "lang")
+    arr = arrivals.join(lang_store, "doc_id").join(F.broadcast(consts), "lang")
+    nc = F.length("text").cast("bigint")
+    over = (
+        F.when(
+            (nc > F.col("t1"))
+            | ((nc == F.col("t1")) & (F.col("doc_id") > F.col("t1_key"))),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    agg = (
+        arr.select("lang", over.alias("over_p95"), nc.alias("n_chars"))
+        .groupBy("lang", "over_p95")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+    return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")

@@ -229,6 +229,9 @@ HEADLINE = [
     # selection machinery's relational floor)
     "q_quantiles_exact",
     "q_quantiles_global",
+    # round-12: the 11th ingest gate — frozen exact-p95 thresholds
+    # (two-phase selection pre-pass) metered against arrivals
+    "q_stream_quantile_gate",
 ]
 
 

@@ -13,7 +13,7 @@ durationMs.triggerExecution so first-vs-steady-state is a committed
 number.
 
 Usage: python scripts/stream_batch_timing.py [--sf DIR] [--reps N]
-       [gate names...; default: ALL TEN ingest gates (r11 verdict
+       [gate names...; default: ALL ELEVEN ingest gates (r11 verdict
        task 7 — the claim must be measured for every gate, not a
        representative subset)]
 Writes STREAM_BATCH_TIMING.json at the repo root.
@@ -43,6 +43,7 @@ DEFAULT_GATES = [
     "q_stream_dsir_gate",
     "q_stream_multimodal_gate",
     "q_stream_forget_gate",
+    "q_stream_quantile_gate",
 ]
 
 

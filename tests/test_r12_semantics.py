@@ -356,3 +356,25 @@ def test_global_quantiles_degenerate_case_plan_and_values(spark, sf_dir):
     for qi, frac in ((1, 0.5), (2, 0.99), (3, 0.999)):
         k = math.ceil(n * frac)
         assert (getattr(r, f"q{qi}"), getattr(r, f"q{qi}_key")) == li[k - 1], qi
+
+
+def test_quantile_gate_funnel_accounts_for_every_arrival(spark, sf_dir):
+    """Every arriving document lands in exactly one (lang, over_p95)
+    cell, and the realized over-p95 share sits near the 5% the frozen
+    threshold was calibrated to (the split reuses one distribution)."""
+    funnel = REGISTRY["q_stream_quantile_gate"].fn(spark, sf_dir).collect()
+    assert all(r.over_p95 in (0, 1) for r in funnel)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    arrivals = {
+        r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got: dict[str, int] = {}
+    over = total = 0
+    for r in funnel:
+        got[r.lang] = got.get(r.lang, 0) + int(r.n_docs)
+        total += r.n_docs
+        if r.over_p95 == 1:
+            over += r.n_docs
+        assert r.chars_total >= r.n_docs >= 1 and r.max_chars >= 1
+    assert got == arrivals
+    assert 0.0 <= over / total < 0.25, f"p95 gate flagged {over}/{total}"
