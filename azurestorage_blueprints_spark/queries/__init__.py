@@ -146,11 +146,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: after every older never-checked name so the driver's fixed check
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
-    "q_kn_bigram_perplexity", "q_quality_calibration",
-    "q_mixture_unimax", "q_span_corruption_plan",
-    "q_embed_pca_var_share",
-    "q_markov_stationary", "q_conformal_ppl_coverage",
-    "q_embed_psi_drift", "q_stream_conformal_gate",
+    "q_quantiles_exact", "q_quantiles_global",
+    "q_stream_quantile_gate",
 })
 
 
