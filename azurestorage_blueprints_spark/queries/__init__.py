@@ -147,7 +147,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: budget always closes the oldest coverage tail first.
 _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_quantiles_exact", "q_quantiles_global",
-    "q_stream_quantile_gate",
+    "q_stream_quantile_gate", "q_embed_jl_projection", "q_eval_rouge_n",
 })
 
 

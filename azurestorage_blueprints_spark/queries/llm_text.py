@@ -2394,3 +2394,135 @@ def q_text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("und"))
         .alias("routed_lang"),
     )
+
+
+@register(
+    "q_eval_rouge_n",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents),
+    eligible AS (SELECT * FROM toked WHERE len(tk) >= 2),
+    pairs AS (
+      SELECT c.doc_id AS pair_id, c.lang AS lang,
+             c.tk AS ctk, r.tk AS rtk,
+             CAST(len(c.tk) - 1 AS BIGINT) AS tc,
+             CAST(len(r.tk) - 1 AS BIGINT) AS tr
+      FROM eligible c JOIN eligible r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0),
+    cg AS (
+      SELECT pair_id, g, count(*) AS cc FROM (
+        SELECT pair_id,
+               unnest(list_transform(range(1, len(ctk)),
+                 i -> ctk[i] || ' ' || ctk[i + 1])) AS g
+        FROM pairs) GROUP BY pair_id, g),
+    rg AS (
+      SELECT pair_id, g, count(*) AS rc FROM (
+        SELECT pair_id,
+               unnest(list_transform(range(1, len(rtk)),
+                 i -> rtk[i] || ' ' || rtk[i + 1])) AS g
+        FROM pairs) GROUP BY pair_id, g),
+    m AS (
+      SELECT cg.pair_id, CAST(sum(least(cc, rc)) AS BIGINT) AS match_n
+      FROM cg JOIN rg ON rg.pair_id = cg.pair_id AND rg.g = cg.g
+      GROUP BY cg.pair_id),
+    milli AS (
+      SELECT p.lang,
+             (COALESCE(m.match_n, 0) * 1000) // p.tc AS p_milli,
+             (COALESCE(m.match_n, 0) * 1000) // p.tr AS r_milli,
+             (COALESCE(m.match_n, 0) * 2000) // (p.tc + p.tr) AS f1_milli
+      FROM pairs p LEFT JOIN m ON m.pair_id = p.pair_id)
+    SELECT lang,
+           count(*) AS n_pairs,
+           CAST(sum(p_milli) AS DOUBLE) / count(*) AS mean_p_milli,
+           CAST(sum(r_milli) AS DOUBLE) / count(*) AS mean_r_milli,
+           CAST(sum(f1_milli) AS DOUBLE) / count(*) AS mean_f1_milli,
+           max(f1_milli) AS max_f1_milli
+    FROM milli GROUP BY lang
+    """,
+    doc="Clipped n-gram overlap scoring (the ROUGE-2 / BLEU "
+    "modified-precision kernel) — the eval-harness metric the eval "
+    "family lacked: given (candidate, reference) text pairs, the "
+    "clipped match count sum_g min(count_cand(g), count_ref(g)) "
+    "yields precision = match/|cand bigrams|, recall = "
+    "match/|ref bigrams|, and F1 via the shared-numerator identity "
+    "F1 = 2*match/(tc + tr) — so all three are EXACT integer "
+    "milli-ratios (floor-division of int64 counts), and the only IEEE "
+    "divides are the final per-lang means of bounded ints. Pairing "
+    "here is adjacent doc_id (candidate = even id, reference = id+1, "
+    "both >= 2 tokens) — the fixture's stand-in for a "
+    "(model_output, reference) eval table; the operator itself is "
+    "pairing-agnostic. Pairs whose bigram sets are disjoint still "
+    "score (LEFT join + COALESCE 0): dropping zero-match pairs would "
+    "bias every mean upward. Shape (100 TB): tokenize + shingle "
+    "row-local (the materialized-token-array convention of "
+    "functions/text.py), per-side counts are map-side-combined "
+    "hash-aggs on (pair_id, gram), the clip is ONE equi-join on "
+    "(pair_id, gram) — co-partitioned, no window, no cross join — and "
+    "the report is an O(langs) hash-agg.",
+)
+def q_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", X.tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 2)
+
+    c = tok.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"),
+        "lang",
+        F.col("tk").alias("ctk"),
+        (F.size("tk") - 1).cast("bigint").alias("tc"),
+    )
+    r = tok.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("tk").alias("rtk"),
+        (F.size("tk") - 1).cast("bigint").alias("tr"),
+    )
+    pairs = c.join(r, "pair_id")
+
+    cg = (
+        pairs.select(
+            "pair_id", F.explode(X.word_shingles(F.col("ctk"), k=2)).alias("g")
+        )
+        .groupBy("pair_id", "g")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    rg = (
+        pairs.select(
+            "pair_id", F.explode(X.word_shingles(F.col("rtk"), k=2)).alias("g")
+        )
+        .groupBy("pair_id", "g")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    m = (
+        cg.join(rg, ["pair_id", "g"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("cc", "rc")).cast("bigint").alias("match_n"))
+    )
+    scored = (
+        pairs.select("pair_id", "lang", "tc", "tr")
+        .join(m, "pair_id", "left")
+        .withColumn(
+            "mn", F.coalesce(F.col("match_n"), F.lit(0).cast("bigint"))
+        )
+    )
+    milli = scored.select(
+        "lang",
+        F.expr("(mn * 1000) div tc").alias("p_milli"),
+        F.expr("(mn * 1000) div tr").alias("r_milli"),
+        F.expr("(mn * 2000) div (tc + tr)").alias("f1_milli"),
+    )
+    return milli.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("p_milli").cast("double") / F.count(F.lit(1))).alias(
+            "mean_p_milli"
+        ),
+        (F.sum("r_milli").cast("double") / F.count(F.lit(1))).alias(
+            "mean_r_milli"
+        ),
+        (F.sum("f1_milli").cast("double") / F.count(F.lit(1))).alias(
+            "mean_f1_milli"
+        ),
+        F.max("f1_milli").alias("max_f1_milli"),
+    )

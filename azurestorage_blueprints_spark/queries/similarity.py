@@ -3720,3 +3720,170 @@ def q_embed_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("stable"))
         .alias("verdict"),
     )
+
+
+#: Johnson-Lindenstrauss target dimension (64 -> 16: a 4x ANN-serving
+#: cost cut) and the portable sign-hash parameters. The sign for
+#: (dim i, component j) is bit 15 of the masked multiplicative hash of
+#: key = i*K + j + 1 (key <= 1040, key * 2654435761 < 2^41 — exact in
+#: int64 on both engines; bit 15, never bit 0: the low bit of key*odd
+#: is just the parity of key, an alternating — i.e. rank-1 — sign
+#: pattern, which is not a JL matrix).
+_JL_K = 16
+_JL_HMOD = 2147483648
+
+
+@register(
+    "q_embed_jl_projection",
+    oracle=f"""
+    WITH q8 AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(floor(
+               CAST(x AS DOUBLE) * 127.0 /
+               greatest(list_max(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE)))), 1e-12) + 0.5) AS BIGINT)) AS v
+      FROM embeddings),
+    proj AS (
+      SELECT vec_id, label, v,
+             list_transform(range(0, {_JL_K}), j ->
+               list_sum(list_transform(range(0, len(v)), i ->
+                 v[i + 1] * (1 - 2 * (((i * {_JL_K} + j + 1) * 2654435761
+                   % {_JL_HMOD}) // 32768 % 2))))) AS y
+      FROM q8),
+    pairs AS (
+      SELECT a.label AS label,
+             list_sum(list_transform(range(0, len(a.v)), i ->
+               (a.v[i + 1] - b.v[i + 1]) * (a.v[i + 1] - b.v[i + 1]))) AS d2_orig,
+             list_sum(list_transform(range(0, {_JL_K}), j ->
+               (a.y[j + 1] - b.y[j + 1]) * (a.y[j + 1] - b.y[j + 1]))) AS d2_proj
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0),
+    milli AS (
+      SELECT label,
+             CAST((d2_proj * 1000) // ({_JL_K} * d2_orig) AS BIGINT)
+               AS milli_ratio
+      FROM pairs WHERE d2_orig > 0)
+    SELECT label,
+           count(*) AS n_pairs,
+           CAST(sum(milli_ratio) AS DOUBLE) / count(*) AS mean_milli_ratio,
+           min(milli_ratio) AS min_milli,
+           max(milli_ratio) AS max_milli,
+           CAST(sum(CASE WHEN abs(milli_ratio - 1000) <= 500
+                         THEN 1 ELSE 0 END) AS BIGINT) AS within_500,
+           CAST(sum(CASE WHEN abs(milli_ratio - 1000) <= 500
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS share_within
+    FROM milli GROUP BY label
+    """,
+    doc="Johnson-Lindenstrauss random sign projection 64 -> 16 with a "
+    "distance-distortion audit — THE dimension-reduction move before "
+    "ANN at 100 TB (q_knn_dim_truncation keeps a prefix of the "
+    "original axes and loses whatever variance lives elsewhere; JL's "
+    "guarantee is distribution-free and axis-free). The projection "
+    "matrix is never materialized: the +/-1 entry for (dim i, "
+    "component j) is bit 15 of the portable masked multiplicative "
+    "hash, computed inline on both engines (the q_knn_lsh r12 "
+    "convention). Exactness: vectors are int8-quantized per the "
+    "embed-family convention, so projected components, squared "
+    "distances, and the per-pair milli-ratio floor((d2_proj*1000) div "
+    "(K*d2_orig)) are EXACT int64 arithmetic end-to-end — zero "
+    "corpus-scale float sums, and the only IEEE divides are the final "
+    "per-label means of bounded ints (< 2^53, bit-identical across "
+    "engines). E[d2_proj] = K * d2_orig under the sign distribution, "
+    "so milli_ratio concentrates at 1000 with std ~ sqrt(2/K)*1000 = "
+    "354; the per-label report (mean/min/max/share within +/-500) is "
+    "what a deployment reads before swapping the serving index to the "
+    "projected space. Shape (100 TB): the projection is ROW-LOCAL "
+    "(one map over the corpus, no shuffle — K*D = 1024 int ops/row); "
+    "the audit pairs ride one equi-join on adjacent vec_id "
+    "(co-partitioned, never a cross join) and the report is one "
+    "O(labels) hash-agg.",
+)
+def q_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def quantize(col):
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        return F.transform(
+            col, lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5)
+        )
+
+    q8 = e.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        quantize(F.col("embedding")).alias("v"),
+    )
+
+    def _sign(i, j):
+        # bit 15 of the masked multiplicative hash of i*K + j + 1;
+        # h < 2^31 and 32768 = 2^15, so h / 32768.0 is exact in double
+        # and floor-division agrees with DuckDB's integer //
+        h = (
+            (i.cast("bigint") * _JL_K + j.cast("bigint") + 1)
+            * F.lit(2654435761).cast("bigint")
+        ) % F.lit(_JL_HMOD).cast("bigint")
+        return F.lit(1).cast("bigint") - 2 * (
+            F.floor(h / F.lit(32768.0)).cast("bigint") % 2
+        )
+
+    y = F.transform(
+        F.sequence(F.lit(0), F.lit(_JL_K - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.size(F.col("v")) - 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.element_at(F.col("v"), (i + 1).cast("int")).cast("bigint")
+            * _sign(i, j),
+        ),
+    )
+    proj = q8.select("vec_id", "label", "v", y.alias("y"))
+
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    a = proj.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pair_id"), "label", "v", "y"
+    )
+
+    def _sq_dist(lhs, rhs, init):
+        return F.aggregate(
+            F.zip_with(lhs, rhs, lambda x, z: (x - z) * (x - z)),
+            init,
+            lambda acc, t: acc + t,
+        )
+
+    pairs = a.join(b, "pair_id").select(
+        "label",
+        _sq_dist(F.col("v"), F.col("vb"), F.lit(0).cast("bigint")).alias(
+            "d2_orig"
+        ),
+        _sq_dist(F.col("y"), F.col("yb"), F.lit(0).cast("bigint")).alias(
+            "d2_proj"
+        ),
+    )
+    milli = pairs.filter(F.col("d2_orig") > 0).select(
+        "label",
+        F.expr(f"(d2_proj * 1000) div ({_JL_K} * d2_orig)").alias(
+            "milli_ratio"
+        ),
+    )
+    within = F.abs(F.col("milli_ratio") - 1000) <= 500
+    return milli.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum("milli_ratio").cast("double") / F.count(F.lit(1))
+        ).alias("mean_milli_ratio"),
+        F.min("milli_ratio").alias("min_milli"),
+        F.max("milli_ratio").alias("max_milli"),
+        F.sum(F.when(within, 1).otherwise(0)).cast("bigint").alias(
+            "within_500"
+        ),
+        (
+            F.sum(F.when(within, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("share_within"),
+    )

@@ -232,6 +232,11 @@ HEADLINE = [
     # round-12: the 11th ingest gate — frozen exact-p95 thresholds
     # (two-phase selection pre-pass) metered against arrivals
     "q_stream_quantile_gate",
+    # round-12: row-local JL 64->16 sign projection + exact-int
+    # distortion audit, and the eval family's clipped n-gram overlap
+    # (ROUGE-2) kernel — both pure map + equi-join shapes
+    "q_embed_jl_projection",
+    "q_eval_rouge_n",
 ]
 
 

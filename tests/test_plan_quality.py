@@ -974,3 +974,31 @@ def test_ccnet_buckets_have_no_lang_partitioned_corpus_window(spark, sf_dir):
             assert "bin" in spec or "cnt" in spec, (
                 f"lang-partitioned corpus window survived: {spec}"
             )
+
+
+def test_jl_projection_is_rowlocal_map_plus_one_pair_equijoin(spark, sf_dir):
+    # the projection must stay a row-local map (no shuffle between the
+    # scan and the pair join): the only hash exchanges allowed are the
+    # adjacent-id pair equi-join key and the O(labels) report agg —
+    # a Window or cartesian here means the 64->16 map got planned as
+    # corpus-scale data movement
+    import re
+
+    plan = _plan(spark, "q_embed_jl_projection", sf_dir)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(keys) <= {"pair_id", "label"}, keys
+
+
+def test_rouge_n_is_equijoin_only(spark, sf_dir):
+    # clip = one (pair_id, gram) equi-join over map-side-combined
+    # counts; totals ride the pair table. No window, no cartesian, and
+    # every shuffle key is one of the declared join/agg keys
+    import re
+
+    plan = _plan(spark, "q_eval_rouge_n", sf_dir)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(keys) <= {"pair_id", "g", "lang"}, keys

@@ -378,3 +378,100 @@ def test_quantile_gate_funnel_accounts_for_every_arrival(spark, sf_dir):
         assert r.chars_total >= r.n_docs >= 1 and r.max_chars >= 1
     assert got == arrivals
     assert 0.0 <= over / total < 0.25, f"p95 gate flagged {over}/{total}"
+
+
+def test_jl_projection_matches_exact_python_recompute(spark, sf_dir):
+    """The JL rung's per-label report must equal an independent exact
+    integer recomputation of quantize -> sign-project -> pair ->
+    milli-ratio in plain Python — pinning the masked-hash sign matrix,
+    the int8 quantization, and the floor-division milli convention all
+    at once (the oracle twin re-proves this cross-engine; this gate
+    proves it against the DEFINITION)."""
+    import math
+
+    K, HMOD = 16, 2147483648
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    byid = {}
+    for r in rows:
+        xs = [float(x) for x in r.embedding]
+        scale = max(max(abs(x) for x in xs), 1e-12)
+        v = [math.floor(x * 127.0 / scale + 0.5) for x in xs]
+        y = [
+            sum(
+                v[i]
+                * (
+                    1
+                    - 2
+                    * (((i * K + j + 1) * 2654435761) % HMOD // 32768 % 2)
+                )
+                for i in range(len(v))
+            )
+            for j in range(K)
+        ]
+        byid[r.vec_id] = (int(r.label), v, y)
+    expect: dict[int, list[int]] = {}
+    for a in sorted(byid):
+        if a % 2 or (a + 1) not in byid:
+            continue
+        la, va, ya = byid[a]
+        _, vb, yb = byid[a + 1]
+        d2o = sum((p - q) ** 2 for p, q in zip(va, vb))
+        d2p = sum((p - q) ** 2 for p, q in zip(ya, yb))
+        if d2o > 0:
+            expect.setdefault(la, []).append((d2p * 1000) // (K * d2o))
+    got = REGISTRY["q_embed_jl_projection"].fn(spark, sf_dir).collect()
+    assert {r.label for r in got} == set(expect)
+    for r in got:
+        ms = expect[r.label]
+        assert r.n_pairs == len(ms)
+        assert r.min_milli == min(ms) and r.max_milli == max(ms)
+        assert r.mean_milli_ratio == sum(ms) / len(ms)
+        within = sum(1 for m in ms if abs(m - 1000) <= 500)
+        assert r.within_500 == within and r.share_within == within / len(ms)
+    # the sign matrix must not be rank-degenerate: with a healthy JL
+    # matrix the pooled mean milli-ratio concentrates at 1000
+    pooled = [m for ms in expect.values() for m in ms]
+    assert abs(sum(pooled) / len(pooled) - 1000) < 350
+
+
+def test_rouge_n_matches_counter_recompute(spark, sf_dir):
+    """ROUGE-2 P/R/F1 milli-scores per lang must equal a
+    collections.Counter recomputation over the same adjacent-id pairs
+    — pinning the clipped-min semantics, the LEFT-join zero-match
+    inclusion, and the shared-numerator F1 identity."""
+    from collections import Counter
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    tk = {
+        r.doc_id: ([t for t in r.text.split(" ") if t], r.lang) for r in docs
+    }
+    expect: dict[str, list[tuple[int, int, int]]] = {}
+    for d in sorted(tk):
+        if d % 2 or (d + 1) not in tk:
+            continue
+        ctk, lang = tk[d]
+        rtk, _ = tk[d + 1]
+        if len(ctk) < 2 or len(rtk) < 2:
+            continue
+        cb = Counter(zip(ctk, ctk[1:]))
+        rb = Counter(zip(rtk, rtk[1:]))
+        mn = sum(min(c, rb[g]) for g, c in cb.items())
+        tc, tr = len(ctk) - 1, len(rtk) - 1
+        expect.setdefault(lang, []).append(
+            ((mn * 1000) // tc, (mn * 1000) // tr, (mn * 2000) // (tc + tr))
+        )
+    got = REGISTRY["q_eval_rouge_n"].fn(spark, sf_dir).collect()
+    assert {r.lang for r in got} == set(expect)
+    for r in got:
+        ps = expect[r.lang]
+        assert r.n_pairs == len(ps)
+        assert r.mean_p_milli == sum(p for p, _, _ in ps) / len(ps)
+        assert r.mean_r_milli == sum(q for _, q, _ in ps) / len(ps)
+        assert r.mean_f1_milli == sum(f for _, _, f in ps) / len(ps)
+        assert r.max_f1_milli == max(f for _, _, f in ps)
