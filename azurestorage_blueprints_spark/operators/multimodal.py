@@ -254,6 +254,84 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     )
 
 
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed (BI_RGB) Windows bitmap: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes — the
+    no-compression member of the codec family (the DIB every decoder
+    must parse byte-exactly: stride padding and the bottom-up row
+    order are where naive implementations corrupt images)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer does not match dimensions")
+    stride = (3 * width + 3) & ~3
+    pad = b"\x00" * (stride - 3 * width)
+    rows = []
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[r * width * 3 : (r + 1) * width * 3]
+        # RGB -> BGR per pixel
+        bgr = bytearray(len(row))
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        rows.append(bytes(bgr) + pad)
+    pixel_data = b"".join(rows)
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(pixel_data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    offset = 14 + 40
+    header = (
+        b"BM"
+        + (offset + len(pixel_data)).to_bytes(4, "little")
+        + (0).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + offset.to_bytes(4, "little")
+    )
+    return header + info + pixel_data
+
+
+def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
+    """Real decode of 24-bit uncompressed BMP (BI_RGB): header walk,
+    stride-padding strip, BGR->RGB, bottom-up (or top-down when height
+    is negative) row order. Returns (width, height, rgb_bytes)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit BI_RGB supported")
+    top_down = height < 0
+    height = abs(height)
+    stride = (3 * width + 3) & ~3
+    px = b[offset : offset + stride * height]
+    if len(px) < stride * height:
+        raise ValueError("truncated pixel data")
+    out = bytearray(width * height * 3)
+    for r in range(height):
+        src_r = r if top_down else height - 1 - r
+        row = px[src_r * stride : src_r * stride + 3 * width]
+        dst = out[r * width * 3 : (r + 1) * width * 3]
+        o = r * width * 3
+        out[o + 0 : o + 3 * width : 3] = row[2::3]
+        out[o + 1 : o + 3 * width : 3] = row[1::3]
+        out[o + 2 : o + 3 * width : 3] = row[0::3]
+    return width, height, bytes(out)
+
+
 def decode_ppm(b: bytes) -> tuple[int, int, bytes]:
     """Real decode of binary PPM (P6): pure header parse + raw RGB bytes,
     no codec library needed. Returns (width, height, rgb_bytes)."""
@@ -1430,6 +1508,8 @@ def decode_image(
                 try:
                     if b[:2] == b"P6":
                         w, h, px = decode_ppm(b)
+                    elif b[:2] == b"BM":
+                        w, h, px = decode_bmp(b)
                     elif b[:8] == _PNG_MAGIC:
                         w, h, px = decode_png(b)
                     elif b[:6] in _GIF_MAGICS:

@@ -148,6 +148,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_quantiles_exact", "q_quantiles_global",
     "q_stream_quantile_gate", "q_embed_jl_projection", "q_eval_rouge_n",
+    "q_graph_modularity", "q_kcenter_sample", "q_hilbert_layout",
+    "q_t_closeness", "q_eval_bleu", "q_survival_km",
+    "q_stream_decontamination_gate", "q_eval_mcnemar",
+    "q_graph_hits", "q_multimodal_bmp_roundtrip",
 })
 
 

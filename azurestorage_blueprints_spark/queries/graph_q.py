@@ -830,8 +830,20 @@ def _lpa_round_sql(prev: str, cur: str) -> str:
     "the q_graph_components_minlabel recipe.",
 )
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    edges = _purchase_edges(spark, sf_dir)
+    labels = _lpa_labels(edges, rounds=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )
 
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected customer–supplier purchase graph as a directed
+    double edge list (both orientations), checkpointed — the shared
+    substrate of q_graph_label_propagation and q_graph_modularity."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     e0 = (
@@ -842,16 +854,25 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = _ckpt(
+    return _ckpt(
         e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
             e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
     )
+
+
+def _lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
+    """Fixed-round synchronous label propagation: per round, each node
+    adopts the most frequent neighbor label, ties to the smallest —
+    exact integer argmax, so the trajectory is deterministic and both
+    LPA and modularity rungs replay the identical partition."""
+    from pyspark.sql import Window as W
+
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
     )
     rn = F.row_number().over(W.partitionBy("node").orderBy(F.desc("cnt"), "label"))
-    for _ in range(3):
+    for _ in range(rounds):
         counts = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"), "label")
@@ -861,12 +882,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = _ckpt(
             counts.withColumn("rn", rn).filter(F.col("rn") == 1).select("node", "label")
         )
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-        .orderBy(F.desc("n_nodes"), "community")
-        .limit(20)
-    )
+    return labels
 
 
 #: k-core threshold and bounded peel rounds (convergence at gate SFs
@@ -977,3 +993,283 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in spark_rows[1:]:
         out = out.unionByName(s)
     return out
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, {_SUPP_OFF} + l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM e0
+      UNION ALL
+      SELECT s AS src, c AS dst FROM e0
+    ),
+    l0 AS MATERIALIZED (
+      SELECT src AS node, CAST(src AS BIGINT) AS label
+      FROM (SELECT DISTINCT src FROM edges) t),
+    {_lpa_round_sql(0, 1)},
+    {_lpa_round_sql(1, 2)},
+    {_lpa_round_sql(2, 3)},
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src),
+    comm AS (
+      SELECT l.label AS community,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.d) AS BIGINT) AS deg_sum
+      FROM l3 l JOIN deg d ON d.node = l.node
+      GROUP BY l.label),
+    w AS (
+      SELECT ls.label AS community, CAST(count(*) AS BIGINT) AS in_dir
+      FROM edges e
+      JOIN l3 ls ON ls.node = e.src
+      JOIN l3 ld ON ld.node = e.dst
+      WHERE ls.label = ld.label
+      GROUP BY ls.label),
+    cw AS (
+      SELECT c.community, c.n_nodes, c.deg_sum,
+             COALESCE(w.in_dir, 0) AS in_dir
+      FROM comm c LEFT JOIN w ON w.community = c.community),
+    tot AS (
+      SELECT CAST(sum(deg_sum) AS BIGINT) AS m2,
+             CAST(sum(in_dir) AS BIGINT) AS a_dir,
+             sum(CAST(deg_sum AS HUGEINT) * deg_sum) AS bsq
+      FROM cw)
+    SELECT cw.community, cw.n_nodes,
+           CAST(cw.in_dir // 2 AS BIGINT) AS in_edges,
+           cw.deg_sum,
+           CAST(((CAST(t.m2 AS HUGEINT) * cw.in_dir
+                  - CAST(cw.deg_sum AS HUGEINT) * cw.deg_sum
+                  + CAST(t.m2 AS HUGEINT) * t.m2) * 1000000)
+                // (CAST(t.m2 AS HUGEINT) * t.m2) - 1000000
+                AS BIGINT) AS contrib_micro,
+           CAST(t.m2 // 2 AS BIGINT) AS m_edges,
+           CAST(((CAST(t.m2 AS HUGEINT) * t.a_dir - t.bsq
+                  + CAST(t.m2 AS HUGEINT) * t.m2) * 1000000)
+                // (CAST(t.m2 AS HUGEINT) * t.m2) - 1000000
+                AS BIGINT) AS q_micro
+    FROM cw, tot t
+    ORDER BY cw.n_nodes DESC, cw.community
+    LIMIT 20
+    """,
+    doc="Newman modularity of the label-propagation partition — the "
+    "quality functional that closes the community-detection loop: LPA "
+    "(q_graph_label_propagation) proposes a partition, modularity "
+    "scores it, so the two rungs together are propose-and-evaluate. "
+    "Q = sum_c [ in_c/(2m) - (d_c/(2m))^2 ] over the identical "
+    "3-round LPA trajectory (shared helper _lpa_labels / "
+    "_lpa_round_sql, so partition equality is by construction, not "
+    "coincidence). EXACT arithmetic end-to-end: with M2 = 2m, "
+    "the per-community contribution is the integer "
+    "(M2*in_dir_c - d_c^2) / M2^2 in micro-units via the offset "
+    "floor-div trick ((num + den)*1e6 div den - 1e6), which keeps the "
+    "dividend nonnegative so Spark's truncating `div` and DuckDB's "
+    "`//` agree even on negative contributions (a community poorer "
+    "than random); d_c^2 and M2^2 ride decimal(38,0)/HUGEINT so the "
+    "claim holds at 100 TB degree sums (d_c ~ 1e12 -> d_c^2 ~ 1e24 "
+    "<< 1e38), not just at gate SFs. Shape (100 TB): degrees are one "
+    "map-side-combined count on src; community sizes/degree sums one "
+    "hash-agg keyed on label; within-community mass is TWO equi-joins "
+    "of the O(nodes) label vector to the O(E) edge list (never "
+    "label x label); the scalar totals row is an O(communities) agg "
+    "cross-joined back broadcast. No window outside the shared LPA "
+    "argmax (keyed on node, unbounded cardinality), no cartesian.",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _purchase_edges(spark, sf_dir)
+    labels = _lpa_labels(edges, rounds=3)
+
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    comm = (
+        labels.join(deg, labels.node == deg.src)
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("deg_sum"),
+        )
+    )
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    within = (
+        edges.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("in_dir"))
+    )
+    cw = comm.join(within, "community", "left").withColumn(
+        "in_dir", F.coalesce(F.col("in_dir"), F.lit(0).cast("bigint"))
+    )
+    tot = cw.agg(
+        F.sum("deg_sum").cast("bigint").alias("m2"),
+        F.sum("in_dir").cast("bigint").alias("a_dir"),
+        F.sum(F.col("deg_sum").cast("decimal(38,0)") * F.col("deg_sum")).alias(
+            "bsq"
+        ),
+    )
+    out = (
+        cw.crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            F.expr("in_dir div 2").cast("bigint").alias("in_edges"),
+            "deg_sum",
+            F.expr(
+                "((cast(m2 as decimal(38,0)) * in_dir"
+                " - cast(deg_sum as decimal(38,0)) * deg_sum"
+                " + cast(m2 as decimal(38,0)) * m2) * 1000000)"
+                " div (cast(m2 as decimal(38,0)) * m2) - 1000000"
+            )
+            .cast("bigint")
+            .alias("contrib_micro"),
+            F.expr("m2 div 2").cast("bigint").alias("m_edges"),
+            F.expr(
+                "((cast(m2 as decimal(38,0)) * a_dir - bsq"
+                " + cast(m2 as decimal(38,0)) * m2) * 1000000)"
+                " div (cast(m2 as decimal(38,0)) * m2) - 1000000"
+            )
+            .cast("bigint")
+            .alias("q_micro"),
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )
+    return out
+
+
+#: HITS fixed-point: score scale (1.0 == 1e6) and unrolled rounds
+_HITS_ONE = 1_000_000
+_HITS_ROUNDS = 2
+
+
+def _hits_oracle() -> str:
+    parts = [
+        f"""e0 AS (
+      SELECT DISTINCT o_custkey AS c, {_SUPP_OFF} + l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h0 AS MATERIALIZED (
+      SELECT c AS node, CAST({_HITS_ONE} AS BIGINT) AS h
+      FROM (SELECT DISTINCT c FROM e0) t)"""
+    ]
+    for r in range(1, _HITS_ROUNDS + 1):
+        parts.append(f"""ar{r} AS MATERIALIZED (
+      SELECT e.s AS node, CAST(sum(h.h) AS BIGINT) AS raw
+      FROM e0 e JOIN h{r - 1} h ON e.c = h.node GROUP BY e.s)""")
+        parts.append(f"""am{r} AS (SELECT CAST(max(raw) AS BIGINT) AS mx FROM ar{r})""")
+        parts.append(f"""a{r} AS MATERIALIZED (
+      SELECT node, CAST((CAST(raw AS HUGEINT) * {_HITS_ONE}) // mx AS BIGINT) AS a
+      FROM ar{r}, am{r})""")
+        parts.append(f"""hr{r} AS MATERIALIZED (
+      SELECT e.c AS node, CAST(sum(a.a) AS BIGINT) AS raw
+      FROM e0 e JOIN a{r} a ON e.s = a.node GROUP BY e.c)""")
+        parts.append(f"""hm{r} AS (SELECT CAST(max(raw) AS BIGINT) AS mx FROM hr{r})""")
+        parts.append(f"""h{r} AS MATERIALIZED (
+      SELECT node, CAST((CAST(raw AS HUGEINT) * {_HITS_ONE}) // mx AS BIGINT) AS h
+      FROM hr{r}, hm{r})""")
+    r = _HITS_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT * FROM (
+      SELECT 'hub' AS role, CAST(node AS BIGINT) AS node_id, h AS score
+      FROM h{r} ORDER BY h DESC, node LIMIT 10)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'authority' AS role, CAST(node AS BIGINT) AS node_id, a AS score
+      FROM a{r} ORDER BY a DESC, node LIMIT 10)"""
+    )
+
+
+@register(
+    "q_graph_hits",
+    oracle=_hits_oracle(),
+    doc=f"HITS hubs-and-authorities ({_HITS_ROUNDS} fixed rounds) over "
+    "the bipartite customer->supplier purchase graph — the 6th fully "
+    "oracle-checked iterative algorithm (beside min-label components, "
+    "PageRank, LPA, k-core, k-means): hub scores live on customers, "
+    "authority scores on suppliers, each round is a = normalize(E^T "
+    "h); h = normalize(E a) — power iteration on E^T E, which is why "
+    "HITS converges to the principal singular vectors. Exactness: "
+    "scores are scaled integers (1.0 = 1e6) normalized by the "
+    "INFINITY norm each half-round (the q_embed_pca_var_share "
+    "power-iteration convention — max is order-free, so no double "
+    "summation exists anywhere); the renormalization product "
+    "raw * 1e6 rides HUGEINT/decimal(38,0) because raw can reach "
+    "score x degree ~ 1e18 at 100 TB and the product overflows "
+    "int64 exactly where the engine must not wrap silently. Oracle: "
+    "every half-round unrolled MATERIALIZED. Shape (100 TB): per "
+    "half-round ONE equi-join of the O(nodes) score vector to the "
+    "edge list + one map-side-combined sum keyed on the far side + "
+    "an O(1) max broadcast back — the PageRank loop's shape with a "
+    "different normalizer; top-10 per role via TakeOrderedAndProject, "
+    "never a global sort.",
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    e0 = _ckpt(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_SUPP_OFF) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    h = e0.select("c").distinct().select(
+        F.col("c").alias("node"),
+        F.lit(_HITS_ONE).cast("bigint").alias("score"),
+    )
+    a = None
+    norm_expr = F.expr(
+        f"cast((cast(raw as decimal(38,0)) * {_HITS_ONE}) div mx as bigint)"
+    )
+    for _ in range(_HITS_ROUNDS):
+        ar = (
+            e0.join(h, e0.c == h.node)
+            .groupBy(F.col("s").alias("node2"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+            .select(F.col("node2").alias("node"), "raw")
+        )
+        am = ar.agg(F.max("raw").cast("bigint").alias("mx"))
+        a = _ckpt(
+            ar.crossJoin(F.broadcast(am)).select(
+                "node", norm_expr.alias("score")
+            )
+        )
+        hr = (
+            e0.join(a, e0.s == a.node)
+            .groupBy(F.col("c").alias("node2"))
+            .agg(F.sum("score").cast("bigint").alias("raw"))
+            .select(F.col("node2").alias("node"), "raw")
+        )
+        hm = hr.agg(F.max("raw").cast("bigint").alias("mx"))
+        h = _ckpt(
+            hr.crossJoin(F.broadcast(hm)).select(
+                "node", norm_expr.alias("score")
+            )
+        )
+    hubs = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("node").cast("bigint").alias("node_id"),
+            F.col("score"),
+        )
+        .orderBy(F.desc("score"), "node_id")
+        .limit(10)
+    )
+    auth = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("node").cast("bigint").alias("node_id"),
+            F.col("score"),
+        )
+        .orderBy(F.desc("score"), "node_id")
+        .limit(10)
+    )
+    return hubs.unionAll(auth)

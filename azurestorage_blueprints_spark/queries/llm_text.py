@@ -2526,3 +2526,406 @@ def q_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("f1_milli").alias("max_f1_milli"),
     )
+
+
+#: the shared corpus-BLEU final expression — identical text on both
+#: engines so the one IEEE combination of exact integers is bit-equal:
+#: BP = exp(min(0, 1 - r/c)) (exp is monotone, so min(1, e^x) = e^min(0,x)),
+#: bleu2 = BP * sqrt(p1 * p2) with p_n from exact int64 corpus counts
+_BLEU_EXPR = (
+    "cast(round(exp(least(0.0, 1.0 - cast(ref_len as double)"
+    " / cast(cand_len as double)))"
+    " * sqrt((cast(match_1 as double) / cast(total_1 as double))"
+    " * (cast(match_2 as double) / cast(total_2 as double)))"
+    " * 1000000.0) as bigint)"
+)
+
+_BP_EXPR = (
+    "cast(round(exp(least(0.0, 1.0 - cast(ref_len as double)"
+    " / cast(cand_len as double))) * 1000000.0) as bigint)"
+)
+
+
+@register(
+    "q_eval_bleu",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents),
+    eligible AS (SELECT * FROM toked WHERE len(tk) >= 2),
+    pairs AS (
+      SELECT c.doc_id AS pair_id, c.lang AS lang,
+             c.tk AS ctk, r.tk AS rtk,
+             CAST(len(c.tk) AS BIGINT) AS clen,
+             CAST(len(r.tk) AS BIGINT) AS rlen
+      FROM eligible c JOIN eligible r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0),
+    cu AS (
+      SELECT pair_id, g, count(*) AS cc FROM (
+        SELECT pair_id, unnest(ctk) AS g FROM pairs) GROUP BY pair_id, g),
+    ru AS (
+      SELECT pair_id, g, count(*) AS rc FROM (
+        SELECT pair_id, unnest(rtk) AS g FROM pairs) GROUP BY pair_id, g),
+    m1 AS (
+      SELECT cu.pair_id, CAST(sum(least(cc, rc)) AS BIGINT) AS mn
+      FROM cu JOIN ru ON ru.pair_id = cu.pair_id AND ru.g = cu.g
+      GROUP BY cu.pair_id),
+    cb AS (
+      SELECT pair_id, g, count(*) AS cc FROM (
+        SELECT pair_id,
+               unnest(list_transform(range(1, len(ctk)),
+                 i -> ctk[i] || ' ' || ctk[i + 1])) AS g
+        FROM pairs) GROUP BY pair_id, g),
+    rb AS (
+      SELECT pair_id, g, count(*) AS rc FROM (
+        SELECT pair_id,
+               unnest(list_transform(range(1, len(rtk)),
+                 i -> rtk[i] || ' ' || rtk[i + 1])) AS g
+        FROM pairs) GROUP BY pair_id, g),
+    m2 AS (
+      SELECT cb.pair_id, CAST(sum(least(cc, rc)) AS BIGINT) AS mn
+      FROM cb JOIN rb ON rb.pair_id = cb.pair_id AND rb.g = cb.g
+      GROUP BY cb.pair_id),
+    corpus AS (
+      SELECT p.lang,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(COALESCE(m1.mn, 0)) AS BIGINT) AS match_1,
+             CAST(sum(p.clen) AS BIGINT) AS total_1,
+             CAST(sum(COALESCE(m2.mn, 0)) AS BIGINT) AS match_2,
+             CAST(sum(p.clen - 1) AS BIGINT) AS total_2,
+             CAST(sum(p.clen) AS BIGINT) AS cand_len,
+             CAST(sum(p.rlen) AS BIGINT) AS ref_len
+      FROM pairs p
+      LEFT JOIN m1 ON m1.pair_id = p.pair_id
+      LEFT JOIN m2 ON m2.pair_id = p.pair_id
+      GROUP BY p.lang)
+    SELECT lang, n_pairs, match_1, total_1, match_2, total_2,
+           cand_len, ref_len,
+           (match_1 * 1000) // total_1 AS p1_milli,
+           (match_2 * 1000) // total_2 AS p2_milli,
+           {_BP_EXPR} AS bp_micro,
+           {_BLEU_EXPR} AS bleu2_micro
+    FROM corpus
+    """,
+    doc="Corpus-level BLEU-2 with brevity penalty — the CORPUS "
+    "aggregation of the clipped-overlap kernel (q_eval_rouge_n scores "
+    "per-pair means; BLEU pools matches and totals over the whole "
+    "corpus first, the aggregation that makes BLEU robust to "
+    "zero-match sentences without smoothing): p_n = sum match_n / sum "
+    "total_n over the same adjacent-id (candidate, reference) pairs, "
+    "BP = exp(min(0, 1 - r/c)) spelled as the monotone-exp identity "
+    "so no CASE is needed, bleu2 = BP * sqrt(p1*p2). Exactness: "
+    "matches and totals are exact int64 corpus sums (clipped per-pair "
+    "counts ride the same (pair_id, gram) equi-joins as the ROUGE "
+    "rung, unigrams AND bigrams); p1/p2 are reported as exact "
+    "milli-ints, and the two derived doubles (bp_micro, bleu2_micro) "
+    "are ONE shared-expression IEEE combination of those exact ints "
+    "quantized to micro (the q_text_unigram_entropy ln/exp "
+    "convention: identical expression text on identical doubles). "
+    "Shape (100 TB): tokenize/shingle row-local, per-side counts "
+    "map-side-combined on (pair_id, gram), two equi-joins (one per "
+    "n), one O(langs) corpus agg — no window, no cross join; the "
+    "int64 envelope holds to ~9e18 corpus tokens per lang.",
+)
+def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", X.tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    c = tok.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"),
+        "lang",
+        F.col("tk").alias("ctk"),
+        F.size("tk").cast("bigint").alias("clen"),
+    )
+    r = tok.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("tk").alias("rtk"),
+        F.size("tk").cast("bigint").alias("rlen"),
+    )
+    pairs = c.join(r, "pair_id")
+
+    def clip(cand_grams, ref_grams):
+        cg = (
+            pairs.select("pair_id", F.explode(cand_grams).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).alias("cc"))
+        )
+        rg = (
+            pairs.select("pair_id", F.explode(ref_grams).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).alias("rc"))
+        )
+        return (
+            cg.join(rg, ["pair_id", "g"])
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("cc", "rc")).cast("bigint").alias("mn"))
+        )
+
+    m1 = clip(F.col("ctk"), F.col("rtk")).withColumnRenamed("mn", "mn1")
+    m2 = clip(
+        X.word_shingles(F.col("ctk"), k=2), X.word_shingles(F.col("rtk"), k=2)
+    ).withColumnRenamed("mn", "mn2")
+    corpus = (
+        pairs.select("pair_id", "lang", "clen", "rlen")
+        .join(m1, "pair_id", "left")
+        .join(m2, "pair_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("mn1"), F.lit(0)))
+            .cast("bigint")
+            .alias("match_1"),
+            F.sum("clen").cast("bigint").alias("total_1"),
+            F.sum(F.coalesce(F.col("mn2"), F.lit(0)))
+            .cast("bigint")
+            .alias("match_2"),
+            F.sum(F.col("clen") - 1).cast("bigint").alias("total_2"),
+            F.sum("clen").cast("bigint").alias("cand_len"),
+            F.sum("rlen").cast("bigint").alias("ref_len"),
+        )
+    )
+    return corpus.select(
+        "lang",
+        "n_pairs",
+        "match_1",
+        "total_1",
+        "match_2",
+        "total_2",
+        "cand_len",
+        "ref_len",
+        F.expr("(match_1 * 1000) div total_1").alias("p1_milli"),
+        F.expr("(match_2 * 1000) div total_2").alias("p2_milli"),
+        F.expr(_BP_EXPR).alias("bp_micro"),
+        F.expr(_BLEU_EXPR).alias("bleu2_micro"),
+    )
+
+
+#: character-marker sets for the SECOND language-ID classifier the
+#: McNemar rung compares against the word-marker router: diacritics /
+#: script ranges are a classic cheap signal with a very different
+#: error profile (great on zh/de/fr/es, blind on en — which is the
+#: point: discordant cells in BOTH directions)
+_CHAR_MARKERS: dict[str, str] = {
+    "de": "äöüß",
+    "es": "ñ¿¡áíóú",
+    "fr": "éèêàçùâîôû",
+}
+#: CJK unified ideographs, counted by code point (ascii() returns the
+#: code point on BOTH engines; regex ranges and global-replace flags
+#: do NOT parse identically across the two SQL dialects, so the char
+#: fold reuses the proven split+ascii idiom of q_text_fingerprint)
+_ZH_LO, _ZH_HI = 0x4E00, 0x9FFF
+#: continuity-corrected chi-square critical value at alpha = 0.05,
+#: 1 df, in milli
+_MCNEMAR_CRIT_MILLI = 3841
+
+
+def _char_score(lang: str, dialect: str) -> str:
+    if lang == "en":
+        return "(0)"
+    if lang == "zh":
+        if dialect == "duck":
+            return (
+                f"(len(list_filter(string_split(text, ''), "
+                f"c -> ascii(c) >= {_ZH_LO} AND ascii(c) <= {_ZH_HI})))"
+            )
+        return (
+            f"(size(filter(split(text, ''), "
+            f"c -> ascii(c) >= {_ZH_LO} and ascii(c) <= {_ZH_HI})))"
+        )
+    chars = _CHAR_MARKERS[lang]
+    return f"(length(text) - length(translate(text, '{chars}', '')))"
+
+
+def _char_guess(dialect: str) -> str:
+    """The char-marker argmax with the SAME lexicographic strict->
+    fold as _sql_lang_guess, so ties resolve identically."""
+    langs = sorted(X.LANG_MARKERS)
+    expr = f"'{langs[0]}'"
+    best = _char_score(langs[0], dialect)
+    for lang in langs[1:]:
+        sc = _char_score(lang, dialect)
+        expr = f"CASE WHEN {sc} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {sc} > {best} THEN {sc} ELSE {best} END"
+    return expr
+
+
+@register(
+    "q_eval_mcnemar",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN ({_sql_lang_guess()}) = lang THEN 1 ELSE 0 END AS a_ok,
+             CASE WHEN ({_char_guess('duck')}) = lang THEN 1 ELSE 0 END AS b_ok
+      FROM documents),
+    cells AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(a_ok * b_ok) AS BIGINT) AS n_both,
+             CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS n_a_only,
+             CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS n_b_only,
+             CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS n_neither
+      FROM scored GROUP BY lang)
+    SELECT lang, n_docs, n_both, n_a_only, n_b_only, n_neither,
+           CASE WHEN n_a_only + n_b_only > 0 THEN
+             (greatest(abs(n_a_only - n_b_only) - 1, 0)
+              * greatest(abs(n_a_only - n_b_only) - 1, 0) * 1000)
+             // (n_a_only + n_b_only)
+           ELSE CAST(0 AS BIGINT) END AS stat_milli,
+           CASE WHEN n_a_only + n_b_only > 0 THEN
+             (greatest(abs(n_a_only - n_b_only) - 1, 0)
+              * greatest(abs(n_a_only - n_b_only) - 1, 0) * 1000)
+             // (n_a_only + n_b_only)
+           ELSE CAST(0 AS BIGINT) END >= {_MCNEMAR_CRIT_MILLI}
+             AS significant
+    FROM cells
+    """,
+    doc="McNemar's test — the PAIRED classifier comparison an eval "
+    "harness runs when two models score the same examples (unpaired "
+    "accuracy deltas waste the pairing and overstate variance): "
+    "classifier A is the word-marker argmax router (q_text_langid's "
+    "lang_guess), classifier B the character-marker argmax (diacritic "
+    "counts via translate(), CJK ideographs via a portable regex "
+    "range — a genuinely different error profile: sharp on zh/de/"
+    "fr/es, blind on en), both judged against the labeled lang. Per "
+    "class: the 2x2 concordance cells and the continuity-corrected "
+    "statistic (|b-c|-1)^2/(b+c) over the DISCORDANT cells only — "
+    "exact integer milli via floor-div (greatest(|b-c|-1, 0) handles "
+    "the b=c edge), significance at the 3.841 chi-square critical "
+    "value. Shape (100 TB): both classifiers are row-local codegen "
+    "projections over one scan (translate + regexp_replace, no UDF), "
+    "then ONE O(langs) hash-agg — no window, no join, no shuffle "
+    "beyond the bounded report key.",
+)
+def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    a_ok = F.when(X.lang_guess(F.col("text")) == F.col("lang"), 1).otherwise(0)
+    b_ok = F.when(
+        F.expr(_char_guess("spark")) == F.col("lang"), 1
+    ).otherwise(0)
+    cells = (
+        d.select("lang", a_ok.alias("a_ok"), b_ok.alias("b_ok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("a_ok") * F.col("b_ok")).cast("bigint").alias("n_both"),
+            F.sum(F.col("a_ok") * (1 - F.col("b_ok")))
+            .cast("bigint")
+            .alias("n_a_only"),
+            F.sum((1 - F.col("a_ok")) * F.col("b_ok"))
+            .cast("bigint")
+            .alias("n_b_only"),
+            F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok")))
+            .cast("bigint")
+            .alias("n_neither"),
+        )
+    )
+    stat = F.expr(
+        "CASE WHEN n_a_only + n_b_only > 0 THEN"
+        " (greatest(abs(n_a_only - n_b_only) - 1, 0)"
+        " * greatest(abs(n_a_only - n_b_only) - 1, 0) * 1000)"
+        " div (n_a_only + n_b_only)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return cells.select(
+        "lang",
+        "n_docs",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        stat.alias("stat_milli"),
+        (stat >= _MCNEMAR_CRIT_MILLI).alias("significant"),
+    )
+
+
+@register(
+    "q_multimodal_bmp_roundtrip",
+    oracle="""
+    WITH g AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT vec_id, v,
+             list_min(v) AS lo, list_max(v) AS hi
+      FROM g
+    )
+    SELECT vec_id, 8 AS width, 8 AS height,
+           CAST(3 * list_sum(list_transform(v, x ->
+                 CASE WHEN hi > lo
+                      THEN CAST(floor((x - lo) * (255.0 / (hi - lo)) + 0.5) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS px_checksum
+    FROM stats
+    """,
+    doc="End-to-end BMP codec round-trip, ORACLE-CHECKED — the "
+    "NO-compression member of the codec family beside PNG (DEFLATE), "
+    "GIF (LZW), WAV (PCM) and JPEG (DCT): embeddings quantize to 8x8 "
+    "grayscale with the portable half-up quantizer, serialize through "
+    "encode_bmp (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR "
+    "rows padded to 4-byte strides — the byte-layout details where "
+    "naive DIB readers corrupt images), decode back through the "
+    "decode_image dispatch (magic 'BM' -> decode_bmp: stride strip, "
+    "BGR->RGB, row-order flip, top-down negative-height variant "
+    "handled), and report per-image RGB checksums DuckDB reproduces "
+    "ARITHMETICALLY from the embeddings. BMP is lossless, so the "
+    "checksum is exactly predictable — any stride, row-order, or "
+    "channel-order bug breaks the hash (channel swaps specifically "
+    "are invisible to a grayscale sum, which is why the unit test "
+    "round-trips random COLOR images too). All Python stages "
+    "Arrow-batched mapInPandas; zero shuffles.",
+)
+def q_multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import azurestorage_blueprints_spark.operators.multimodal as MM
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(MM)
+    encode_bmp = MM.encode_bmp
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vec in pdf["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                lo, hi = float(a.min()), float(a.max())
+                if hi > lo:
+                    g = np.floor((a - lo) * (255.0 / (hi - lo)) + 0.5).astype(np.uint8)
+                else:
+                    g = np.zeros(len(a), dtype=np.uint8)
+                out.append(encode_bmp(8, 8, np.repeat(g, 3).tobytes()))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "content": out})
+
+    bmps = e.mapInPandas(enc, "vec_id long, content binary")
+    decoded = MM.decode_image(bmps, id_col="vec_id")
+
+    def checksum(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            s = [
+                int(np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64).sum())
+                if ok
+                else None
+                for px, ok in zip(pdf["pixels"], pdf["ok"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["content_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "px_checksum": pd.array(s, dtype="Int64"),
+                }
+            )
+
+    return decoded.mapInPandas(
+        checksum, "vec_id long, width int, height int, px_checksum long"
+    )

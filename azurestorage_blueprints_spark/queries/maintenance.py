@@ -428,3 +428,100 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").alias("revenue_cents"),
     )
+
+
+def _hilbert_steps(bit_fmt: str) -> list[tuple[str, str, str]]:
+    """Per-level (d, x, y) update expressions for the 8-bit Hilbert
+    transform, highest bit first. ``bit_fmt`` supplies the dialect's
+    bit extraction (Spark shiftright vs DuckDB >>); the CASE arithmetic
+    — (3*rx) XOR ry spelled as a branch, reflect-and-swap as nested
+    CASEs — is identical text on both engines, so the 16-bit key is
+    bit-exact by construction."""
+    steps = []
+    for k in range(7, -1, -1):
+        s = 1 << k
+        rx = bit_fmt.format(v="x", k=k)
+        ry = bit_fmt.format(v="y", k=k)
+        steps.append((
+            f"d + {s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)",
+            f"CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN 255 - y ELSE y END) ELSE x END",
+            f"CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN 255 - x ELSE x END) ELSE y END",
+        ))
+    return steps
+
+
+def _hilbert_oracle() -> str:
+    parts = [
+        f"""s8 AS (
+      SELECT user_id, {_X_DUCK} AS x, {_Y_DUCK} AS y, 0 AS d,
+             {_X_DUCK} AS x0, {_Y_DUCK} AS y0
+      FROM events)"""
+    ]
+    prev = "s8"
+    for i, (de, xe, ye) in enumerate(_hilbert_steps("(({v} >> {k}) & 1)")):
+        cur = f"s{7 - i}"
+        parts.append(
+            f"""{cur} AS (
+      SELECT user_id, x0, y0, {de} AS d, {xe} AS x, {ye} AS y
+      FROM {prev})"""
+        )
+        prev = cur
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(d // 256 AS INT) AS h_cell,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(d) AS INT) AS min_h,
+           CAST(max(d) AS INT) AS max_h,
+           CAST(max(x0) - min(x0) AS BIGINT) AS x_span,
+           CAST(max(y0) - min(y0) AS BIGINT) AS y_span
+    FROM {prev} GROUP BY 1"""
+    )
+
+
+@register(
+    "q_hilbert_layout",
+    oracle=_hilbert_oracle(),
+    doc="Hilbert-curve data-layout key — the locality-preserving "
+    "alternative to q_zorder_layout over the SAME two quantized "
+    "dimensions (user_id mod 256, cents-of-value mod 256): the 16-bit "
+    "Hilbert index via the classic per-bit reflect-and-swap recurrence "
+    "(8 unrolled levels; d += s^2 * ((3*rx) XOR ry), then the quadrant "
+    "rotation), spelled as identical CASE text on both engines so the "
+    "key is exact integer end-to-end. Unlike Morton order, consecutive "
+    "Hilbert keys are ALWAYS Manhattan-distance-1 neighbors (gated "
+    "exhaustively over all 65536 cells in tests/test_r12_semantics), "
+    "so per-file min/max stats after repartitionByRange(hkey) are "
+    "tighter on both dimensions — the x_span/y_span columns measure "
+    "exactly that per 256-key cell, the apples-to-apples comparison "
+    "against the Z-order cells' spans. Shape (100 TB): the transform "
+    "is 8 chained row-local projections (one scan, whole-stage "
+    "codegen, no shuffle), then one hash-agg on the cell key — the "
+    "same shape a table writer uses to cluster before write.",
+)
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    df = ev.selectExpr(
+        "user_id",
+        f"{_X_SPARK} as x",
+        f"{_Y_SPARK} as y",
+        "0 as d",
+        f"{_X_SPARK} as x0",
+        f"{_Y_SPARK} as y0",
+    )
+    for de, xe, ye in _hilbert_steps("(shiftright({v}, {k}) & 1)"):
+        df = df.selectExpr(
+            "user_id", "x0", "y0", f"{de} as d", f"{xe} as x", f"{ye} as y"
+        )
+    return df.groupBy(F.expr("cast(d div 256 as int)").alias("h_cell")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("d").cast("int").alias("min_h"),
+        F.max("d").cast("int").alias("max_h"),
+        (F.max("x0") - F.min("x0")).cast("bigint").alias("x_span"),
+        (F.max("y0") - F.min("y0")).cast("bigint").alias("y_span"),
+    )

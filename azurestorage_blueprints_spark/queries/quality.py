@@ -474,3 +474,111 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(_DP_EPS)).alias("epsilon"),
         released.cast("bigint").alias("released_count"),
     )
+
+
+#: t-closeness release thresholds: distinct-l floor and the max total
+#: variation (in milli) a class's sensitive distribution may sit from
+#: the global one
+_TC_L = 2
+_TC_T_MILLI = 400
+
+
+@register(
+    "q_t_closeness",
+    oracle=f"""
+    WITH cl AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    kk AS (SELECT c_nationkey, bal_bucket, CAST(sum(c) AS BIGINT) AS k
+           FROM cl GROUP BY 1, 2),
+    g AS (SELECT seg, CAST(sum(c) AS BIGINT) AS gv FROM cl GROUP BY seg),
+    nn AS (SELECT CAST(sum(gv) AS BIGINT) AS n FROM g),
+    grid AS (
+      SELECT kk.c_nationkey, kk.bal_bucket, kk.k, nn.n, g.seg, g.gv,
+             COALESCE(cl.c, 0) AS c
+      FROM kk CROSS JOIN g CROSS JOIN nn
+      LEFT JOIN cl ON cl.c_nationkey = kk.c_nationkey
+                  AND cl.bal_bucket = kk.bal_bucket AND cl.seg = g.seg),
+    per AS (
+      SELECT c_nationkey, bal_bucket, k, n,
+             CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS distinct_l,
+             CAST(sum(CASE WHEN c > 0 THEN c * CAST(round(
+                    ln(CAST(k AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) ELSE 0 END) // k AS BIGINT) AS ent_micro,
+             CAST((500 * sum(abs(CAST(c AS HUGEINT) * n
+                                 - CAST(gv AS HUGEINT) * k)))
+                  // (CAST(k AS HUGEINT) * n) AS BIGINT) AS t_milli
+      FROM grid GROUP BY 1, 2, 3, 4)
+    SELECT c_nationkey, bal_bucket, k, distinct_l, ent_micro, t_milli,
+           distinct_l >= {_TC_L} AND t_milli <= {_TC_T_MILLI} AS releasable
+    FROM per
+    """,
+    doc="Entropy l-diversity + t-closeness — the two refinements the "
+    "k-anonymity screen (q_k_anonymity) is known to need: a class can "
+    "be k-anonymous yet reveal its sensitive attribute (low l), and "
+    "l-diverse yet skewed far from the population (the t-closeness "
+    "attack). Per equivalence class over the quasi-identifiers "
+    "(nation, account-balance bucket) with market segment as the "
+    "sensitive attribute: class size k, distinct-l, entropy "
+    "H = sum c/k * ln(k/c) in micro-nats (each ln quantized to an "
+    "int via the q_text_unigram_entropy convention, so the sum is an "
+    "exact bigint reduction), and t = (1/2) sum_v |p_v - q_v| against "
+    "the GLOBAL sensitive distribution in exact milli — the cross-"
+    "multiplied form |c_v*N - g_v*k| rides HUGEINT/decimal(38,0) so "
+    "the claim survives N ~ 1e12 rows (N^2 ~ 1e24 << 1e38), and "
+    "values ABSENT from a class still contribute |0 - q_v*k| (the "
+    "grid left-join; dropping them understates t exactly when the "
+    "class is most skewed). releasable = distinct_l >= "
+    f"{_TC_L} AND t_milli <= {_TC_T_MILLI}. Shape (100 TB): one "
+    "map-side-combined hash-agg on (QI, sensitive) — bounded by the "
+    "domain product, not rows — then O(classes) re-aggs; the O(5) "
+    "segment dimension and the 1-row total ride broadcast cross "
+    "joins. O(classes) rows out at any scale.",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    cl = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    kk = cl.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("c").cast("bigint").alias("k")
+    )
+    g = cl.groupBy("seg").agg(F.sum("c").cast("bigint").alias("gv"))
+    nn = g.agg(F.sum("gv").cast("bigint").alias("n"))
+    grid = (
+        kk.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(nn))
+        .join(cl, ["c_nationkey", "bal_bucket", "seg"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("bigint")))
+    )
+    per = grid.groupBy("c_nationkey", "bal_bucket", "k", "n").agg(
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("distinct_l"),
+        F.expr(
+            "cast(sum(case when c > 0 then c * cast(round("
+            "ln(cast(k as double) / cast(c as double)) * 1000000.0)"
+            " as bigint) else 0 end) div k as bigint)"
+        ).alias("ent_micro"),
+        F.expr(
+            "cast((500 * sum(abs(cast(c as decimal(38,0)) * n"
+            " - cast(gv as decimal(38,0)) * k)))"
+            " div (cast(k as decimal(38,0)) * n) as bigint)"
+        ).alias("t_milli"),
+    )
+    return per.select(
+        "c_nationkey",
+        "bal_bucket",
+        "k",
+        "distinct_l",
+        "ent_micro",
+        "t_milli",
+        (
+            (F.col("distinct_l") >= _TC_L) & (F.col("t_milli") <= _TC_T_MILLI)
+        ).alias("releasable"),
+    )

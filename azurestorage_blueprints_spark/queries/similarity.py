@@ -3887,3 +3887,168 @@ def q_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("share_within"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Farthest-first (Gonzalez) k-center diversity sampling (r12) — the
+# data-SELECTION use of the embedding column that the mixture family
+# (DSIR importance, temperature resampling) does not cover: pick the k
+# points that maximize pairwise coverage, the greedy 2-approximation of
+# the k-center objective used to seed diverse fine-tuning subsets and
+# kmeans++-style initializations. Distances are exact int64 squared
+# Euclidean over the shared int8 quantization, so the entire greedy
+# trajectory — selections, radii, objective sums — is bit-exact.
+
+_KC_K = 8
+
+
+def _kc_d2(prefix_p: str, prefix_c: str) -> str:
+    return (
+        f"list_dot_product({prefix_p}.v8, {prefix_p}.v8)"
+        f" - 2 * list_dot_product({prefix_p}.v8, {prefix_c}.cv)"
+        f" + list_dot_product({prefix_c}.cv, {prefix_c}.cv)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q8 AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x * 127.0
+                      / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS v8
+           FROM e),
+    c0 AS (SELECT vec_id AS cid, v8 AS cv FROM q8 WHERE vec_id = 0),
+    m0 AS MATERIALIZED (
+      SELECT p.vec_id, p.v8, CAST(""" + _kc_d2("p", "c") + """ AS BIGINT) AS mind
+      FROM q8 p, c0 c)"""
+    ]
+    for r in range(1, _KC_K):
+        parts.append(f"""s{r} AS MATERIALIZED (
+      SELECT m.vec_id AS cid, m.v8 AS cv, m.mind AS radius_sq,
+             (SELECT CAST(sum(mind) AS BIGINT) FROM m{r - 1}) AS sum_d2
+      FROM m{r - 1} m ORDER BY m.mind DESC, m.vec_id LIMIT 1)""")
+        parts.append(f"""m{r} AS MATERIALIZED (
+      SELECT p.vec_id, p.v8,
+             least(p.mind, CAST({_kc_d2("p", "c")} AS BIGINT)) AS mind
+      FROM m{r - 1} p, s{r} c)""")
+    rows = [
+        "SELECT 0 AS round, CAST(0 AS BIGINT) AS center_id,"
+        " CAST(0 AS BIGINT) AS radius_sq, CAST(0 AS BIGINT) AS sum_d2"
+    ]
+    rows += [
+        f"SELECT {r} AS round, CAST(cid AS BIGINT) AS center_id,"
+        f" radius_sq, sum_d2 FROM s{r}"
+        for r in range(1, _KC_K)
+    ]
+    rows.append(
+        f"SELECT {_KC_K} AS round, CAST(-1 AS BIGINT) AS center_id,"
+        f" (SELECT CAST(max(mind) AS BIGINT) FROM m{_KC_K - 1}) AS radius_sq,"
+        f" (SELECT CAST(sum(mind) AS BIGINT) FROM m{_KC_K - 1}) AS sum_d2"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY round"
+    )
+
+
+@register(
+    "q_kcenter_sample",
+    oracle=_kcenter_oracle(),
+    doc=f"Farthest-first traversal (Gonzalez k-center, k = {_KC_K}) over "
+    "the int8-quantized embeddings — greedy DIVERSITY sampling for "
+    "training-subset selection: each round adds the point farthest "
+    "from every already-chosen center (ties to the smallest vec_id), "
+    "the classic 2-approximation whose selection radii upper-bound "
+    "the optimal k-center cost. Exactness: squared Euclidean over the "
+    "q_knn_int8 quantization is a sum of 64 squares of ints <= 254, "
+    "so every distance is an exact int64 (max ~4.1e6) and the greedy "
+    "trajectory — center ids, selection radii, the k-medoids-style "
+    "objective sum before each pick, and the final coverage radius "
+    "(round 8, center_id -1) — hash-checks bit-for-bit against the "
+    "oracle's unrolled MATERIALIZED rounds. Shape (100 TB): state is "
+    "one (vec_id, v8, min_dist) relation updated per round by a "
+    "BROADCAST of the single new center (one row) — a row-local map, "
+    "no shuffle in the loop body; each selection is one "
+    "max-of-struct agg (exact integer argmax, no window, no sort); "
+    "lineage is checkpoint-truncated per round. k rounds scan the "
+    "corpus k times — the known cost of greedy k-center; blocked "
+    "variants (pre-cluster then per-block greedy) reuse this exact "
+    "loop per block.",
+)
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def quantize(col):
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        return F.transform(
+            col,
+            lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("double"),
+        )
+
+    q8 = e.select("vec_id", quantize(F.col("embedding")).alias("v8"))
+
+    def d2(p, c):
+        return (dot(p, p) - 2.0 * dot(p, c) + dot(c, c)).cast("bigint")
+
+    c0 = q8.filter(F.col("vec_id") == 0).select(F.col("v8").alias("cv"))
+    st = (
+        q8.crossJoin(F.broadcast(c0))
+        .select("vec_id", "v8", d2(F.col("v8"), F.col("cv")).alias("mind"))
+        .localCheckpoint()
+    )
+    out_rows = [
+        st.sparkSession.range(1).select(
+            F.lit(0).cast("int").alias("round"),
+            F.lit(0).cast("bigint").alias("center_id"),
+            F.lit(0).cast("bigint").alias("radius_sq"),
+            F.lit(0).cast("bigint").alias("sum_d2"),
+        )
+    ]
+    for r in range(1, _KC_K):
+        sel = st.agg(
+            F.max(
+                F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))
+            ).alias("mx"),
+            F.sum("mind").cast("bigint").alias("sum_d2"),
+        ).select(
+            F.lit(r).cast("int").alias("round"),
+            (-F.col("mx.nid")).cast("bigint").alias("center_id"),
+            F.col("mx.mind").cast("bigint").alias("radius_sq"),
+            "sum_d2",
+        )
+        cent = sel.join(q8, sel.center_id == q8.vec_id).select(
+            F.col("v8").alias("cv")
+        )
+        st = (
+            st.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v8",
+                F.least(F.col("mind"), d2(F.col("v8"), F.col("cv"))).alias(
+                    "mind"
+                ),
+            )
+            .localCheckpoint()
+        )
+        out_rows.append(sel)
+    final = st.agg(
+        F.max("mind").cast("bigint").alias("radius_sq"),
+        F.sum("mind").cast("bigint").alias("sum_d2"),
+    ).select(
+        F.lit(_KC_K).cast("int").alias("round"),
+        F.lit(-1).cast("bigint").alias("center_id"),
+        "radius_sq",
+        "sum_d2",
+    )
+    out_rows.append(final)
+    out = out_rows[0]
+    for s in out_rows[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

@@ -1384,3 +1384,156 @@ def q_quantiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda n: F.ceil(n * F.lit(0.999)).cast("bigint"),
     ]
     return exact_group_quantiles(li, "scope", "l_extendedprice", "line_key", ks)
+
+
+#: right-censoring horizon for the Kaplan-Meier rung: a user whose last
+#: event falls within this many microseconds of the corpus's final
+#: timestamp is still active (censored), not churned
+_KM_HORIZON_US = 3 * 86_400_000_000
+
+
+@register(
+    "q_survival_km",
+    oracle=f"""
+    WITH subj AS (
+      SELECT user_id, event_type,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+      FROM events GROUP BY user_id, event_type),
+    gm AS (SELECT CAST(max(last_us) AS BIGINT) AS gmax FROM subj),
+    marked AS (
+      SELECT (s.last_us - s.first_us) // 86400000000 AS t_days,
+             CASE WHEN s.last_us < g.gmax - {_KM_HORIZON_US}
+                  THEN 1 ELSE 0 END AS ev
+      FROM subj s CROSS JOIN gm g),
+    hist AS (
+      SELECT t_days,
+             CAST(sum(ev) AS BIGINT) AS d_events,
+             CAST(sum(1 - ev) AS BIGINT) AS c_censored
+      FROM marked GROUP BY t_days),
+    cum AS (
+      SELECT t_days, d_events, c_censored,
+             CAST((SELECT count(*) FROM marked)
+               - sum(d_events + c_censored)
+                   OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+               + (d_events + c_censored) AS BIGINT) AS n_risk
+      FROM hist),
+    terms AS (
+      SELECT t_days, n_risk, d_events, c_censored,
+             CAST(((n_risk - d_events) * 1000000) // n_risk AS BIGINT)
+               AS factor_micro,
+             CASE WHEN d_events = 0 THEN CAST(0 AS BIGINT)
+                  WHEN n_risk > d_events THEN
+                    CAST(round(ln(CAST(n_risk - d_events AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)) * 1000000.0)
+                         AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS lnq,
+             CASE WHEN n_risk = d_events THEN 1 ELSE 0 END AS dies_out
+      FROM cum),
+    km AS (
+      SELECT t_days, n_risk, d_events, c_censored, factor_micro,
+             CAST(sum(lnq) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lnq,
+             max(dies_out) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS zeroed
+      FROM terms)
+    SELECT t_days, n_risk, d_events, c_censored, factor_micro,
+           CAST(CASE WHEN zeroed = 1 THEN 0 ELSE
+             round(exp(CAST(cum_lnq AS DOUBLE) / 1000000.0) * 1000000.0)
+           END AS BIGINT) AS surv_micro
+    FROM km ORDER BY t_days
+    """,
+    doc="Kaplan-Meier survival estimate over user lifetimes with "
+    "right-censoring — the churn/retention analysis q_cohort_retention "
+    "approximates without censoring handling: subjects are (user, "
+    "event_type) engagement streams, lifetime = whole days between "
+    "the stream's first and last event; streams whose last event "
+    "falls within 3 days of the corpus's final timestamp are CENSORED "
+    "(still active — treating them as churned biases survival down, "
+    "the classic mistake). S(t) = prod_(t_j <= t) (1 - d_j/n_j) with "
+    "the risk set n_j = subjects with lifetime >= t_j (censored "
+    "included until their censoring time). Exactness: the KM table is "
+    "an O(distinct lifetimes) HISTOGRAM — risk sets via one exact "
+    "cumulative int sum over it — and the cumulative product rides "
+    "micro-quantized ln factors (exact bigint cumsum, order-free) "
+    "with ONE shared-expression exp at the end; n_j = d_j (everyone "
+    "at risk dies) pins survival to exactly 0 via the cumulative "
+    "dies-out flag instead of ln(0). Shape (100 TB): one "
+    "map-side-combined per-user agg (first/last), one O(1) horizon "
+    "broadcast, one hash-agg onto the day histogram; ALL windows run "
+    "over the O(bins) histogram (~lifetime-days cardinality), never "
+    "the corpus — the _ppl_thresholds discipline.",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    subj = ev.groupBy("user_id", "event_type").agg(
+        F.min(epoch_us).cast("bigint").alias("first_us"),
+        F.max(epoch_us).cast("bigint").alias("last_us"),
+    )
+    gm = subj.agg(F.max("last_us").cast("bigint").alias("gmax"))
+    marked = subj.crossJoin(F.broadcast(gm)).select(
+        F.expr("(last_us - first_us) div 86400000000").alias("t_days"),
+        F.when(
+            F.col("last_us") < F.col("gmax") - F.lit(_KM_HORIZON_US), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    hist = marked.groupBy("t_days").agg(
+        F.sum("ev").cast("bigint").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c_censored"),
+    )
+    n_total = marked.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    wcum = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.crossJoin(F.broadcast(n_total)).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.sum(F.col("d_events") + F.col("c_censored")).over(wcum)
+        + (F.col("d_events") + F.col("c_censored")),
+    )
+    terms = cum.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.expr("((n_risk - d_events) * 1000000) div n_risk").alias(
+            "factor_micro"
+        ),
+        F.expr(
+            "CASE WHEN d_events = 0 THEN CAST(0 AS BIGINT)"
+            " WHEN n_risk > d_events THEN"
+            " CAST(round(ln(CAST(n_risk - d_events AS DOUBLE)"
+            " / CAST(n_risk AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("lnq"),
+        F.when(F.col("n_risk") == F.col("d_events"), 1).otherwise(0).alias(
+            "dies_out"
+        ),
+    )
+    km = terms.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        "factor_micro",
+        F.sum("lnq").over(wcum).alias("cum_lnq"),
+        F.max("dies_out").over(wcum).alias("zeroed"),
+    )
+    return km.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        "factor_micro",
+        F.expr(
+            "CAST(CASE WHEN zeroed = 1 THEN 0 ELSE"
+            " round(exp(CAST(cum_lnq AS DOUBLE) / 1000000.0) * 1000000.0)"
+            " END AS BIGINT)"
+        ).alias("surv_micro"),
+    ).orderBy("t_days")

@@ -2321,3 +2321,102 @@ def q_stream_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete")
+
+
+def _stream_decon_oracle() -> str:
+    return """
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4])
+               ELSE [list_aggregate(toks, 'string_agg', ' ')] END)) AS shingle
+      FROM toked),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE doc_id % 10 <> 0 AND doc_id % 97 = 0),
+    arr AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT a.doc_id,
+             CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM arr a LEFT JOIN eval_sh e ON e.shingle = a.shingle)
+    SELECT doc_id,
+           CAST(sum(hit) AS BIGINT) AS n_eval_hits,
+           CASE WHEN sum(hit) > 0 THEN 'contaminated' ELSE 'clean' END
+             AS verdict
+    FROM hits GROUP BY doc_id
+    """
+
+
+@register(
+    "q_stream_decontamination_gate",
+    oracle=_stream_decon_oracle(),
+    doc="Streaming benchmark-decontamination gate — the 12th ingest "
+    "gate and the production FORM of q_decontaminate: arrival "
+    "documents replay as file-source micro-batches, each tokenizes "
+    "and 5-gram-shingles ROW-LOCALLY (the identical word_shingles "
+    "expressions as the batch rung — stateless array projections, "
+    "short-doc fallback included so every arrival gets a verdict), "
+    "explodes to distinct shingles, LEFT-joins the STANDING eval "
+    "benchmark's shingle set (stream-static, UNHINTED — the eval set "
+    "is small by construction, a held-out benchmark suite, but the "
+    "r11 no-forced-corpus-scale-broadcast rule applies: AQE may "
+    "broadcast it while it fits, which is the right adaptivity), and "
+    "one complete-mode aggregation per arrival counts benchmark-gram "
+    "collisions and verdicts contaminated/clean — the check that "
+    "keeps eval answers OUT of the training corpus at ingest time "
+    "instead of one expensive sweep later. Oracle: the batch 5-gram "
+    "overlap SQL reproduces every per-arrival verdict. Shape "
+    "(100 TB): per-arrival work is O(doc grams); the static side is "
+    "a pre-built distinct-shingle table exactly like a stored "
+    "benchmark manifest; state is one counter per in-flight arrival.",
+)
+def q_stream_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
+
+    staged = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(staged, "c0")).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    a_sh = arrivals.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), k=5))
+        ).alias("shingle"),
+    )
+    eval_sh = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 97 == 0))
+        .select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col("text")), k=5))
+            ).alias("shingle")
+        )
+        .distinct()
+        .withColumn("in_eval", F.lit(1))
+    )
+    joined = a_sh.join(eval_sh, "shingle", "left").select(
+        "doc_id", F.coalesce(F.col("in_eval"), F.lit(0)).alias("hit")
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.sum("hit").cast("bigint").alias("n_eval_hits")
+    )
+    verdicted = agg.select(
+        "doc_id",
+        "n_eval_hits",
+        F.when(F.col("n_eval_hits") > 0, F.lit("contaminated"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    )
+    return run_to_memory(
+        verdicted, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete"
+    )

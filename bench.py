@@ -237,6 +237,27 @@ HEADLINE = [
     # (ROUGE-2) kernel — both pure map + equi-join shapes
     "q_embed_jl_projection",
     "q_eval_rouge_n",
+    # r12 second batch: community quality over the LPA partition,
+    # greedy k-center diversity sampling (8 broadcast rounds), the
+    # Hilbert layout key (8 chained row-local projections), and the
+    # t-closeness release screen (domain-bounded grid aggs)
+    "q_graph_modularity",
+    "q_kcenter_sample",
+    "q_hilbert_layout",
+    "q_t_closeness",
+    # r12 third batch: corpus BLEU (pooled clipped-overlap + brevity),
+    # Kaplan-Meier with right-censoring (histogram-ride windows), and
+    # the 12th ingest gate (benchmark 5-gram decontamination)
+    "q_eval_bleu",
+    "q_survival_km",
+    "q_stream_decontamination_gate",
+    # r12 fourth batch: paired-classifier McNemar over two row-local
+    # language-ID classifiers (one scan, one O(langs) agg)
+    "q_eval_mcnemar",
+    # r12 fifth batch: HITS fixed-point (6th oracle-checked iterative
+    # algorithm) and the BMP (no-compression DIB) codec tier
+    "q_graph_hits",
+    "q_multimodal_bmp_roundtrip",
 ]
 
 

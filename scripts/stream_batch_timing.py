@@ -44,6 +44,7 @@ DEFAULT_GATES = [
     "q_stream_multimodal_gate",
     "q_stream_forget_gate",
     "q_stream_quantile_gate",
+    "q_stream_decontamination_gate",
 ]
 
 

@@ -476,3 +476,40 @@ def test_wav_roundtrip_property():
         assert np.array_equal(out, samples)
 
     roundtrip()
+
+
+def test_bmp_roundtrip_encode_decode_color():
+    # COLOR round-trip (a grayscale checksum cannot see BGR/RGB channel
+    # swaps) across strides that need padding (w=4,5,7) and the 1x1 edge
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for w, h in [(4, 5), (5, 3), (7, 2), (1, 1), (8, 8)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        assert MM.decode_bmp(MM.encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+def test_bmp_decodes_top_down_negative_height():
+    import numpy as np
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).tobytes()  # 3x2
+    b = bytearray(MM.encode_bmp(3, 2, rgb))
+    # flip to the top-down variant: height = -2, rows already bottom-up
+    # in the payload so decoding top-down must give the row-reversed img
+    b[22:26] = (-2).to_bytes(4, "little", signed=True)
+    w, h, px = MM.decode_bmp(bytes(b))
+    assert (w, h) == (3, 2)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(2, 3, 3)
+    assert px == a[::-1].tobytes()
+
+
+def test_bmp_dispatches_through_decode_image(spark):
+    import numpy as np
+
+    rgb = np.arange(4 * 3 * 3, dtype=np.uint8).tobytes()
+    df = spark.createDataFrame(
+        [(1, MM.encode_bmp(4, 3, rgb))], "content_id bigint, content binary"
+    )
+    row = MM.decode_image(df).collect()[0]
+    assert row.ok and (row.width, row.height) == (4, 3)
+    assert bytes(row.pixels) == rgb

@@ -1002,3 +1002,109 @@ def test_rouge_n_is_equijoin_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     keys = re.findall(r"hashpartitioning\((\w+)", plan)
     assert set(keys) <= {"pair_id", "g", "lang"}, keys
+
+
+def test_modularity_is_equijoins_with_bounded_keys(spark, sf_dir):
+    # within-community mass = two equi-joins of the label vector to the
+    # edge list; scalar totals broadcast back. No label x label product,
+    # no window outside the checkpointed LPA rounds, every shuffle key
+    # in the declared set
+    import re
+
+    plan = _plan(spark, "q_graph_modularity", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"src", "dst", "node", "node2", "label", "lsrc", "ldst",
+                    "community"}, keys
+
+
+def test_kcenter_loop_body_is_rowlocal_broadcast_map(spark, sf_dir):
+    # per round: one broadcast of the single new center + a row-local
+    # min-dist update + one max-of-struct agg — the returned plan must
+    # start at checkpointed state with NO join, window, or shuffle key
+    # at all (global 1-row aggs only)
+    import re
+
+    plan = _plan(spark, "q_kcenter_sample", sf_dir)
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.findall(r"hashpartitioning\((\w+)", plan) == []
+
+
+def test_hilbert_transform_stays_in_one_codegen_scan(spark, sf_dir):
+    # 8 chained row-local projections must collapse into the scan's
+    # codegen stage: no join, no window; the only exchange is the cell
+    # hash-agg (+ the distinct-count expand on the same key)
+    plan = _plan(spark, "q_hilbert_layout", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # one scan, and only the agg's two-phase exchange pair moves data —
+    # the 8 projection steps must not introduce any extra exchange
+    # (formatted mode lists every node twice: tree + detail section)
+    assert plan.count("InMemoryFileIndex") == 1
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_t_closeness_grid_rides_broadcasts(spark, sf_dir):
+    # the O(5) segment dim and the 1-row total must broadcast; shuffle
+    # keys stay in the QI/sensitive set; no window anywhere
+    import re
+
+    plan = _plan(spark, "q_t_closeness", sf_dir)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"c_nationkey", "bal_bucket", "seg", "k", "n"}, keys
+
+
+def test_bleu_is_equijoin_only(spark, sf_dir):
+    # corpus BLEU pools the same (pair_id, gram) equi-join shape as
+    # the ROUGE kernel, twice (unigram + bigram legs); no window, no
+    # cartesian, shuffle keys in the declared set
+    import re
+
+    plan = _plan(spark, "q_eval_bleu", sf_dir)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"pair_id", "g", "lang"}, keys
+
+
+def test_survival_km_windows_ride_the_histogram(spark, sf_dir):
+    # the ONLY corpus-scale shuffles are the per-subject agg and the
+    # day-histogram agg; the cumulative windows (risk set, cum-lnq,
+    # dies-out flag) run over the O(bins) histogram AFTER it — the
+    # plan's Windows must sit above a hash aggregate keyed on t_days,
+    # never over raw events
+    import re
+
+    plan = _plan(spark, "q_survival_km", sf_dir)
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id", "event_type", "t_days"}, keys
+    # the subject agg reads only the three needed columns
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "props" not in read and "value" not in read
+
+
+def test_bmp_roundtrip_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "q_multimodal_bmp_roundtrip", sf_dir)
+    # encode -> decode -> checksum is a straight-line Arrow pipeline —
+    # no KEY shuffle anywhere (the loader's keyless round-robin spread
+    # is the only allowed Exchange, as in the GIF/PNG gates)
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_hits_rounds_are_joins_with_broadcast_norms(spark, sf_dir):
+    # per half-round: one equi-join of the score vector to the edge
+    # list + one far-side sum + an O(1) max broadcast back; returned
+    # plan starts at checkpointed state — top-10s must be
+    # TakeOrderedAndProject, never a global sort
+    plan = _plan(spark, "q_graph_hits", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -475,3 +475,413 @@ def test_rouge_n_matches_counter_recompute(spark, sf_dir):
         assert r.mean_r_milli == sum(q for _, q, _ in ps) / len(ps)
         assert r.mean_f1_milli == sum(f for _, _, f in ps) / len(ps)
         assert r.max_f1_milli == max(f for _, _, f in ps)
+
+
+# ---------------------------------------------------------------------------
+# r12 second batch: modularity, k-center sampling, Hilbert layout,
+# t-closeness — full third-engine recomputes (pure Python) plus the
+# exhaustive curve-property proof for the Hilbert key.
+
+
+def test_modularity_matches_python_recompute(spark, sf_dir):
+    """Newman modularity of the 3-round LPA partition must equal a
+    pure-Python replay — pinning partition identity with the LPA rung,
+    the within-community edge mass, and the offset floor-div micro
+    arithmetic (including negative contributions)."""
+    from collections import defaultdict
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    cust = {r.o_orderkey: r.o_custkey for r in od}
+    off = 1_000_000
+    e0 = {(cust[r.l_orderkey], off + r.l_suppkey) for r in li}
+    edges = [(c, s) for c, s in e0] + [(s, c) for c, s in e0]
+    lab = {u: u for u, _ in edges}
+    for _ in range(3):
+        cnt: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+        for u, v in edges:
+            cnt[v][lab[u]] += 1
+        lab = {
+            v: max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            for v, c in cnt.items()
+        }
+    deg: dict[int, int] = defaultdict(int)
+    for u, _ in edges:
+        deg[u] += 1
+    n_nodes: dict[int, int] = defaultdict(int)
+    d_c: dict[int, int] = defaultdict(int)
+    for u, d in deg.items():
+        n_nodes[lab[u]] += 1
+        d_c[lab[u]] += d
+    in_dir: dict[int, int] = defaultdict(int)
+    for u, v in edges:
+        if lab[u] == lab[v]:
+            in_dir[lab[u]] += 1
+    m2 = len(edges)
+    den = m2 * m2
+    a_dir = sum(in_dir.values())
+    bsq = sum(d * d for d in d_c.values())
+    q_micro = ((m2 * a_dir - bsq + den) * 1_000_000) // den - 1_000_000
+    expect = sorted(
+        (
+            (
+                c,
+                n_nodes[c],
+                in_dir[c] // 2,
+                d_c[c],
+                ((m2 * in_dir[c] - d_c[c] * d_c[c] + den) * 1_000_000) // den
+                - 1_000_000,
+                m2 // 2,
+                q_micro,
+            )
+            for c in n_nodes
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    got = [
+        (r.community, r.n_nodes, r.in_edges, r.deg_sum, r.contrib_micro,
+         r.m_edges, r.q_micro)
+        for r in REGISTRY["q_graph_modularity"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_kcenter_matches_python_recompute(spark, sf_dir):
+    """The greedy farthest-first trajectory — every center id, selection
+    radius, and objective sum — must equal a pure-Python replay over
+    the same int8 quantization."""
+    import math
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    q8 = {}
+    for r in e:
+        v = [float(x) for x in r.embedding]
+        scale = max(max(abs(x) for x in v), 1e-12)
+        q8[r.vec_id] = [math.floor(x * 127.0 / scale + 0.5) for x in v]
+
+    def d2(a, b):
+        return sum((ai - bi) ** 2 for ai, bi in zip(a, b))
+
+    mind = {i: d2(v, q8[0]) for i, v in q8.items()}
+    expect = [(0, 0, 0, 0)]
+    for r in range(1, 8):
+        s = sum(mind.values())
+        cid = max(mind, key=lambda i: (mind[i], -i))
+        expect.append((r, cid, mind[cid], s))
+        cv = q8[cid]
+        for i, v in q8.items():
+            d = d2(v, cv)
+            if d < mind[i]:
+                mind[i] = d
+    expect.append((8, -1, max(mind.values()), sum(mind.values())))
+    got = [
+        (r.round, r.center_id, r.radius_sq, r.sum_d2)
+        for r in REGISTRY["q_kcenter_sample"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_hilbert_key_is_a_true_hilbert_curve(spark):
+    """Exhaustive proof over all 65536 cells that the DEPLOYED per-bit
+    expressions produce a genuine Hilbert curve: a bijection onto
+    [0, 65536) whose consecutive keys are ALWAYS Manhattan-distance-1
+    neighbors — the locality property the layout claims rest on (a
+    Z-order key fails this at every power-of-two boundary)."""
+    from azurestorage_blueprints_spark.queries.maintenance import _hilbert_steps
+
+    df = spark.range(65536).selectExpr(
+        "id as i",
+        "cast(id div 256 as bigint) as x",
+        "cast(id % 256 as bigint) as y",
+        "cast(0 as bigint) as d",
+    )
+    for de, xe, ye in _hilbert_steps("(shiftright({v}, {k}) & 1)"):
+        df = df.selectExpr("i", f"{de} as d", f"{xe} as x", f"{ye} as y")
+    d_by_i = {r.i: r.d for r in df.select("i", "d").collect()}
+    assert sorted(d_by_i.values()) == list(range(65536))
+    inv = {d: (i // 256, i % 256) for i, d in d_by_i.items()}
+    for d in range(65535):
+        x1, y1 = inv[d]
+        x2, y2 = inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, inv[d], inv[d + 1])
+
+
+def test_t_closeness_matches_python_recompute(spark, sf_dir):
+    """Entropy l-diversity and t-closeness per class must equal a
+    Counter recompute — pinning the absent-value grid contribution
+    (|0 - q_v*k|), the micro-nat entropy quantization, and the exact
+    cross-multiplied milli-TV."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    cl: dict[tuple[int, int], Counter] = defaultdict(Counter)
+    glob: Counter = Counter()
+    for r in rows:
+        qid = (r.c_nationkey, math.floor(r.c_acctbal / 1000.0))
+        cl[qid][r.c_mktsegment] += 1
+        glob[r.c_mktsegment] += 1
+    n = sum(glob.values())
+    expect = {}
+    for qid, c in cl.items():
+        k = sum(c.values())
+        ent = sum(
+            v * round(math.log(k / v) * 1_000_000.0) for v in c.values()
+        ) // k
+        tv = sum(abs(c.get(s, 0) * n - gv * k) for s, gv in glob.items())
+        t_milli = (500 * tv) // (k * n)
+        expect[qid] = (k, len(c), ent, t_milli, len(c) >= 2 and t_milli <= 400)
+    got = REGISTRY["q_t_closeness"].fn(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        k, dl, ent, tm, rel = expect[(r.c_nationkey, r.bal_bucket)]
+        assert (r.k, r.distinct_l, r.ent_micro, r.t_milli, r.releasable) == (
+            k, dl, ent, tm, rel
+        )
+
+
+def test_bleu_matches_counter_recompute(spark, sf_dir):
+    """Corpus BLEU-2 components and the quantized BP/BLEU must equal a
+    Counter recompute — pinning the corpus-level pooling (not per-pair
+    means), the clipped unigram AND bigram counts, and the monotone-exp
+    brevity identity."""
+    import math
+    from collections import Counter
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    tk = {
+        r.doc_id: ([t for t in r.text.split(" ") if t], r.lang) for r in docs
+    }
+    agg: dict[str, list[int]] = {}
+    for d in sorted(tk):
+        if d % 2 or (d + 1) not in tk:
+            continue
+        ctk, lang = tk[d]
+        rtk, _ = tk[d + 1]
+        if len(ctk) < 2 or len(rtk) < 2:
+            continue
+        m1 = sum(
+            min(c, Counter(rtk)[g]) for g, c in Counter(ctk).items()
+        )
+        cb = Counter(zip(ctk, ctk[1:]))
+        rb = Counter(zip(rtk, rtk[1:]))
+        m2 = sum(min(c, rb[g]) for g, c in cb.items())
+        a = agg.setdefault(lang, [0] * 7)
+        a[0] += 1
+        a[1] += m1
+        a[2] += len(ctk)
+        a[3] += m2
+        a[4] += len(ctk) - 1
+        a[5] += len(ctk)
+        a[6] += len(rtk)
+    got = REGISTRY["q_eval_bleu"].fn(spark, sf_dir).collect()
+    assert {r.lang for r in got} == set(agg)
+    for r in got:
+        n, m1, t1, m2, t2, cl, rl = agg[r.lang]
+        assert (r.n_pairs, r.match_1, r.total_1, r.match_2, r.total_2,
+                r.cand_len, r.ref_len) == (n, m1, t1, m2, t2, cl, rl)
+        assert r.p1_milli == (m1 * 1000) // t1
+        assert r.p2_milli == (m2 * 1000) // t2
+        bp = math.exp(min(0.0, 1.0 - rl / cl))
+        assert r.bp_micro == round(bp * 1_000_000.0)
+        bleu = bp * math.sqrt((m1 / t1) * (m2 / t2))
+        assert r.bleu2_micro == round(bleu * 1_000_000.0)
+
+
+def test_survival_km_matches_python_recompute(spark, sf_dir):
+    """The KM table — risk sets, per-time factors, and the quantized
+    cumulative survival — must equal a pure-Python estimator over the
+    same (user, event_type) lifetimes, pinning the censoring rule and
+    the risk-set accounting (censored subjects count until their
+    censoring time)."""
+    import math
+    from collections import defaultdict
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    # epoch micros, tz-independent: ts is NTZ -> naive datetime
+    import datetime
+
+    span: dict[tuple, list[int]] = {}
+
+    epoch = datetime.datetime(1970, 1, 1)
+    for r in ev:
+        us = int((r.ts - epoch).total_seconds() * 1_000_000)
+        k = (r.user_id, r.event_type)
+        if k not in span:
+            span[k] = [us, us]
+        else:
+            span[k][0] = min(span[k][0], us)
+            span[k][1] = max(span[k][1], us)
+    gmax = max(l for _, l in span.values())
+    hist: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for f, l in span.values():
+        t = (l - f) // 86_400_000_000
+        if l < gmax - 3 * 86_400_000_000:
+            hist[t][0] += 1
+        else:
+            hist[t][1] += 1
+    n = len(span)
+    at_risk = n
+    cum_lnq = 0
+    zeroed = False
+    expect = []
+    for t in sorted(hist):
+        d, c = hist[t]
+        factor = ((at_risk - d) * 1_000_000) // at_risk
+        if d > 0 and at_risk > d:
+            cum_lnq += round(math.log((at_risk - d) / at_risk) * 1_000_000.0)
+        if at_risk == d:
+            zeroed = True
+        surv = 0 if zeroed else round(
+            math.exp(cum_lnq / 1_000_000.0) * 1_000_000.0
+        )
+        expect.append((t, at_risk, d, c, factor, surv))
+        at_risk -= d + c
+    got = [
+        (r.t_days, r.n_risk, r.d_events, r.c_censored, r.factor_micro,
+         r.surv_micro)
+        for r in REGISTRY["q_survival_km"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    # the fixture must exercise both churn and censoring, or the rung
+    # is degenerate
+    assert sum(d for _, _, d, _, _, _ in expect) > 0
+    assert sum(c for _, _, _, c, _, _ in expect) > 0
+
+
+def test_stream_decontamination_gate_matches_set_recompute(spark, sf_dir):
+    """Every streamed verdict must equal a Python set-overlap recompute
+    of the 5-gram benchmark screen — arrivals vs the STANDING eval
+    shingle set (the gate's frozen manifest), short-doc fallback
+    included so every arrival is verdicted."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def shingles(text):
+        t = [x for x in text.split(" ") if x]
+        if len(t) >= 5:
+            return {" ".join(t[i:i + 5]) for i in range(len(t) - 4)}
+        return {" ".join(t)}
+
+    eval_sh = set()
+    for r in docs:
+        if r.doc_id % 10 != 0 and r.doc_id % 97 == 0:
+            eval_sh |= shingles(r.text)
+    expect = {}
+    for r in docs:
+        if r.doc_id % 10 == 0:
+            hits = len(shingles(r.text) & eval_sh)
+            expect[r.doc_id] = (hits, "contaminated" if hits else "clean")
+    got = REGISTRY["q_stream_decontamination_gate"].fn(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert (r.n_eval_hits, r.verdict) == expect[r.doc_id], r.doc_id
+
+
+def test_mcnemar_matches_python_recompute(spark, sf_dir):
+    """The 2x2 concordance cells and the continuity-corrected statistic
+    must equal a pure-Python replay of BOTH classifiers (word-marker
+    argmax and char-marker argmax with the shared lexicographic fold)
+    — and the fixture must produce discordance in both directions
+    across the report, or the paired test is vacuous."""
+    from collections import defaultdict
+
+    from azurestorage_blueprints_spark.functions.text import LANG_MARKERS
+    from azurestorage_blueprints_spark.queries.llm_text import (
+        _CHAR_MARKERS,
+        _ZH_HI,
+        _ZH_LO,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("lang", "text").collect()
+    langs = sorted(LANG_MARKERS)
+
+    def word_guess(text):
+        toks = text.split(" ")
+        best, best_s = None, None
+        for lang in langs:
+            s = sum(1 for t in toks if t in LANG_MARKERS[lang])
+            if best is None or s > best_s:
+                best, best_s = lang, s
+        return best
+
+    def char_guess(text):
+        best, best_s = None, None
+        for lang in langs:
+            if lang == "en":
+                s = 0
+            elif lang == "zh":
+                s = sum(1 for c in text if _ZH_LO <= ord(c) <= _ZH_HI)
+            else:
+                s = sum(1 for c in text if c in _CHAR_MARKERS[lang])
+            if best is None or s > best_s:
+                best, best_s = lang, s
+        return best
+
+    cells = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in docs:
+        a = word_guess(r.text) == r.lang
+        b = char_guess(r.text) == r.lang
+        c = cells[r.lang]
+        c[0] += 1
+        c[1] += a and b
+        c[2] += a and not b
+        c[3] += b and not a
+        c[4] += (not a) and (not b)
+    got = REGISTRY["q_eval_mcnemar"].fn(spark, sf_dir).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        n, both, a_only, b_only, neither = cells[r.lang]
+        assert (r.n_docs, r.n_both, r.n_a_only, r.n_b_only, r.n_neither) == (
+            n, both, a_only, b_only, neither
+        )
+        disc = a_only + b_only
+        stat = (
+            (max(abs(a_only - b_only) - 1, 0) ** 2 * 1000) // disc
+            if disc
+            else 0
+        )
+        assert r.stat_milli == stat
+        assert r.significant == (stat >= 3841)
+    assert sum(c[2] for c in cells.values()) > 0
+    assert sum(c[3] for c in cells.values()) > 0
+
+
+def test_hits_matches_python_recompute(spark, sf_dir):
+    """Both HITS score vectors after 2 normalized rounds must equal a
+    pure-Python replay — pinning the infinity-norm rescale, the
+    HUGEINT/decimal product, and the (score desc, node) top-10s."""
+    from collections import defaultdict
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    cust = {r.o_orderkey: r.o_custkey for r in od}
+    off = 1_000_000
+    e0 = {(cust[r.l_orderkey], off + r.l_suppkey) for r in li}
+    h = {c: 1_000_000 for c, _ in e0}
+    a = {}
+    for _ in range(2):
+        raw = defaultdict(int)
+        for c, s in e0:
+            raw[s] += h[c]
+        mx = max(raw.values())
+        a = {s: (v * 1_000_000) // mx for s, v in raw.items()}
+        raw = defaultdict(int)
+        for c, s in e0:
+            raw[c] += a[s]
+        mx = max(raw.values())
+        h = {c: (v * 1_000_000) // mx for c, v in raw.items()}
+    top = lambda d: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = [("hub", n, s) for n, s in top(h)] + [
+        ("authority", n, s) for n, s in top(a)
+    ]
+    got = [
+        (r.role, r.node_id, r.score)
+        for r in REGISTRY["q_graph_hits"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
