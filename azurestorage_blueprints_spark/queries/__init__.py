@@ -151,7 +151,8 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_graph_modularity", "q_kcenter_sample", "q_hilbert_layout",
     "q_t_closeness", "q_eval_bleu", "q_survival_km",
     "q_stream_decontamination_gate", "q_eval_mcnemar",
-    "q_graph_hits", "q_multimodal_bmp_roundtrip",
+    "q_graph_hits", "q_multimodal_bmp_roundtrip", "q_ts_dtw",
+    "q_eval_isotonic",
 })
 
 

@@ -2169,3 +2169,146 @@ def q_conformal_ppl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return finalize_bounded(report, caldoc)
+
+
+@register(
+    "q_eval_isotonic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN n_chars >= {_PCT_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
+             {_pct_apply_score_sql()} AS s
+      FROM (SELECT n_chars,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents)),
+    dist AS (SELECT DISTINCT s FROM scored),
+    pm AS (
+      SELECT s, CAST(round({_CAL_QZ}.0
+               / (1.0 + exp(-CAST(s AS DOUBLE) / {_CAL_TAU}))) AS BIGINT) AS pmicro
+      FROM dist),
+    bkt AS (
+      SELECT y, least(pmicro // {_CAL_QZ // 10}, 9) AS bucket
+      FROM scored JOIN pm ON scored.s = pm.s),
+    g AS MATERIALIZED (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS npos
+      FROM bkt GROUP BY bucket),
+    rk AS MATERIALIZED (
+      SELECT a.bucket, a.n_docs, a.npos,
+             CAST(count(*) AS BIGINT) AS rn
+      FROM g a JOIN g b ON b.bucket <= a.bucket
+      GROUP BY a.bucket, a.n_docs, a.npos),
+    seg AS (
+      SELECT j.rn AS j, k.rn AS k,
+             CAST((sum(m.npos) * 1000000) // sum(m.n_docs) AS BIGINT) AS v
+      FROM rk j JOIN rk k ON j.rn <= k.rn
+      JOIN rk m ON m.rn BETWEEN j.rn AND k.rn
+      GROUP BY j.rn, k.rn),
+    inner_min AS (
+      SELECT i.rn AS i, s.j, CAST(min(s.v) AS BIGINT) AS mn
+      FROM rk i JOIN seg s ON s.j <= i.rn AND s.k >= i.rn
+      GROUP BY i.rn, s.j),
+    iso AS (
+      SELECT i, CAST(max(mn) AS BIGINT) AS iso_rate_micro
+      FROM inner_min GROUP BY i)
+    SELECT rk.bucket, rk.n_docs, rk.npos AS n_positive,
+           CAST((rk.npos * 1000000) // rk.n_docs AS BIGINT) AS raw_rate_micro,
+           iso.iso_rate_micro
+    FROM rk JOIN iso ON iso.i = rk.rn
+    ORDER BY rk.bucket
+    """,
+    doc="Isotonic-regression calibration of the frozen quality "
+    "classifier — the CORRECTION step after q_quality_calibration's "
+    "diagnosis (ECE measures miscalibration; isotonic/PAVA is the "
+    "standard nonparametric fix a pipeline fits on held-out labels "
+    "before trusting thresholds): over the same 10 confidence "
+    "buckets, the isotonic fit of observed positive rate via the "
+    "MINIMAX identity iso_i = max_(j<=i) min_(k>=i) "
+    "weightedmean(pos, n over buckets j..k) — equivalent to "
+    "pool-adjacent-violators, but expressible as two grouped "
+    "aggregates over the O(B^3) (j, i, k) segment enumeration of the "
+    "TINY bin table instead of a sequential pooling loop. Exactness: "
+    "each segment mean floor-quantizes to micro BEFORE the minimax; "
+    "floor commutes with both min and max, so the result is exactly "
+    "floor(1e6 * true PAVA value) — gated against a Fraction-exact "
+    "Python PAVA. Monotonicity of the output is gated too. Shape "
+    "(100 TB): the corpus-scale work is ONE codegen scan + the O(32) "
+    "sigmoid table + one O(10) hash-agg (identical to the ECE rung); "
+    "everything after operates on <= 10 rows — the segment join is "
+    "O(B^3) = 1000 micro-rows, a constant.",
+)
+def q_eval_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    y = F.when(F.col("n_chars") >= _PCT_LABEL_CHARS, 1).otherwise(0).cast("bigint")
+    scored = d.select(y.alias("y"), _pct_apply_score_col().alias("s"))
+    dist = scored.select("s").distinct()
+    pmicro = F.round(
+        F.lit(float(_CAL_QZ))
+        / (F.lit(1.0) + F.exp(-F.col("s").cast("double") / F.lit(_CAL_TAU)))
+    ).cast("bigint")
+    pm = dist.select("s", pmicro.alias("pmicro"))
+    bkt = scored.join(F.broadcast(pm), "s").select(
+        "y",
+        F.least(F.expr(f"pmicro div {_CAL_QZ // 10}"), F.lit(9).cast("bigint")).alias(
+            "bucket"
+        ),
+    )
+    # the O(10) bin table feeds FIVE downstream consumers (rank join,
+    # segment enumeration, spine, minimax, final report); without a
+    # materialization each consumer re-expands the corpus scan — 20
+    # scans at 100 TB. localCheckpoint pins the 10 rows once.
+    g = (
+        bkt.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("npos"),
+        )
+        .localCheckpoint()
+    )
+    ga = g.select(F.col("bucket").alias("b2"))
+    rk = (
+        g.join(F.broadcast(ga), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket", "n_docs", "npos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rn"))
+    )
+    rj = rk.select(F.col("rn").alias("j"))
+    rkk = rk.select(F.col("rn").alias("k"))
+    rm = rk.select(
+        F.col("rn").alias("m"),
+        F.col("n_docs").alias("mn_docs"),
+        F.col("npos").alias("mnpos"),
+    )
+    seg = (
+        rj.crossJoin(F.broadcast(rkk))
+        .filter(F.col("j") <= F.col("k"))
+        .crossJoin(F.broadcast(rm))
+        .filter((F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg(
+            F.expr("cast((sum(mnpos) * 1000000) div sum(mn_docs) as bigint)").alias(
+                "v"
+            )
+        )
+    )
+    ri = rk.select(F.col("rn").alias("i"))
+    inner_min = (
+        ri.crossJoin(F.broadcast(seg))
+        .filter((F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("v").cast("bigint").alias("mn"))
+    )
+    iso = inner_min.groupBy("i").agg(
+        F.max("mn").cast("bigint").alias("iso_rate_micro")
+    )
+    return (
+        rk.join(iso, rk.rn == iso.i)
+        .select(
+            "bucket",
+            "n_docs",
+            F.col("npos").alias("n_positive"),
+            F.expr("cast((npos * 1000000) div n_docs as bigint)").alias(
+                "raw_rate_micro"
+            ),
+            "iso_rate_micro",
+        )
+        .orderBy("bucket")
+    )

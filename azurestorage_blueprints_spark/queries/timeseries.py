@@ -967,3 +967,185 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _STL_SQL.format(dow="CAST(datediff(d, DATE '1970-01-01') % 7 AS BIGINT)")
     )
+
+
+#: DTW series length: daily counts over the first 4 weeks (a FIXED
+#: window, so the DP has constant unroll depth on both engines)
+_DTW_N = 28
+
+
+def _dtw_spark_row(i: int) -> str:
+    """Row ``i`` (1-based, >= 2) of the DTW table from row ``prev``:
+    the j-fold D(i,j) = c(i,j) + min(prev[j], prev[j-1], cur[j-1]),
+    sequential in j via aggregate() with the growing-array
+    accumulator (element_at(acc, -1) is cur[j-1])."""
+    cost_1 = f"abs(element_at(xv, {i}) - element_at(yv, 1))"
+    cost_j = f"abs(element_at(xv, {i}) - element_at(yv, j))"
+    return (
+        f"aggregate(sequence(2, {_DTW_N}), array(element_at(prev, 1) + {cost_1}), "
+        f"(acc, j) -> concat(acc, array({cost_j} + least("
+        f"element_at(prev, j), element_at(prev, j - 1), element_at(acc, -1)))))"
+    )
+
+
+def _dtw_spark_row1() -> str:
+    return (
+        f"aggregate(sequence(2, {_DTW_N}), array(abs(element_at(xv, 1) - element_at(yv, 1))), "
+        f"(acc, j) -> concat(acc, array(element_at(acc, -1) "
+        f"+ abs(element_at(xv, 1) - element_at(yv, j)))))"
+    )
+
+
+def _dtw_duck_row(i: int, prev: str) -> str:
+    """DuckDB twin of the j-fold. list_reduce has no init parameter and
+    requires acc/element type equality, so the j indices ride as
+    single-element lists with the seed row prepended: the reduce's
+    first element IS the accumulator seed (the wrapped-list idiom)."""
+    cost_1 = f"abs(xv[{i}] - yv[1])"
+    cost_j = f"abs(xv[{i}] - yv[x[1]])"
+    return (
+        f"list_reduce(list_prepend([{prev}[1] + {cost_1}], "
+        f"list_transform(range(2, {_DTW_N + 1}), j -> [CAST(j AS BIGINT)])), "
+        f"(acc, x) -> list_append(acc, {cost_j} + least("
+        f"{prev}[x[1]], {prev}[x[1] - 1], acc[-1])))"
+    )
+
+
+def _dtw_duck_row1() -> str:
+    return (
+        f"list_reduce(list_prepend([abs(xv[1] - yv[1])], "
+        f"list_transform(range(2, {_DTW_N + 1}), j -> [CAST(j AS BIGINT)])), "
+        f"(acc, x) -> list_append(acc, acc[-1] + abs(xv[1] - yv[x[1]])))"
+    )
+
+
+def _dtw_oracle() -> str:
+    parts = [
+        f"""d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+    mn AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM d),
+    cnt AS (
+      SELECT event_type, CAST(day - d0 AS BIGINT) AS rd,
+             CAST(count(*) AS BIGINT) AS c
+      FROM d, mn WHERE day - d0 < {_DTW_N} GROUP BY 1, 2),
+    types AS (SELECT DISTINCT event_type FROM cnt),
+    spine AS (SELECT CAST(r AS BIGINT) AS rd FROM range({_DTW_N}) t(r)),
+    series AS (
+      SELECT t.event_type,
+             list(CAST(coalesce(c.c, 0) AS BIGINT) ORDER BY s.rd) AS v
+      FROM types t CROSS JOIN spine s
+      LEFT JOIN cnt c ON c.event_type = t.event_type AND c.rd = s.rd
+      GROUP BY t.event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.v AS xv, b.v AS yv
+      FROM series a JOIN series b ON a.event_type < b.event_type),
+    s1 AS MATERIALIZED (
+      SELECT type_a, type_b, xv, yv, {_dtw_duck_row1()} AS r1 FROM pairs)"""
+    ]
+    for i in range(2, _DTW_N + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT type_a, type_b, xv, yv,
+             {_dtw_duck_row(i, f"r{i - 1}")} AS r{i}
+      FROM s{i - 1})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT type_a, type_b,
+           CAST(r{_DTW_N}[{_DTW_N}] AS BIGINT) AS dtw,
+           CAST(list_sum(list_transform(range(1, {_DTW_N + 1}),
+                i -> abs(xv[i] - yv[i]))) AS BIGINT) AS lockstep,
+           CAST(CASE WHEN list_sum(list_transform(range(1, {_DTW_N + 1}),
+                  i -> abs(xv[i] - yv[i]))) > 0
+             THEN (r{_DTW_N}[{_DTW_N}] * 1000)
+                  // list_sum(list_transform(range(1, {_DTW_N + 1}),
+                       i -> abs(xv[i] - yv[i])))
+             ELSE 1000 END AS BIGINT) AS warp_gain_milli
+    FROM s{_DTW_N} ORDER BY type_a, type_b"""
+    )
+
+
+@register(
+    "q_ts_dtw",
+    oracle=_dtw_oracle(),
+    doc=f"EXACT dynamic time warping between every pair of event-type "
+    f"daily-count series (first {_DTW_N} days, fixed window so the DP "
+    "depth is constant) — the elastic similarity measure lock-step "
+    "distances cannot give (two series with the same shape shifted by "
+    "a day are 'far' in L1 but near under DTW; the warp_gain column "
+    "measures exactly that compression, and DTW <= lockstep always "
+    "since the diagonal is a valid warp path — both gated). This is "
+    "the canonical 'operator Spark lacks' case done WITHOUT a Python "
+    "UDF: the full DP D(i,j) = |x_i-y_j| + min(D(i-1,j), D(i,j-1), "
+    "D(i-1,j-1)) runs as 28 chained ROW-LOCAL array expressions, each "
+    "row a sequential j-fold via aggregate() with a growing-array "
+    "accumulator (cur[j-1] = element_at(acc, -1)); DuckDB reproduces "
+    "it with list_reduce and the wrapped-list seed idiom (no init "
+    "parameter), every step MATERIALIZED. All arithmetic is integer "
+    "(counts, abs, min, sums) so the whole 28x28 table is bit-exact. "
+    "Shape (100 TB): series build = one hash-agg on (type, day) + one "
+    "O(types) collect into fixed arrays; the O(types^2) pair table is "
+    "tiny and broadcast; the DP itself is row-local codegen over "
+    "O(pairs) rows — at a million series the pair enumeration moves "
+    "to an LSH/feature blocking stage and this same DP scores the "
+    "candidates.",
+)
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    d = ev.select("event_type", day.alias("day"))
+    mn = d.agg(F.min("day").cast("bigint").alias("d0"))
+    cnt = (
+        d.crossJoin(F.broadcast(mn))
+        .select("event_type", (F.col("day") - F.col("d0")).alias("rd"))
+        .filter(F.col("rd") < _DTW_N)
+        .groupBy("event_type", "rd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    series = (
+        cnt.groupBy("event_type")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("rd"), F.col("c")))
+            ).alias("m")
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"transform(sequence(0, {_DTW_N - 1}), "
+                f"d -> coalesce(element_at(m, cast(d as bigint)), cast(0 as bigint)))"
+            ).alias("v"),
+        )
+    )
+    pa = series.select(F.col("event_type").alias("type_a"), F.col("v").alias("xv"))
+    pb = series.select(F.col("event_type").alias("type_b"), F.col("v").alias("yv"))
+    pairs = pa.crossJoin(F.broadcast(pb)).filter(F.col("type_a") < F.col("type_b"))
+    df = pairs.withColumn("prev", F.expr(_dtw_spark_row1()))
+    for i in range(2, _DTW_N + 1):
+        df = df.withColumn("prev", F.expr(_dtw_spark_row(i)))
+    lockstep = F.expr(
+        f"aggregate(sequence(1, {_DTW_N}), cast(0 as bigint), "
+        f"(acc, i) -> acc + abs(element_at(xv, i) - element_at(yv, i)))"
+    )
+    return (
+        df.select(
+            "type_a",
+            "type_b",
+            F.expr(f"element_at(prev, {_DTW_N})").cast("bigint").alias("dtw"),
+            lockstep.cast("bigint").alias("lockstep"),
+        )
+        .withColumn(
+            "warp_gain_milli",
+            F.expr(
+                "cast(case when lockstep > 0 then (dtw * 1000) div lockstep"
+                " else 1000 end as bigint)"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -258,6 +258,10 @@ HEADLINE = [
     # algorithm) and the BMP (no-compression DIB) codec tier
     "q_graph_hits",
     "q_multimodal_bmp_roundtrip",
+    # r12 sixth batch: exact DTW (28 chained row-local DP folds) and
+    # isotonic calibration (minimax over the checkpointed bin table)
+    "q_ts_dtw",
+    "q_eval_isotonic",
 ]
 
 

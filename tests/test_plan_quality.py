@@ -1108,3 +1108,35 @@ def test_hits_rounds_are_joins_with_broadcast_norms(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dtw_dp_is_rowlocal_after_series_agg(spark, sf_dir):
+    # the only key shuffle is the (event_type, day) count and the
+    # O(types) series agg; the tiny pair enumeration broadcasts; the
+    # 28-row DP chain is pure row-local codegen — no window, no
+    # cartesian against anything corpus-scale
+    import re
+
+    plan = _plan(spark, "q_ts_dtw", sf_dir)
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"event_type", "rd", "type_a", "type_b"}, keys
+
+
+def test_isotonic_corpus_work_is_one_scan_plus_bin_agg(spark, sf_dir):
+    # the corpus-scale work must be identical to the ECE rung: one
+    # codegen scan + the O(32) sigmoid distinct + one O(10) bin agg;
+    # the minimax segment machinery operates on broadcast micro-tables
+    # only — no window, no cartesian against the corpus scan
+    import re
+
+    plan = _plan(spark, "q_eval_isotonic", sf_dir)
+    assert "Window" not in plan
+    # the corpus scan runs ONCE, during the bin-table checkpoint; the
+    # returned minimax plan must start at the materialized 10 rows
+    # (before the checkpoint landed, the segment machinery re-expanded
+    # the documents scan 20x — the regression this gate pins)
+    assert "ExistingRDD" in plan
+    assert plan.count("InMemoryFileIndex") <= 1
+    assert "Broadcast" in plan

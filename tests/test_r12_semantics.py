@@ -885,3 +885,99 @@ def test_hits_matches_python_recompute(spark, sf_dir):
         for r in REGISTRY["q_graph_hits"].fn(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_dtw_matches_python_dp(spark, sf_dir):
+    """Every pairwise DTW distance must equal the classic O(n*m) Python
+    DP over the same fixed 28-day series — pinning the fold encoding
+    (growing-array accumulator / wrapped-list seed) against the
+    textbook recurrence — and DTW <= lockstep must hold (the diagonal
+    is a valid warp path)."""
+    import datetime
+    from collections import defaultdict
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    days = [
+        (r.event_type, int((r.ts - epoch).total_seconds() * 1_000_000) // 86_400_000_000)
+        for r in ev
+    ]
+    d0 = min(d for _, d in days)
+    cnt: dict[tuple, int] = defaultdict(int)
+    for et, d in days:
+        if d - d0 < 28:
+            cnt[(et, d - d0)] += 1
+    types = sorted({et for et, _ in cnt})
+    series = {et: [cnt.get((et, d), 0) for d in range(28)] for et in types}
+
+    def dtw(x, y):
+        inf = float("inf")
+        prev = None
+        for i in range(28):
+            cur = []
+            for j in range(28):
+                c = abs(x[i] - y[j])
+                if i == 0 and j == 0:
+                    cur.append(c)
+                else:
+                    cur.append(c + min(
+                        prev[j] if i else inf,
+                        cur[j - 1] if j else inf,
+                        prev[j - 1] if i and j else inf,
+                    ))
+            prev = cur
+        return prev[-1]
+
+    expect = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ls = sum(abs(p - q) for p, q in zip(series[a], series[b]))
+            expect[(a, b)] = (dtw(series[a], series[b]), ls)
+    got = REGISTRY["q_ts_dtw"].fn(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        d, ls = expect[(r.type_a, r.type_b)]
+        assert (r.dtw, r.lockstep) == (d, ls), (r.type_a, r.type_b)
+        assert r.dtw <= r.lockstep
+        assert r.warp_gain_milli == (d * 1000) // ls if ls else 1000
+
+
+def test_isotonic_matches_fraction_exact_pava(spark, sf_dir):
+    """The minimax-quantized isotonic fit must equal floor(1e6 * the
+    Fraction-exact pool-adjacent-violators solution) on the same bins
+    (floor commutes with min and max), and the output must be
+    nondecreasing in bucket order with a genuine violator pooled
+    somewhere (else the rung never exercises the pooling)."""
+    from fractions import Fraction
+
+    got = sorted(
+        (
+            (r.bucket, r.n_docs, r.n_positive, r.raw_rate_micro, r.iso_rate_micro)
+            for r in REGISTRY["q_eval_isotonic"].fn(spark, sf_dir).collect()
+        )
+    )
+    # Fraction-exact PAVA over the same (n, pos) bins
+    blocks = []  # (sum_pos, sum_n)
+    for _, n, pos, _, _ in got:
+        blocks.append((pos, n))
+        while len(blocks) > 1 and Fraction(blocks[-2][0], blocks[-2][1]) >= Fraction(
+            blocks[-1][0], blocks[-1][1]
+        ):
+            p2, n2 = blocks.pop()
+            p1, n1 = blocks.pop()
+            blocks.append((p1 + p2, n1 + n2))
+    # expand block values back to per-bin rows
+    expect = []
+    it = iter(got)
+    for p, n in blocks:
+        v = (p * 1_000_000) // n
+        consumed = 0
+        while consumed < n:
+            _, nb, _, _, _ = next(it)
+            expect.append(v)
+            consumed += nb
+        assert consumed == n
+    assert [g[4] for g in got] == expect
+    assert all(a <= b for a, b in zip(expect, expect[1:]))
+    # at least one bin must actually have been pooled (iso != raw)
+    assert any(g[3] != g[4] for g in got)
