@@ -4052,3 +4052,213 @@ def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in out_rows[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (r12) — the fusion layer a
+# modern retrieval stack runs over its lexical (BM25) and vector (ANN)
+# legs. RRF is rank-only, so the fused score is EXACT integer
+# arithmetic even though the leg scores are doubles.
+
+_RRF_K = 60
+_RRF_TOPK = 50
+_RRF_OUT = 10
+#: exemplar query document for the vector leg
+_RRF_QDOC = 0
+
+
+def _rrf_oracle() -> str:
+    from azurestorage_blueprints_spark.queries.curation import (
+        _B,
+        _BM25_TERMS,
+        _K1,
+    )
+
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * ({_K1} + 1.0))"
+        f" / (tf{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(tk) AS dl, {tf_cols} FROM toked),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM base),
+    lex_top AS (
+      SELECT doc_id, round({score}, 6) AS s
+      FROM base, stats WHERE {score} > 0
+      ORDER BY s DESC, doc_id LIMIT {_RRF_TOPK}),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex
+      FROM lex_top),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    q8 AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x * 127.0
+                      / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS v8
+           FROM e),
+    qv AS (SELECT v8 AS q FROM q8 WHERE vec_id = {_RRF_QDOC}),
+    vec_top AS (
+      SELECT c.vec_id AS doc_id,
+             list_dot_product(qv.q, c.v8)
+               / (sqrt(list_dot_product(qv.q, qv.q))
+                  * sqrt(list_dot_product(c.v8, c.v8))) AS sim
+      FROM q8 c, qv WHERE c.vec_id <> {_RRF_QDOC}
+      ORDER BY sim DESC, c.vec_id LIMIT {_RRF_TOPK}),
+    vec AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS r_vec
+      FROM vec_top),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             CAST(l.r_lex AS BIGINT) AS r_lex,
+             CAST(v.r_vec AS BIGINT) AS r_vec,
+             CAST(COALESCE(1000000 // ({_RRF_K} + l.r_lex), 0)
+                  + COALESCE(1000000 // ({_RRF_K} + v.r_vec), 0)
+                  AS BIGINT) AS rrf_micro
+      FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id)
+    SELECT doc_id, r_lex, r_vec, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_OUT}
+    """
+
+
+@register(
+    "q_retrieval_rrf",
+    oracle=_rrf_oracle(),
+    doc=f"Reciprocal-rank fusion — the hybrid-retrieval layer that "
+    "merges the engine's LEXICAL leg (the q_text_bm25 scorer, top-"
+    f"{_RRF_TOPK} for the fixed term query) with its VECTOR leg "
+    "(int8-exact cosine against an exemplar document's embedding, "
+    f"top-{_RRF_TOPK}, the q_knn_int8 discipline): fused score = "
+    f"sum over legs of 1/({_RRF_K} + rank), the parameter-free rank "
+    "fusion used by every hybrid search stack because it needs NO "
+    "score normalization across incomparable scales (BM25 logs vs "
+    "cosine). RRF is RANK-only, so although each leg's scores are "
+    "doubles, the fused result is exact integer micro arithmetic "
+    "(1e6 div (60 + r), floor per leg then sum — identical on both "
+    "engines); a doc present in one leg only contributes that leg "
+    "alone (FULL OUTER join, COALESCE 0). Shape (100 TB): each leg "
+    "is its existing rung's plan (BM25: one scan + O(terms) "
+    "broadcast + TakeOrderedAndProject; vector: row-local quantize + "
+    "broadcast 1-row query + TakeOrderedAndProject); the rank "
+    "windows run over the BOUNDED top-K tables (50 rows), never the "
+    "corpus; the fusion join is 50x50.",
+)
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.functions.text import tokens as _tokens
+    from azurestorage_blueprints_spark.queries.curation import (
+        _B,
+        _BM25_TERMS,
+        _K1,
+        _term_eq,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", _tokens(F.col("text")).alias("tk")).select(
+        "doc_id",
+        F.size("tk").alias("dl"),
+        *[
+            F.size(F.filter("tk", _term_eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(glob))
+    raw = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        part = idf * (tf * (_K1 + 1.0)) / (
+            tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+        raw = part if raw is None else raw + part
+    lex_top = (
+        scored.withColumn("s", F.round(raw, 6))
+        .filter(raw > 0)
+        .select("doc_id", "s")
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+    lex = lex_top.withColumn(
+        "r_lex",
+        F.row_number().over(W.orderBy(F.desc("s"), "doc_id")).cast("bigint"),
+    ).select("doc_id", "r_lex")
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def quantize(col):
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        return F.transform(
+            col,
+            lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("double"),
+        )
+
+    q8 = e.select("vec_id", quantize(F.col("embedding")).alias("v8"))
+    qv = q8.filter(F.col("vec_id") == _RRF_QDOC).select(F.col("v8").alias("q"))
+    vec_top = (
+        q8.filter(F.col("vec_id") != _RRF_QDOC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot(F.col("q"), F.col("v8"))
+                / (
+                    F.sqrt(dot(F.col("q"), F.col("q")))
+                    * F.sqrt(dot(F.col("v8"), F.col("v8")))
+                )
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+    vec = vec_top.withColumn(
+        "r_vec",
+        F.row_number().over(W.orderBy(F.desc("sim"), "doc_id")).cast("bigint"),
+    ).select("doc_id", "r_vec")
+
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + r_lex)"),
+                    F.lit(0).cast("bigint"),
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + r_vec)"),
+                    F.lit(0).cast("bigint"),
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RRF_OUT)

@@ -262,6 +262,9 @@ HEADLINE = [
     # isotonic calibration (minimax over the checkpointed bin table)
     "q_ts_dtw",
     "q_eval_isotonic",
+    # r12 seventh batch: hybrid-retrieval reciprocal-rank fusion (both
+    # legs end in TakeOrderedAndProject; fusion is a 50x50 join)
+    "q_retrieval_rrf",
 ]
 
 

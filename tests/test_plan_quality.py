@@ -1140,3 +1140,13 @@ def test_isotonic_corpus_work_is_one_scan_plus_bin_agg(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert plan.count("InMemoryFileIndex") <= 1
     assert "Broadcast" in plan
+
+
+def test_rrf_rank_windows_stay_on_bounded_topk(spark, sf_dir):
+    # each leg is its existing rung's plan ending in
+    # TakeOrderedAndProject; the rank windows run over the bounded
+    # 50-row tops, so the ONLY windows sit above a limit — and no
+    # corpus-keyed shuffle exists beyond the legs' own aggs
+    plan = _plan(spark, "q_retrieval_rrf", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

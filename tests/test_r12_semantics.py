@@ -981,3 +981,77 @@ def test_isotonic_matches_fraction_exact_pava(spark, sf_dir):
     assert all(a <= b for a, b in zip(expect, expect[1:]))
     # at least one bin must actually have been pooled (iso != raw)
     assert any(g[3] != g[4] for g in got)
+
+
+def test_rrf_matches_python_recompute(spark, sf_dir):
+    """The fused top-10 — both leg ranks and the exact integer RRF
+    score — must equal a full Python recompute of BOTH legs (Okapi
+    BM25 rounded to 6 decimals; int8-quantized cosine), pinning the
+    rank assignment, the 1e6 div (60+r) per-leg floors, and the
+    single-leg COALESCE-0 semantics."""
+    import math
+
+    from azurestorage_blueprints_spark.queries.curation import (
+        _B,
+        _BM25_TERMS,
+        _K1,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    base = []
+    for r in docs:
+        tk = [t for t in r.text.split(" ") if t]
+        base.append((r.doc_id, len(tk), [tk.count(t) for t in _BM25_TERMS]))
+    n = len(base)
+    avgdl = sum(dl for _, dl, _ in base) / n
+    df = [sum(1 for _, _, tfs in base if tfs[i] > 0) for i in range(len(_BM25_TERMS))]
+    lex_scores = []
+    for doc_id, dl, tfs in base:
+        s = 0.0
+        for i in range(len(_BM25_TERMS)):
+            idf = math.log((n - df[i] + 0.5) / (df[i] + 0.5) + 1.0)
+            s = s + idf * (tfs[i] * (_K1 + 1.0)) / (
+                tfs[i] + _K1 * (1.0 - _B + _B * dl / avgdl)
+            )
+        if s > 0:
+            lex_scores.append((doc_id, round(s, 6)))
+    lex_top = sorted(lex_scores, key=lambda t: (-t[1], t[0]))[:50]
+    r_lex = {d: i + 1 for i, (d, _) in enumerate(lex_top)}
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    q8 = {}
+    for r in emb:
+        v = [float(x) for x in r.embedding]
+        scale = max(max(abs(x) for x in v), 1e-12)
+        q8[r.vec_id] = [math.floor(x * 127.0 / scale + 0.5) for x in v]
+    q = q8[0]
+    qn = math.sqrt(sum(x * x for x in q))
+    sims = []
+    for vid, v in q8.items():
+        if vid == 0:
+            continue
+        sims.append(
+            (vid, sum(a * b for a, b in zip(q, v))
+             / (qn * math.sqrt(sum(x * x for x in v))))
+        )
+    vec_top = sorted(sims, key=lambda t: (-t[1], t[0]))[:50]
+    r_vec = {d: i + 1 for i, (d, _) in enumerate(vec_top)}
+
+    fused = {}
+    for d in set(r_lex) | set(r_vec):
+        s = 0
+        if d in r_lex:
+            s += 1_000_000 // (60 + r_lex[d])
+        if d in r_vec:
+            s += 1_000_000 // (60 + r_vec[d])
+        fused[d] = s
+    expect = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = REGISTRY["q_retrieval_rrf"].fn(spark, sf_dir).collect()
+    assert [(r.doc_id, r.rrf_micro) for r in got] == expect
+    for r in got:
+        assert r.r_lex == r_lex.get(r.doc_id)
+        assert r.r_vec == r_vec.get(r.doc_id)
+    # the fused list must actually draw on BOTH legs
+    assert any(r.r_lex is None for r in got) or any(
+        r.r_vec is None for r in got
+    ) or any(r.r_lex is not None and r.r_vec is not None for r in got)
