@@ -1055,3 +1055,42 @@ def test_rrf_matches_python_recompute(spark, sf_dir):
     assert any(r.r_lex is None for r in got) or any(
         r.r_vec is None for r in got
     ) or any(r.r_lex is not None and r.r_vec is not None for r in got)
+
+
+def test_dtw_adversarial_cases(spark):
+    """Crafted worst cases through the DEPLOYED fold expressions:
+    identical series (dtw must be exactly 0), a one-day-shifted
+    impulse (dtw collapses to ~0 while lockstep pays the full impulse
+    twice — the elastic property the operator exists for), and a
+    constant-vs-constant offset (dtw = lockstep = n*delta: warping
+    cannot help)."""
+    from azurestorage_blueprints_spark.queries.timeseries import (
+        _DTW_N,
+        _dtw_spark_row,
+        _dtw_spark_row1,
+    )
+
+    def run(x, y):
+        assert len(x) == len(y) == _DTW_N
+        df = spark.createDataFrame(
+            [(x, y)], "xv array<bigint>, yv array<bigint>"
+        ).withColumn("prev", F.expr(_dtw_spark_row1()))
+        for i in range(2, _DTW_N + 1):
+            df = df.withColumn("prev", F.expr(_dtw_spark_row(i)))
+        return df.selectExpr(f"element_at(prev, {_DTW_N}) as d").first().d
+
+    base = [(i * 7) % 13 for i in range(_DTW_N)]
+    assert run(base, base) == 0
+
+    impulse = [0] * _DTW_N
+    impulse[10] = 100
+    shifted = [0] * _DTW_N
+    shifted[11] = 100
+    d = run(impulse, shifted)
+    lockstep = sum(abs(a - b) for a, b in zip(impulse, shifted))
+    assert lockstep == 200
+    assert d == 0, "DTW must absorb a one-step shift of an impulse"
+
+    const_a = [5] * _DTW_N
+    const_b = [8] * _DTW_N
+    assert run(const_a, const_b) == 3 * _DTW_N
