@@ -865,22 +865,29 @@ def _lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
     """Fixed-round synchronous label propagation: per round, each node
     adopts the most frequent neighbor label, ties to the smallest —
     exact integer argmax, so the trajectory is deterministic and both
-    LPA and modularity rungs replay the identical partition."""
-    from pyspark.sql import Window as W
+    LPA and modularity rungs replay the identical partition.
 
+    The argmax is a hash-agg ``max(struct(cnt, -label))`` (struct
+    comparison is fieldwise: highest count, then highest -label =
+    SMALLEST label), not a per-node sort window — same values as the
+    retired row_number() form (hash-verified), map-side-combinable,
+    and without a per-node sort. At gate SFs the floor is unchanged
+    (the per-round checkpoint + edge join dominate); the win is
+    structural: a hub node's label multiset partially aggregates
+    map-side instead of sorting in one task at 100 TB."""
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
     )
-    rn = F.row_number().over(W.partitionBy("node").orderBy(F.desc("cnt"), "label"))
     for _ in range(rounds):
         counts = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.col("node2").alias("node"), "label", "cnt")
         )
         labels = _ckpt(
-            counts.withColumn("rn", rn).filter(F.col("rn") == 1).select("node", "label")
+            counts.groupBy(F.col("node2").alias("node"))
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("mx"))
+            .select("node", (-F.col("mx.nl")).cast("bigint").alias("label"))
         )
     return labels
 
