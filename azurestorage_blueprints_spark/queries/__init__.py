@@ -152,7 +152,7 @@ _NEWEST_ROUND: frozenset[str] = frozenset({
     "q_t_closeness", "q_eval_bleu", "q_survival_km",
     "q_stream_decontamination_gate", "q_eval_mcnemar",
     "q_graph_hits", "q_multimodal_bmp_roundtrip", "q_ts_dtw",
-    "q_eval_isotonic", "q_retrieval_rrf",
+    "q_eval_isotonic", "q_retrieval_rrf", "q_quantile_bootstrap_ci",
 })
 
 

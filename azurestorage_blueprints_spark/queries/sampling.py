@@ -762,3 +762,189 @@ def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_users_seen_in_train"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval for an EXACT quantile (r12): the
+# Poisson-bootstrap draw (q_sample_poisson_bootstrap's mixer, lane
+# salt +2750161) composed with the two-phase histogram selection
+# (operators/selection.py's discipline, weighted) — the CI consumer
+# the bootstrap rung's doc promises. Replicate -1 carries weight 1
+# everywhere: its weighted median IS the empirical point estimate, so
+# point and replicates share one plan.
+
+_BCI_SALT = 2750161
+#: CI order statistics over the 32 replicate medians: the 2nd and 31st
+#: (~ the 4.7%/95.3% percentile interval at B = 32)
+_BCI_LO_K, _BCI_HI_K = 2, _BOOT_B - 1
+
+_BCI_ROWS_SQL = f"""
+    reps AS (SELECT b FROM (VALUES {_BOOT_VALUES}) AS t(b)),
+    seeded AS (
+      SELECT b, o_orderkey AS key,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             ((o_orderkey % 2147483648) * 2654435761 + b * 40503
+              + {_BCI_SALT}) % 2147483648 AS a
+      FROM orders, reps
+    ),
+    mix1 AS (
+      SELECT b, key, cents,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM seeded),
+    mix2 AS (
+      SELECT b, key, cents,
+             (CAST((a * a - (a * a) % 65536) / 65536 AS BIGINT) + a)
+               % 2147483648 AS a
+      FROM mix1),
+    drawn AS (
+      SELECT b, key, cents, (a * 2654435761) % 4294967296 AS u
+      FROM mix2),
+    wrows AS (
+      SELECT b, key, cents, CAST({_POIS_CASE} AS BIGINT) AS w
+      FROM drawn
+      UNION ALL
+      SELECT -1 AS b, o_orderkey AS key,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(1 AS BIGINT) AS w
+      FROM orders
+    )"""
+
+
+@register(
+    "q_quantile_bootstrap_ci",
+    oracle=f"""
+    WITH {_BCI_ROWS_SQL},
+    pos AS (SELECT b, key, cents, w FROM wrows WHERE w > 0),
+    ranked AS (
+      SELECT b, cents,
+             sum(w) OVER (PARTITION BY b ORDER BY cents, key
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(w) OVER (PARTITION BY b) AS n
+      FROM pos),
+    meds AS (
+      SELECT b, CAST(min(cents) AS BIGINT) AS med,
+             CAST(max(n) AS BIGINT) AS n_eff
+      FROM ranked WHERE cw >= (n + 1) // 2 GROUP BY b),
+    reps_m AS (
+      SELECT med,
+             row_number() OVER (ORDER BY med, b) AS rn
+      FROM meds WHERE b >= 0),
+    ci AS (
+      SELECT CAST(min(CASE WHEN rn = {_BCI_LO_K} THEN med END) AS BIGINT)
+               AS ci_lo_cents,
+             CAST(min(CASE WHEN rn = {_BCI_HI_K} THEN med END) AS BIGINT)
+               AS ci_hi_cents,
+             CAST(count(*) AS BIGINT) AS n_replicates,
+             CAST(min(med) AS BIGINT) AS min_med_cents,
+             CAST(max(med) AS BIGINT) AS max_med_cents
+      FROM reps_m)
+    SELECT p.med AS point_median_cents, p.n_eff AS n_rows,
+           ci.ci_lo_cents, ci.ci_hi_cents, ci.n_replicates,
+           ci.min_med_cents, ci.max_med_cents
+    FROM (SELECT med, n_eff FROM meds WHERE b = -1) p CROSS JOIN ci
+    """,
+    doc="Percentile-bootstrap confidence interval for the EXACT median "
+    "of order revenue — the consumer q_sample_poisson_bootstrap's doc "
+    "defers ('CI = quantiles over 32 values, consumer-side'), now a "
+    "first-class operator: every row's multiplicity in replicate b is "
+    "the deterministic Poisson(1) draw (same nonlinear middle-square "
+    "mixer, dedicated lane salt so the CI stream is independent of "
+    "the bootstrap/permutation/DSIR streams), each replicate's "
+    "WEIGHTED median is exact ((n+1) div 2-th smallest by cumulative "
+    "weight, ties by (cents, key)), and the interval is the 2nd/31st "
+    "order statistics of the 32 replicate medians. Replicate -1 rides "
+    "the same plan with weight 1: its median IS the empirical point "
+    "estimate, so point and interval come from ONE pass. All integer "
+    "arithmetic end-to-end. Shape (100 TB): the Spark side computes "
+    "each weighted median via the two-phase histogram selection "
+    "(operators/selection.py discipline, weights summed instead of "
+    "rows counted): one (b, log-bin) map-side-combined hash-agg, "
+    "cumulative windows only over the O(B x bins) histogram, then a "
+    "boundary-bin-only rescan whose within-bin window touches a "
+    "sliver; the 33-row replicate table finishes with O(1) windows. "
+    "No corpus-scale sort at any SF (the oracle uses DuckDB's free "
+    "sort — the oracle has no scale obligation).",
+)
+def q_quantile_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azurestorage_blueprints_spark.operators.selection import log_bin
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # ONE corpus pass evaluates the x33 mixer fan-out and collapses it
+    # to the (replicate, cents) weighted histogram — cardinality is
+    # B x |value domain| (domain-bounded, NOT corpus-bounded), so the
+    # checkpoint that lets the two selection phases reuse it without
+    # re-running the mixer is scale-safe; equal-cents rows collapse, so
+    # the boundary rescan needs no raw rows and no per-row tiebreak
+    # (the median VALUE is determined by cumulative weight over
+    # distinct cents alone).
+    wh = spark.sql(
+        f"WITH {_BCI_ROWS_SQL} SELECT b, cents, CAST(sum(w) AS BIGINT) AS w"
+        " FROM wrows WHERE w > 0 GROUP BY b, cents"
+    ).localCheckpoint()
+    binc = log_bin(F.col("cents"))
+    hist = wh.groupBy("b", binc.alias("qbin")).agg(
+        F.sum("w").cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("b")
+        .orderBy("qbin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "b",
+        "qbin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("b")).alias("n"),
+    )
+    k = F.expr("(n + 1) div 2")
+    prev = F.col("cum") - F.col("cnt")
+    bounds = (
+        cum.filter((F.col("cum") >= k) & (prev < k))
+        .select(
+            F.col("b").alias("bb"),
+            F.col("qbin").alias("bbin"),
+            (k - prev).alias("r"),
+            F.col("n"),
+        )
+    )
+    cand = (
+        wh.withColumn("qbin", binc)
+        .join(
+            F.broadcast(bounds),
+            (F.col("b") == F.col("bb")) & (F.col("qbin") == F.col("bbin")),
+        )
+        .drop("bb", "bbin")
+    )
+    wrk = Window.partitionBy("qbin", "b").orderBy(F.col("cents").asc())
+    meds = (
+        cand.withColumn("cw", F.sum("w").over(wrk))
+        .filter(F.col("cw") >= F.col("r"))
+        .groupBy("b")
+        .agg(
+            F.min("cents").cast("bigint").alias("med"),
+            F.max("n").cast("bigint").alias("n_eff"),
+        )
+    )
+    reps_m = (
+        meds.filter(F.col("b") >= 0)
+        .withColumn("rn", F.row_number().over(Window.orderBy("med", "b")))
+    )
+    ci = reps_m.agg(
+        F.min(F.when(F.col("rn") == _BCI_LO_K, F.col("med")))
+        .cast("bigint")
+        .alias("ci_lo_cents"),
+        F.min(F.when(F.col("rn") == _BCI_HI_K, F.col("med")))
+        .cast("bigint")
+        .alias("ci_hi_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.min("med").cast("bigint").alias("min_med_cents"),
+        F.max("med").cast("bigint").alias("max_med_cents"),
+    )
+    point = meds.filter(F.col("b") == -1).select(
+        F.col("med").alias("point_median_cents"),
+        F.col("n_eff").alias("n_rows"),
+    )
+    return point.crossJoin(F.broadcast(ci))

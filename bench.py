@@ -265,6 +265,11 @@ HEADLINE = [
     # r12 seventh batch: hybrid-retrieval reciprocal-rank fusion (both
     # legs end in TakeOrderedAndProject; fusion is a 50x50 join)
     "q_retrieval_rrf",
+    # r12 eighth batch: percentile-bootstrap CI for the exact median —
+    # one x33 mixer pass into the checkpointed weighted histogram,
+    # then the two-phase selection over it (its bench number carries
+    # the interpreted-mixer fan-out cost; see SCALING.md)
+    "q_quantile_bootstrap_ci",
 ]
 
 

@@ -1150,3 +1150,18 @@ def test_rrf_rank_windows_stay_on_bounded_topk(spark, sf_dir):
     plan = _plan(spark, "q_retrieval_rrf", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_ci_selection_rides_the_checkpointed_histogram(spark, sf_dir):
+    # the x33 mixer fan-out runs ONCE, into the checkpointed
+    # (replicate, cents) weighted histogram; both selection phases
+    # must start from ExistingRDD, windows keyed on the replicate /
+    # (bin, replicate) histograms only — no corpus-scale sort
+    import re
+
+    plan = _plan(spark, "q_quantile_bootstrap_ci", sf_dir)
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryFileIndex") == 0
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"b", "qbin", "cents"}, keys

@@ -1094,3 +1094,68 @@ def test_dtw_adversarial_cases(spark):
     const_a = [5] * _DTW_N
     const_b = [8] * _DTW_N
     assert run(const_a, const_b) == 3 * _DTW_N
+
+
+def test_quantile_bootstrap_ci_matches_python_recompute(spark, sf_dir):
+    """Point median, every replicate's weighted median, and the CI
+    order statistics must equal a pure-Python replay of the mixer and
+    the weighted selection — pinning the lane salt, the Poisson
+    threshold mapping, the (n+1) div 2 lower-median rule, and the
+    2nd/31st interval picks."""
+    from azurestorage_blueprints_spark.queries.sampling import (
+        _BCI_HI_K,
+        _BCI_LO_K,
+        _BOOT_B,
+        _POIS_T,
+    )
+
+    rows = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    import math
+
+    data = [
+        (r.o_orderkey, math.floor(r.o_totalprice * 100.0 + 0.5))
+        for r in rows
+    ]
+
+    def pois_w(key, b):
+        a = ((key % 2147483648) * 2654435761 + b * 40503 + 2750161) % 2147483648
+        for _ in range(2):
+            a = ((a * a) // 65536 + a) % 2147483648
+        u = (a * 2654435761) % 4294967296
+        for k, t in enumerate(_POIS_T):
+            if u < t:
+                return k
+        return 9
+
+    def wmedian(weighted):
+        # weighted: list of (cents, w); lower weighted median
+        n = sum(w for _, w in weighted)
+        k = (n + 1) // 2
+        c = 0
+        for cents, w in sorted(weighted):
+            c += w
+            if c >= k:
+                return cents, n
+        raise AssertionError
+
+    point, n_rows = wmedian([(c, 1) for _, c in data])
+    meds = []
+    for b in range(_BOOT_B):
+        wrows = [(c, pois_w(key, b)) for key, c in data]
+        wrows = [(c, w) for c, w in wrows if w > 0]
+        meds.append(wmedian(wrows)[0])
+    meds_sorted = sorted(meds)
+    got = REGISTRY["q_quantile_bootstrap_ci"].fn(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.point_median_cents, r.n_rows) == (point, n_rows)
+    assert r.n_replicates == _BOOT_B
+    assert r.ci_lo_cents == meds_sorted[_BCI_LO_K - 1]
+    assert r.ci_hi_cents == meds_sorted[_BCI_HI_K - 1]
+    assert r.min_med_cents == meds_sorted[0]
+    assert r.max_med_cents == meds_sorted[-1]
+    # the interval must be non-degenerate and bracket the point
+    assert r.ci_lo_cents < r.ci_hi_cents
+    assert r.ci_lo_cents <= r.point_median_cents <= r.ci_hi_cents
