@@ -1325,12 +1325,25 @@ def _topv_keep(s: DataFrame, k_top: int) -> DataFrame:
 
 def _capped_lm_parts(spark: SparkSession, sf_dir: str):
     """Shared Spark-side training pre-pass of the capped-LM ingest
-    gates: returns (d, s_dep, oovtbl, docce) where ``s_dep`` is the
-    PERSISTED top-V deployed LM (O(V_cap x langs)), ``oovtbl`` the
-    PERSISTED O(langs) OOV-mass table, and ``docce`` the standing
-    corpus scored under the SAME capped model (feeds threshold
-    calibration). Callers must unpersist s_dep/oovtbl after the
-    deploy collects."""
+    gates: returns (d, s_dep, oovtbl, docce, caches) where ``s_dep``
+    is the PERSISTED top-V deployed LM (O(V_cap x langs)), ``oovtbl``
+    the PERSISTED O(langs) OOV-mass table, ``docce`` the PERSISTED
+    standing corpus scored under the SAME capped model (feeds
+    threshold calibration), and ``caches`` every persisted handle.
+    Callers must unpersist each entry of ``caches`` after the deploy
+    collects.
+
+    Persist posture (r12 optimization, guide §2.4/§5): ``lm`` (the
+    vocab table, ~N^0.6 rows by Heaps' law) fans out into the top-V
+    cut (3 references via _topv_keep), the totals table, and the
+    scoring join; ``docce`` (one row per standing doc) fans out into
+    the threshold selection's histogram pass AND its boundary-bin
+    rescan. Unpersisted, each reference re-ran the corpus-scale
+    tokenize+explode scan — ~6 full passes per gate (measured: the
+    perplexity gate spent ~5.5 s of its 8.9 s in the pre-pass at
+    sf0.1). Persisting the two sublinear intermediates cuts the
+    corpus passes to the 2 that are fundamental (one to count tokens,
+    one to score documents)."""
     from azurestorage_blueprints_spark.functions.text import tokens
     from azurestorage_blueprints_spark.queries.curation import _PPL_QZ
 
@@ -1339,7 +1352,11 @@ def _capped_lm_parts(spark: SparkSession, sf_dir: str):
     tok = standing.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
     )
-    lm = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lm = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
     tot = lm.groupBy("lang").agg(
         F.sum("c").cast("bigint").alias("n_l"),
         F.count(F.lit(1)).cast("bigint").alias("v_l"),
@@ -1376,8 +1393,9 @@ def _capped_lm_parts(spark: SparkSession, sf_dir: str):
             .cast("bigint")
             .alias("ce_micro"),
         )
+        .persist()
     )
-    return d, s_dep, oovtbl, docce
+    return d, s_dep, oovtbl, docce, [lm, docce, s_dep, oovtbl]
 
 
 def _capped_lm_cte() -> str:
@@ -1543,7 +1561,7 @@ def _ppl_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # shared capped-LM training pre-pass (r11: O(V_cap x langs) deploy
     # by construction — see _capped_lm_parts / _PPL_LM_TOPV docs)
-    d, s_dep, oovtbl, docce = _capped_lm_parts(spark, sf_dir)
+    d, s_dep, oovtbl, docce, caches = _capped_lm_parts(spark, sf_dir)
     # frozen tercile thresholds: the k-th-smallest (logppl, doc_id)
     # pairs via the two-phase distributed selection SHARED VERBATIM
     # with the batch rung (curation._ppl_thresholds) — no corpus-scale
@@ -1570,8 +1588,8 @@ def _ppl_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t1 double, t1_doc bigint, t2 double, t2_doc bigint",
         )
     finally:
-        s_dep.unpersist()  # the frozen model is deployed; release the pre-pass cache
-        oovtbl.unpersist()
+        for c in caches:  # the frozen model is deployed; release the pre-pass caches
+            c.unpersist()
 
     staged = _stage_documents(spark, sf_dir)
     schema = spark.read.parquet(os.path.join(staged, "c0")).schema
@@ -1707,7 +1725,7 @@ def q_stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ppl_thresholds,
     )
 
-    d, s_dep, oovtbl, docce = _capped_lm_parts(spark, sf_dir)
+    d, s_dep, oovtbl, docce, caches = _capped_lm_parts(spark, sf_dir)
     kfn = lambda n: F.least(  # noqa: E731 — the shared rank-list convention
         F.ceil((n + 1) * _CONF_NUM / F.lit(float(_CONF_DEN))).cast("bigint"),
         n.cast("bigint"),
@@ -1727,8 +1745,8 @@ def q_stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t1 double, t1_doc bigint",
         )
     finally:
-        s_dep.unpersist()
-        oovtbl.unpersist()
+        for c in caches:
+            c.unpersist()
 
     staged = _stage_documents(spark, sf_dir)
     schema = spark.read.parquet(os.path.join(staged, "c0")).schema
@@ -2393,6 +2411,13 @@ def q_stream_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             F.array_distinct(word_shingles(tokens(F.col("text")), k=5))
         ).alias("shingle"),
     )
+    # the static side is PERSISTED (r12 optimization, guide §2.4): a
+    # stream-static join re-executes the static subplan EVERY
+    # micro-batch, so without the persist each of the 4 replayed
+    # batches re-ran the eval slice's scan + shingle explode +
+    # distinct shuffle. In production this table is a pre-built
+    # benchmark-shingle manifest loaded once per ingest restart —
+    # persisting is the in-query stand-in for that stored artifact.
     eval_sh = (
         table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 97 == 0))
@@ -2403,6 +2428,7 @@ def q_stream_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
         .withColumn("in_eval", F.lit(1))
+        .persist()
     )
     joined = a_sh.join(eval_sh, "shingle", "left").select(
         "doc_id", F.coalesce(F.col("in_eval"), F.lit(0)).alias("hit")
@@ -2417,6 +2443,8 @@ def q_stream_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit("clean"))
         .alias("verdict"),
     )
-    return run_to_memory(
+    result = run_to_memory(
         verdicted, f"t_{uuid.uuid4().hex[:12]}", output_mode="complete"
     )
+    eval_sh.unpersist()
+    return result

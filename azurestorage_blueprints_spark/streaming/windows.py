@@ -91,26 +91,56 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
 LAST_PROGRESS: list[dict] = []
 
 
+#: shuffle/state partition count for streaming runs (r12, guide §2.2):
+#: a streaming aggregation's state is partitioned by
+#: spark.sql.shuffle.partitions AT QUERY START, and every micro-batch
+#: pays one task launch + one state-store load/commit PER PARTITION.
+#: The registry gates keep O(langs x buckets) ≈ O(10-100) state rows,
+#: so state partitions sized to the batch session's scan parallelism
+#: (cores locally, hundreds on a cluster) multiply pure per-batch
+#: overhead: at 32 partitions a 4-batch replay commits 128 state files
+#: to move ~40 state rows. 8 partitions is sized to the state
+#: cardinality and stays fixed as cores scale — production ingest with
+#: high-cardinality keyed state (e.g. the dedup gate's event_id space)
+#: would raise it via the env knob to match throughput, which is why
+#: it is parameterised rather than derived from cores.
+STREAM_SHUFFLE_PARTITIONS = int(
+    __import__("os").environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming DataFrame to completion against its current
     source contents; results land in an in-memory table ``name``.
-    Returns the materialized batch DataFrame."""
+    Returns the materialized batch DataFrame.
+
+    The session's shuffle-partition count is lowered to
+    :data:`STREAM_SHUFFLE_PARTITIONS` for the duration of the stream
+    (state partitioning is captured at query start) and restored
+    afterwards — state tasks are sized to state cardinality, batch
+    plans keep the session's scan-parallelism-sized setting."""
     import json as _json
 
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
-        q.processAllAvailable()
-    finally:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
         try:
-            LAST_PROGRESS[:] = [_json.loads(p.json) for p in q.recentProgress]
-        except Exception:  # instrumentation must never fail the query
-            LAST_PROGRESS[:] = []
-        q.stop()
+            q.processAllAvailable()
+        finally:
+            try:
+                LAST_PROGRESS[:] = [_json.loads(p.json) for p in q.recentProgress]
+            except Exception:  # instrumentation must never fail the query
+                LAST_PROGRESS[:] = []
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
