@@ -434,6 +434,28 @@ _POIS_CASE = "CASE " + " ".join(
 
 _BOOT_VALUES = ", ".join(f"({b})" for b in range(_BOOT_B))
 
+def _spread_fanout(spark: SparkSession, sql: str) -> str:
+    """Spark-side-only rewrite of a mixer fan-out source (r12
+    optimization, guide §2.5 input skew): the ``orders x VALUES(B)``
+    cross join runs INSIDE the scan stage, so its parallelism is the
+    small metadata table's file-split count — a single compact parquet
+    yields 1-2 splits, and the x33 row explosion plus the nonlinear
+    mixer then run on 1-2 cores regardless of cluster size (measured
+    4.4 s -> 1.8 s at sf0.1/local[32] from this alone). A keyless
+    round-robin REPARTITION sized to the session's default parallelism
+    spreads the narrow (key, cents) rows BEFORE the fan-out; the
+    shuffle moves the un-fanned-out table once, which is ~B x smaller
+    than the work it unlocks. Scale-adaptive by construction (derived
+    from the running session, never a constant); the DuckDB oracle
+    keeps the unhinted text — values are partitioning-invariant."""
+    n = spark.sparkContext.defaultParallelism
+    return sql.replace(
+        "FROM orders,",
+        f"FROM (SELECT /*+ REPARTITION({n}) */ * FROM orders) AS orders_rr,",
+        1,
+    )
+
+
 _BOOT_SQL = f"""
     WITH seeded AS (
       SELECT b,
@@ -504,7 +526,7 @@ _BOOT_SQL = f"""
 )
 def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_BOOT_SQL)
+    return spark.sql(_spread_fanout(spark, _BOOT_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -611,7 +633,8 @@ _PERM_SQL = f"""
 )
 def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_PERM_SQL)
+    # same fan-out parallelism fix as the bootstrap (see _spread_fanout)
+    return spark.sql(_spread_fanout(spark, _PERM_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -879,8 +902,12 @@ def q_quantile_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the boundary rescan needs no raw rows and no per-row tiebreak
     # (the median VALUE is determined by cumulative weight over
     # distinct cents alone).
+    # fan-out parallelism fix (see _spread_fanout): only the x33 mixer
+    # source is rewritten; the weight-1 point-estimate branch stays a
+    # plain scan
     wh = spark.sql(
-        f"WITH {_BCI_ROWS_SQL} SELECT b, cents, CAST(sum(w) AS BIGINT) AS w"
+        f"WITH {_spread_fanout(spark, _BCI_ROWS_SQL)}"
+        " SELECT b, cents, CAST(sum(w) AS BIGINT) AS w"
         " FROM wrows WHERE w > 0 GROUP BY b, cents"
     ).localCheckpoint()
     binc = log_bin(F.col("cents"))
