@@ -2098,7 +2098,16 @@ def q_conformal_ppl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tok = tokstream(standing)
-    lm = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # the vocab table fans out into BOTH scoring joins (calibration and
+    # test) and, through tot, the OOV table — persisted so the
+    # corpus-scale tokenize+count runs once (r12, guide §2.4/§5; the
+    # same fix as streaming_q._capped_lm_parts), released by
+    # finalize_bounded with the caldoc cache
+    lm = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
     tot = lm.groupBy("lang").agg(
         F.sum("c").cast("bigint").alias("n_l"),
         F.count(F.lit(1)).cast("bigint").alias("v_l"),
@@ -2168,7 +2177,7 @@ def q_conformal_ppl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_coverage", F.lit(_CONF_NUM).cast("double") / F.lit(float(_CONF_DEN))
         )
     )
-    return finalize_bounded(report, caldoc)
+    return finalize_bounded(report, caldoc, lm)
 
 
 @register(
