@@ -57,6 +57,10 @@ PERSIST_THROUGH_RETURN: frozenset[str] = frozenset({
     # (one row per document), so finalize_bounded's collect route
     # cannot apply — the standard per-query teardown releases it
     "q_ccnet_perplexity_buckets",
+    # r12: the bigram-TYPE table (sublinear) feeds ctx/cont/lt/vt and
+    # the scoring join; the output is per-arrival-doc (corpus-scale),
+    # so the collect route cannot apply — per-query teardown releases it
+    "q_kn_bigram_perplexity",
 })
 
 

@@ -1662,8 +1662,16 @@ def q_kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sbig = big.filter(F.col("doc_id") % 10 != 0)
     abig = big.filter(F.col("doc_id") % 10 == 0)
-    c12 = sbig.groupBy("lang", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12")
+    # the bigram-TYPE table (sublinear — types grow ~Heaps) fans out
+    # into ctx, cont, lt, vt and the scoring join; unpersisted, each
+    # consumer re-ran the corpus-scale tokenize + bigram explode +
+    # count shuffle (r12, guide §2.4/§5). The cache is released by the
+    # standard per-query teardown (PERSIST_THROUGH_RETURN — the output
+    # is per-arrival-doc, so the collect route cannot apply).
+    c12 = (
+        sbig.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .persist()
     )
     ctx = c12.groupBy("lang", "w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
@@ -1673,9 +1681,15 @@ def q_kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n1pw2")
     )
     lt = c12.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("b_types"))
+    # vocab count from the persisted TYPE table instead of a second
+    # full tokenize pass (r12): every token of a >= 2-token document
+    # appears in at least one of its bigrams (as w1 or as w2), and
+    # toked is already filtered to size >= 2, so distinct(w1 ∪ w2) over
+    # the standing bigram types IS the standing vocabulary — same value
+    # as the explode it replaces, at type scale instead of token scale
     vt = (
-        toked.filter(F.col("doc_id") % 10 != 0)
-        .select("lang", F.explode("tk").alias("w"))
+        c12.select("lang", F.col("w1").alias("w"))
+        .unionAll(c12.select("lang", F.col("w2").alias("w")))
         .groupBy("lang")
         .agg(F.countDistinct("w").cast("bigint").alias("v"))
     )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
 from azurestorage_blueprints_spark.functions.vectors import clamp_sim, dot, norm
+from azurestorage_blueprints_spark.operators.parallelism import spread_for_compute
 from azurestorage_blueprints_spark.queries import register
 from azurestorage_blueprints_spark.tables import table
 
@@ -297,6 +298,11 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     docs = d.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
     ).filter(F.size("toks") > 0)
+    # the 64-fold vote below is fused into the scan stage, whose task
+    # count is the input's file-split count — spread first so a compact
+    # source doesn't serialize the per-bit folds (r12, guide §2.5;
+    # no-op when the scan already provides the session's parallelism)
+    docs = spread_for_compute(docs)
     hashes = docs.select(
         "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
     )
@@ -849,7 +855,12 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             imgs = [hdr + row.tobytes() for row in rgb]
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "img": imgs})
 
-    imgs = e.mapInPandas(enc, "vec_id long, img binary")
+    # project to the two columns the worker touches (r12, guide §4.1 —
+    # an opaque function ships, and forces the scan to read, every
+    # column it is handed; `label` stays out of the Arrow channel)
+    imgs = e.select("vec_id", "embedding").mapInPandas(
+        enc, "vec_id long, img binary"
+    )
 
     def ahash(batches):
         import numpy as np
@@ -1479,6 +1490,9 @@ def _shp_pairs_sql() -> str:
 def _shp_sig(d: DataFrame) -> DataFrame:
     """Spark twin of _shp_sig_sql: (doc_id, simhash) — 62-bit portable
     SimHash from two polynomial token folds."""
+    # NOT spread_for_compute (r12): measured — the audit fixtures feed
+    # this a few hundred rows, where the extra exchange + task wave
+    # costs more than the serial char-folds (5.2 -> 6.3 s paired A/B)
     docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
     codes = lambda t: F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("bigint"))  # noqa: E731
 

@@ -43,9 +43,13 @@ def main():
             import contextlib, io
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
+                # fresh build: a post-clearCache explain of the warm-up
+                # df re-expands any persisted intermediate and hides the
+                # InMemoryRelation the query actually runs with
+                fn(spark, sf_dir).explain("formatted")
             with open(f"plans/r12/{name}_{tag}.txt", "w") as f:
                 f.write(buf.getvalue())
+            spark.catalog.clearCache()
         samples = []
         for r in range(runs):
             spark.sparkContext.setJobDescription(f"{name}: run {r}")
