@@ -1085,10 +1085,16 @@ _PMI_TOP_K = 20
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toked = d.select(F.expr(_TOKS).alias("t"))
+    # r12 (guide §2.4/§5): uni (vocab-scale) feeds both PMI joins and
+    # the token total; bi_all (bigram-type-scale) feeds the floor
+    # filter and the bigram total — persisted so each corpus-scale
+    # explode runs once; released by finalize_bounded with the top-k
+    # report
     uni = (
         toked.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
     )
     bi_all = (
         toked.filter(F.expr("size(t) >= 2"))
@@ -1103,6 +1109,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g.w1", "g.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .persist()
     )
     # the bigram-event total counts ALL bigrams (the probability space),
     # not just the pairs that clear the reporting floor
@@ -1120,7 +1127,9 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return (
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
+    report = (
         bi.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
         .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
         .crossJoin(F.broadcast(tot))
@@ -1128,6 +1137,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+    return finalize_bounded(report, uni, bi_all)
 
 
 # curriculum mixture schedule (r10): the 4-phase temperature ladder.
@@ -1660,8 +1670,15 @@ def q_mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.expr(_TOKS)).alias("token"))
-    st = tok.groupBy("source", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    # r12 (guide §2.4/§5): the (source, token) count table (vocab-scale,
+    # sublinear) fans out into the global counts, the per-source totals
+    # and the CE scoring join — persisted so the corpus-scale
+    # tokenize+explode runs once; released by finalize_bounded with the
+    # O(sources) report
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+        .persist()
     )
     g = st.groupBy("token").agg(F.sum("c_st").cast("bigint").alias("c_g"))
     gt = g.agg(
@@ -1732,7 +1749,9 @@ def q_mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.sum("wq").over(win).cast("bigint").alias("w_tot"),
     )
-    return t.select(
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
+    report = t.select(
         "source",
         F.col("n_s").alias("tok_total"),
         "ce_global_milli",
@@ -1741,6 +1760,7 @@ def q_mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_s").cast("double") / F.col("n_tot").cast("double")).alias("natural_share"),
         (F.col("wq").cast("double") / F.col("w_tot").cast("double")).alias("doremi_share"),
     )
+    return finalize_bounded(report, st)
 
 
 # ---------------------------------------------------------------------------

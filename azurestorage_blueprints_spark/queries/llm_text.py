@@ -2479,6 +2479,10 @@ def q_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tk").alias("rtk"),
         (F.size("tk") - 1).cast("bigint").alias("tr"),
     )
+    # NOT persisted (r12): measured — the 3-consumer fan-out re-reads
+    # are cheaper than writing the token-array cache here (2.28 ->
+    # 2.50 s paired A/B; contrast q_eval_bleu, where the same persist
+    # pays because the gram fusion leaves it as the only corpus pass)
     pairs = c.join(r, "pair_id")
 
     cg = (
@@ -2644,33 +2648,50 @@ def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tk").alias("rtk"),
         F.size("tk").cast("bigint").alias("rlen"),
     )
-    pairs = c.join(r, "pair_id")
+    # r12 (guide §2.3/§2.4): the tokenize+self-join is persisted (5
+    # consumers re-derived it — 10 corpus scans), and the unigram and
+    # bigram clip pipelines fuse into ONE order-tagged explode per side
+    # + ONE (pair_id, n, gram) equi-join — same exact integer counts
+    # (the n tag keeps the gram spaces disjoint), half the gram-join
+    # stages. Released by finalize_bounded (output is O(langs)).
+    pairs = c.join(r, "pair_id").persist()
 
-    def clip(cand_grams, ref_grams):
-        cg = (
-            pairs.select("pair_id", F.explode(cand_grams).alias("g"))
-            .groupBy("pair_id", "g")
-            .agg(F.count(F.lit(1)).alias("cc"))
-        )
-        rg = (
-            pairs.select("pair_id", F.explode(ref_grams).alias("g"))
-            .groupBy("pair_id", "g")
-            .agg(F.count(F.lit(1)).alias("rc"))
-        )
-        return (
-            cg.join(rg, ["pair_id", "g"])
-            .groupBy("pair_id")
-            .agg(F.sum(F.least("cc", "rc")).cast("bigint").alias("mn"))
+    def tagged(tk_col):
+        return F.concat(
+            F.transform(tk_col, lambda g: F.struct(F.lit(1).alias("n"), g.alias("g"))),
+            F.transform(
+                X.word_shingles(tk_col, k=2),
+                lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+            ),
         )
 
-    m1 = clip(F.col("ctk"), F.col("rtk")).withColumnRenamed("mn", "mn1")
-    m2 = clip(
-        X.word_shingles(F.col("ctk"), k=2), X.word_shingles(F.col("rtk"), k=2)
-    ).withColumnRenamed("mn", "mn2")
+    cg = (
+        pairs.select("pair_id", F.explode(tagged(F.col("ctk"))).alias("t"))
+        .select("pair_id", "t.n", "t.g")
+        .groupBy("pair_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    rg = (
+        pairs.select("pair_id", F.explode(tagged(F.col("rtk"))).alias("t"))
+        .select("pair_id", "t.n", "t.g")
+        .groupBy("pair_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    m = (
+        cg.join(rg, ["pair_id", "n", "g"])
+        .groupBy("pair_id")
+        .agg(
+            F.sum(F.when(F.col("n") == 1, F.least("cc", "rc")))
+            .cast("bigint")
+            .alias("mn1"),
+            F.sum(F.when(F.col("n") == 2, F.least("cc", "rc")))
+            .cast("bigint")
+            .alias("mn2"),
+        )
+    )
     corpus = (
         pairs.select("pair_id", "lang", "clen", "rlen")
-        .join(m1, "pair_id", "left")
-        .join(m2, "pair_id", "left")
+        .join(m, "pair_id", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
@@ -2686,7 +2707,9 @@ def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rlen").cast("bigint").alias("ref_len"),
         )
     )
-    return corpus.select(
+    from azurestorage_blueprints_spark.queries import finalize_bounded
+
+    report = corpus.select(
         "lang",
         "n_pairs",
         "match_1",
@@ -2700,6 +2723,7 @@ def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BP_EXPR).alias("bp_micro"),
         F.expr(_BLEU_EXPR).alias("bleu2_micro"),
     )
+    return finalize_bounded(report, pairs)
 
 
 #: character-marker sets for the SECOND language-ID classifier the

@@ -2301,10 +2301,14 @@ def q_knn_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wex = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    # r12 (guide §2.4): the O(queries x k) ground-truth table feeds the
+    # count AND the hits join — checkpointed so the brute-force scoring
+    # pass runs once (the simhash_pairs sig discipline)
     exact = (
         ex_scored.withColumn("rnk", F.row_number().over(wex))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "n_id")
+        .localCheckpoint(eager=False)
     )
     exn = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     # per-(query, list) probe rank, candidates bounded to the widest probe
@@ -2341,7 +2345,7 @@ def q_knn_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         ivftop.join(
-            exact, (ivftop.q_id == exact.q_id) & (ivftop.vec_id == exact.n_id)
+            exact.select("q_id", F.col("n_id").alias("vec_id")), ["q_id", "vec_id"]
         )
         .groupBy("nprobe")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
@@ -2589,13 +2593,29 @@ def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot(F.col("av"), F.col("bv")) / (F.col("a_nrm") * F.col("b_nrm"))).alias("sim"),
         )
     )
+    # r12 (guide §2.4): both edge directions come from ONE explode of
+    # the pair stream instead of a self-union whose branches each
+    # re-ran the within-block pairwise join — half the pair work, same
+    # rows bit-for-bit (sim is computed once per pair either way)
     directed = pairs.select(
-        "label", F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "sim"
-    ).unionAll(
-        pairs.select("label", F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "sim")
-    )
+        "label",
+        "sim",
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+            )
+        ).alias("e"),
+    ).select("label", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"), "sim")
     w = W.partitionBy("src").orderBy(F.desc("sim"), "dst")
-    knn = directed.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _TOP_K)
+    # checkpoint the O(k*N) top-k edge table: the mutual self-join
+    # references it twice, and each reference otherwise re-runs the
+    # pairwise join + rank window (the simhash_pairs sig discipline)
+    knn = (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .localCheckpoint(eager=False)
+    )
     k1 = knn.select("label", "src", "dst", "sim", F.col("rnk").alias("rank_ab"))
     k2 = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"), F.col("rnk").alias("rank_ba"))
     return (
@@ -2907,9 +2927,18 @@ def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .select(F.col("a_id").alias("x_id"), F.col("b_id").alias("y_id"), sim.alias("sim"))
     )
+    # r12 (guide §2.4): both directions from ONE explode of the pair
+    # stream — the self-union's branches each re-ran the within-block
+    # pairwise join; same rows bit-for-bit
     directed = upairs.select(
-        F.col("x_id").alias("a_id"), F.col("y_id").alias("p_id"), "sim"
-    ).unionAll(upairs.select(F.col("y_id").alias("a_id"), F.col("x_id").alias("p_id"), "sim"))
+        "sim",
+        F.explode(
+            F.array(
+                F.struct(F.col("x_id").alias("a_id"), F.col("y_id").alias("p_id")),
+                F.struct(F.col("y_id").alias("a_id"), F.col("x_id").alias("p_id")),
+            )
+        ).alias("e"),
+    ).select(F.col("e.a_id").alias("a_id"), F.col("e.p_id").alias("p_id"), "sim")
     wp = W.partitionBy("a_id").orderBy(F.desc("sim"), "p_id")
     pos = (
         directed.withColumn("rnk", F.row_number().over(wp))
@@ -3212,10 +3241,14 @@ def q_knn_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", "q_id", "n_id", cosine(F.col("qs"), F.col("vs")).alias("sim")
     )
     wd = W.partitionBy("dim", "q_id").orderBy(F.desc("sim"), "n_id")
+    # r12 (guide §2.4): the O(dims x queries x k) top table feeds the
+    # exact slice, its count, and the hits join — checkpointed so the
+    # sliced-cosine scoring sweep runs once instead of three times
     top = (
         scored.withColumn("rnk", F.row_number().over(wd))
         .filter(F.col("rnk") <= _TOP_K)
         .select("dim", "q_id", "n_id")
+        .localCheckpoint(eager=False)
     )
     exact = top.filter(F.col("dim") == max(_DIM_SWEEP)).select("q_id", "n_id")
     exn = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
