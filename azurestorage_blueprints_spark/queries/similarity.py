@@ -4045,20 +4045,28 @@ def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     for r in range(1, _KC_K):
-        sel = st.agg(
+        # r12 (guide §2.4): the new center's VECTOR rides the argmax
+        # struct — (mind, nid) is already unique per row, so the
+        # trailing cv field never participates in the comparison and
+        # the selection is unchanged; this drops the per-round
+        # re-scan + re-quantize + join that previously fetched cv
+        selmx = st.agg(
             F.max(
-                F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))
+                F.struct(
+                    F.col("mind"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("v8").alias("cv"),
+                )
             ).alias("mx"),
             F.sum("mind").cast("bigint").alias("sum_d2"),
-        ).select(
+        )
+        sel = selmx.select(
             F.lit(r).cast("int").alias("round"),
             (-F.col("mx.nid")).cast("bigint").alias("center_id"),
             F.col("mx.mind").cast("bigint").alias("radius_sq"),
             "sum_d2",
         )
-        cent = sel.join(q8, sel.center_id == q8.vec_id).select(
-            F.col("v8").alias("cv")
-        )
+        cent = selmx.select(F.col("mx.cv").alias("cv"))
         st = (
             st.crossJoin(F.broadcast(cent))
             .select(
