@@ -108,6 +108,21 @@ STREAM_SHUFFLE_PARTITIONS = int(
     __import__("os").environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
 )
 
+#: base directory for the replay harness's EPHEMERAL checkpoints
+#: (r12, guide §1.2 fixed overheads): every micro-batch fsyncs the
+#: offset log, commit log and state-store files into the checkpoint
+#: dir, and run_to_memory's checkpoint is temporary BY DESIGN — it is
+#: deleted the moment the finite replay stops, so those fsyncs land on
+#: whatever /tmp sits on (a disk here) for no durability benefit.
+#: Default: tmpfs when the platform has one, else Spark's normal temp
+#: checkpoint. Production ingest durability is an EXPLICIT
+#: checkpointLocation on the query (the checkpoint-recovery test pins
+#: that path) and is unaffected by this knob.
+STREAM_CKPT_BASE = __import__("os").environ.get(
+    "SPARK_GRAFT_STREAM_CKPT_BASE",
+    "/dev/shm" if __import__("os").path.isdir("/dev/shm") else "",
+)
+
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming DataFrame to completion against its current
@@ -120,17 +135,26 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
     afterwards — state tasks are sized to state cardinality, batch
     plans keep the session's scan-parallelism-sized setting."""
     import json as _json
+    import shutil
+    import tempfile
 
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    ckpt = (
+        tempfile.mkdtemp(prefix="sg_ckpt_", dir=STREAM_CKPT_BASE)
+        if STREAM_CKPT_BASE
+        else None
+    )
     try:
-        q = (
+        w = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .start()
         )
+        if ckpt:
+            w = w.option("checkpointLocation", ckpt)
+        q = w.start()
         try:
             q.processAllAvailable()
         finally:
@@ -141,6 +165,8 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
