@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from azurestorage_blueprints_spark.functions.text import tokens, word_shingles
 from azurestorage_blueprints_spark.functions.vectors import clamp_sim, dot, norm
-from azurestorage_blueprints_spark.operators.parallelism import spread_for_compute
 from azurestorage_blueprints_spark.queries import register
 from azurestorage_blueprints_spark.tables import table
 
@@ -295,35 +294,43 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     ADVICE: every vote sum is 0 so they'd all share signature 0 and
     form a spurious mutual Hamming-0 cluster; the portable twin
     _shp_sig has always filtered them — now both sides agree)."""
-    docs = d.select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
-    ).filter(F.size("toks") > 0)
-    # the 64-fold vote below is fused into the scan stage, whose task
-    # count is the input's file-split count — spread first so a compact
-    # source doesn't serialize the per-bit folds (r12, guide §2.5;
-    # no-op when the scan already provides the session's parallelism)
-    docs = spread_for_compute(docs)
-    hashes = docs.select(
-        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
+    # r12 rewrite (guide §4.1/§2.3, the _emb_lsh_sig precedent): the
+    # old row-local form ran 64 higher-order F.aggregate vote folds per
+    # document — HOF lambdas execute OUTSIDE whole-stage codegen,
+    # ~interpreted per element. This form explodes the distinct-token
+    # stream once, hashes with the NATIVE xxhash64 expression, and
+    # takes all 64 per-bit votes as conditional-sum aggregate columns
+    # in ONE map-side-combined hash-agg — fully codegen'd integer ops,
+    # and the exchange carries one 64-int row per document (tokens of a
+    # document stay in their scan partition, so the partial agg
+    # collapses before the shuffle). Votes are the same order-free
+    # integer sums over the same distinct-token set — signature values
+    # are bit-identical to the fold form.
+    tokd = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
-
-    def _vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(1) == 1, 1
-        ).otherwise(-1)
-
+    th = tokd.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
     sim = None
     for i in range(64):
-        v = F.aggregate("hs", F.lit(0), _vote(i))
         # bit 63 via bitwise OR of shifted sign contribution would
         # overflow a positive accumulator; build the signed 64-bit
         # value directly: sum of 2^i for i<63, minus 2^63 via the
         # two's-complement identity (x | sign-bit == x - 2^63 here
         # because the running sum never sets bit 63 on its own)
-        contrib = F.when(v > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint"))
+        contrib = F.when(
+            F.col(f"v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
+        )
         bit = contrib.otherwise(F.lit(0).cast("bigint"))
         sim = bit if sim is None else sim + bit
-    return hashes.select("doc_id", sim.alias("simhash"))
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -1490,39 +1497,51 @@ def _shp_pairs_sql() -> str:
 def _shp_sig(d: DataFrame) -> DataFrame:
     """Spark twin of _shp_sig_sql: (doc_id, simhash) — 62-bit portable
     SimHash from two polynomial token folds."""
-    # NOT spread_for_compute (r12): measured — the audit fixtures feed
-    # this a few hundred rows, where the extra exchange + task wave
-    # costs more than the serial char-folds (5.2 -> 6.3 s paired A/B)
-    docs = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    # r12 rewrite (guide §4.1/§2.3, the _emb_lsh_sig precedent and the
+    # simhash_signatures shape): the per-TOKEN polynomial char-folds
+    # stay higher-order (they are the hash definition), but the 62
+    # per-bit vote folds over the token array — previously 62 HOF
+    # F.aggregate calls per document, interpreted outside codegen — are
+    # now conditional-sum aggregate columns in ONE map-side-combined
+    # hash-agg over the exploded distinct-token stream. Same order-free
+    # integer votes over the same token set: signatures bit-identical.
     codes = lambda t: F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("bigint"))  # noqa: E731
 
-    def fold(mult: int):
-        return F.transform(
-            "toks",
-            lambda t: F.aggregate(
-                codes(t),
-                F.lit(0).cast("bigint"),
-                lambda h, c: (h * mult + c) % F.lit(_MHP_M).cast("bigint"),
-            ),
+    def fold(tok, mult: int):
+        return F.aggregate(
+            codes(tok),
+            F.lit(0).cast("bigint"),
+            lambda h, c: (h * mult + c) % F.lit(_MHP_M).cast("bigint"),
         )
 
-    hashes = docs.filter(F.size("toks") > 0).select(
-        "doc_id", fold(_SHP_MULTS[0]).alias("hs0"), fold(_SHP_MULTS[1]).alias("hs1")
+    tokd = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
-
-    def _vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(1) == 1, 1
-        ).otherwise(-1)
-
+    th = tokd.select(
+        "doc_id",
+        fold(F.col("tok"), _SHP_MULTS[0]).alias("h0"),
+        fold(F.col("tok"), _SHP_MULTS[1]).alias("h1"),
+    )
+    vote_cols = []
+    for f_i in range(2):
+        for i in range(_SHP_BITS_PER_FOLD):
+            vote_cols.append(
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(f"h{f_i}"), i).bitwiseAND(1) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"v{f_i}_{i}")
+            )
+    votes = th.groupBy("doc_id").agg(*vote_cols)
     sim = None
     for f_i in range(2):
         for i in range(_SHP_BITS_PER_FOLD):
-            v = F.aggregate(f"hs{f_i}", F.lit(0), _vote(i))
             w = 1 << (f_i * _SHP_BITS_PER_FOLD + i)
-            bit = F.when(v > 0, F.lit(w).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            bit = F.when(F.col(f"v{f_i}_{i}") > 0, F.lit(w).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
             sim = bit if sim is None else sim + bit
-    return hashes.select("doc_id", sim.alias("simhash"))
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def _shp_pairs(sig: DataFrame) -> DataFrame:
