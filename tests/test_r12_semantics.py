@@ -1159,3 +1159,38 @@ def test_quantile_bootstrap_ci_matches_python_recompute(spark, sf_dir):
     # the interval must be non-degenerate and bracket the point
     assert r.ci_lo_cents < r.ci_hi_cents
     assert r.ci_lo_cents <= r.point_median_cents <= r.ci_hi_cents
+
+
+def test_simhash_vote_hashagg_matches_per_doc_fold(spark, sf_dir):
+    """r12 optimization gate: simhash_signatures was restructured from
+    64 per-document higher-order vote folds into one explode +
+    conditional-sum hash-agg. Pin the restructured aggregate against a
+    direct per-document reference: collect each doc's distinct-token
+    xxhash64 values (via the engine's own xxhash64, the only
+    non-portable piece) and recompute the 64 sign votes + two's-
+    complement bit packing in Python."""
+    from azurestorage_blueprints_spark.functions.text import tokens
+    from azurestorage_blueprints_spark.queries.dedup import simhash_signatures
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    got = {r.doc_id: r.simhash for r in simhash_signatures(d).collect()}
+    hs = (
+        d.select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(tokens(F.col("text"))), lambda t: F.xxhash64(t)
+            ).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+        .collect()
+    )
+    assert hs and got, "fixture must produce signatures"
+    want = {}
+    for r in hs:
+        sim = 0
+        for i in range(64):
+            v = sum(1 if (h >> i) & 1 else -1 for h in r.hs)
+            if v > 0:
+                sim += (1 << i) if i < 63 else -(1 << 63)
+        want[r.doc_id] = sim
+    assert got == want
