@@ -891,27 +891,84 @@ _BCI_ROWS_SQL = f"""
     "sort — the oracle has no scale obligation).",
 )
 def q_quantile_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the checkpoint sits at the O(B)-row medians table — NOT at the
+    # corpus-derived weighted histogram (r12 optimization round 1: the
+    # earlier localCheckpoint materialized the B x |distinct cents|
+    # table — 3.2M deserialized row blocks at sf0.1 — that only a
+    # later driver GC released; dead blocks accumulated across bench
+    # samples into memory pressure that made this rung's timing swing
+    # 4-76 s). 33 rows truncate the lineage just as well, and the two
+    # selection phases each fuse straight onto the mixer stream below.
+    meds = _bci_meds_plan(spark, sf_dir).localCheckpoint()
+    reps_m = meds.filter(F.col("b") >= 0).withColumn(
+        "rn", F.row_number().over(Window.orderBy("med", "b"))
+    )
+    ci = reps_m.agg(
+        F.min(F.when(F.col("rn") == _BCI_LO_K, F.col("med")))
+        .cast("bigint")
+        .alias("ci_lo_cents"),
+        F.min(F.when(F.col("rn") == _BCI_HI_K, F.col("med")))
+        .cast("bigint")
+        .alias("ci_hi_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.min("med").cast("bigint").alias("min_med_cents"),
+        F.max("med").cast("bigint").alias("max_med_cents"),
+    )
+    point = meds.filter(F.col("b") == -1).select(
+        F.col("med").alias("point_median_cents"),
+        F.col("n_eff").alias("n_rows"),
+    )
+    return point.crossJoin(F.broadcast(ci))
+
+
+def _bci_meds_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy plan for the per-replicate weighted medians (b = -1 is the
+    weight-1 point estimate): two mixer passes, nothing corpus-derived
+    ever materialized.
+
+    Pass structure (r12 optimization round 1; the earlier form
+    aggregated the mixer ONCE into a checkpointed B x |distinct cents|
+    weighted histogram — 3.2M rows at sf0.1 — whose materialization
+    cost and GC-deferred release dominated and destabilized the rung):
+
+    * phase 1 — the mixer stream collapses DIRECTLY into the
+      O(B x log-bins) histogram in one map-side-combined hash-agg; the
+      cumulative windows that locate each replicate's boundary bin run
+      over that bounded table only;
+    * phase 2 — a SECOND mixer pass re-derives the stream and keeps
+      only boundary-bin rows (an expected 1/bins sliver) via a
+      broadcast join against the O(B) bounds table; the within-bin
+      cumulative window touches the sliver.
+
+    Re-running the ~33-integer-op mixer once more costs two narrow
+    scans of (o_orderkey, o_totalprice); materializing the weighted
+    histogram instead costs O(B x |value domain|) storage — the wrong
+    trade at every scale measured (med 6.7 s -> 2.6 s at sf0.1), and
+    the pass count stays 2 at 100 TB while the avoided materialization
+    grows with the price domain.
+
+    Weight-0 rows ride through BOTH phases unfiltered — `WHERE w > 0`
+    (the oracle's free row-level form) pushed below the fan-out join
+    inlines the whole mixer into the join condition and blows janino's
+    64 KB method limit (the registry's only codegen failure, a
+    multi-second doomed compile per execution). Dropping the filter is
+    value-identical: a w = 0 row adds nothing to any histogram or
+    cumulative sum, and it can never become the crossing value of a
+    RANGE-frame cumulative window (its frame total equals its
+    predecessor's, so the filter threshold is crossed at a positive-
+    weight peer or not at all)."""
     from azurestorage_blueprints_spark.operators.selection import log_bin
 
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    # ONE corpus pass evaluates the x33 mixer fan-out and collapses it
-    # to the (replicate, cents) weighted histogram — cardinality is
-    # B x |value domain| (domain-bounded, NOT corpus-bounded), so the
-    # checkpoint that lets the two selection phases reuse it without
-    # re-running the mixer is scale-safe; equal-cents rows collapse, so
-    # the boundary rescan needs no raw rows and no per-row tiebreak
-    # (the median VALUE is determined by cumulative weight over
-    # distinct cents alone).
     # fan-out parallelism fix (see _spread_fanout): only the x33 mixer
     # source is rewritten; the weight-1 point-estimate branch stays a
     # plain scan
-    wh = spark.sql(
+    raw = spark.sql(
         f"WITH {_spread_fanout(spark, _BCI_ROWS_SQL)}"
-        " SELECT b, cents, CAST(sum(w) AS BIGINT) AS w"
-        " FROM wrows WHERE w > 0 GROUP BY b, cents"
-    ).localCheckpoint()
+        " SELECT b, cents, w FROM wrows"
+    )
     binc = log_bin(F.col("cents"))
-    hist = wh.groupBy("b", binc.alias("qbin")).agg(
+    hist = raw.groupBy("b", binc.alias("qbin")).agg(
         F.sum("w").cast("bigint").alias("cnt")
     )
     wcum = (
@@ -937,8 +994,13 @@ def q_quantile_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n"),
         )
     )
+    # phase 2: second mixer pass, boundary-bin sliver only. Duplicate
+    # cents rows (several orders share a price) are fine under the
+    # default RANGE cumulative frame: peers share one cumulative total,
+    # so min(cents) past the threshold is the same weighted median the
+    # pre-aggregated form produced.
     cand = (
-        wh.withColumn("qbin", binc)
+        raw.withColumn("qbin", binc)
         .join(
             F.broadcast(bounds),
             (F.col("b") == F.col("bb")) & (F.col("qbin") == F.col("bbin")),
@@ -946,7 +1008,7 @@ def q_quantile_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("bb", "bbin")
     )
     wrk = Window.partitionBy("qbin", "b").orderBy(F.col("cents").asc())
-    meds = (
+    return (
         cand.withColumn("cw", F.sum("w").over(wrk))
         .filter(F.col("cw") >= F.col("r"))
         .groupBy("b")
@@ -955,23 +1017,3 @@ def q_quantile_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("n_eff"),
         )
     )
-    reps_m = (
-        meds.filter(F.col("b") >= 0)
-        .withColumn("rn", F.row_number().over(Window.orderBy("med", "b")))
-    )
-    ci = reps_m.agg(
-        F.min(F.when(F.col("rn") == _BCI_LO_K, F.col("med")))
-        .cast("bigint")
-        .alias("ci_lo_cents"),
-        F.min(F.when(F.col("rn") == _BCI_HI_K, F.col("med")))
-        .cast("bigint")
-        .alias("ci_hi_cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
-        F.min("med").cast("bigint").alias("min_med_cents"),
-        F.max("med").cast("bigint").alias("max_med_cents"),
-    )
-    point = meds.filter(F.col("b") == -1).select(
-        F.col("med").alias("point_median_cents"),
-        F.col("n_eff").alias("n_rows"),
-    )
-    return point.crossJoin(F.broadcast(ci))

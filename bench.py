@@ -266,9 +266,10 @@ HEADLINE = [
     # legs end in TakeOrderedAndProject; fusion is a 50x50 join)
     "q_retrieval_rrf",
     # r12 eighth batch: percentile-bootstrap CI for the exact median —
-    # one x33 mixer pass into the checkpointed weighted histogram,
-    # then the two-phase selection over it (its bench number carries
-    # the interpreted-mixer fan-out cost; see SCALING.md)
+    # two fused x33 mixer passes (histogram cut, then boundary-bin
+    # sliver behind a broadcast bounds join; r12 optimization round 1
+    # retired both the checkpointed corpus-derived histogram and the
+    # janino 64 KB interpreted fallback — see SCALING.md)
     "q_quantile_bootstrap_ci",
 ]
 

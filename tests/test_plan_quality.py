@@ -1152,16 +1152,45 @@ def test_rrf_rank_windows_stay_on_bounded_topk(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_bootstrap_ci_selection_rides_the_checkpointed_histogram(spark, sf_dir):
-    # the x33 mixer fan-out runs ONCE, into the checkpointed
-    # (replicate, cents) weighted histogram; both selection phases
-    # must start from ExistingRDD, windows keyed on the replicate /
-    # (bin, replicate) histograms only — no corpus-scale sort
+def test_bootstrap_ci_selection_is_two_fused_mixer_passes(spark, sf_dir):
+    # r12 optimization: the mixer stream collapses DIRECTLY into the
+    # O(B x log-bins) histogram (phase 1) and is re-derived for the
+    # boundary-bin sliver behind a broadcast bounds join (phase 2) —
+    # nothing corpus-derived is ever materialized (the earlier form
+    # checkpointed a B x |distinct cents| table, 3.2M deserialized row
+    # blocks whose GC-deferred release destabilized the rung), and no
+    # predicate is pushed into the fan-out join (the `WHERE w > 0`
+    # inlining there blew janino's 64 KB method limit — the registry's
+    # only codegen failure).
+    import io
     import re
+    from contextlib import redirect_stdout
 
-    plan = _plan(spark, "q_quantile_bootstrap_ci", sf_dir)
-    assert "ExistingRDD" in plan
+    from azurestorage_blueprints_spark.queries.sampling import _bci_meds_plan
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _bci_meds_plan(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryFileIndex") == 0
+    # shuffles keyed on the replicate / bin / within-bin axes only —
+    # no corpus-scale sort key anywhere
     keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
     assert keys <= {"b", "qbin", "cents"}, keys
+    # every fan-out join is condition-free: the mixer chain must stay
+    # an aliased once-per-round projection chain that compiles
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "CASE" not in m.group(0), m.group(0)
+    # exactly two mixer passes: the x33 fan-out branch scans orders
+    # once per pass, the weight-1 point branch likewise (4 scans, 2
+    # round-robin spreads) — and phase 2's stream is cut to the
+    # boundary sliver by a broadcast join, never a shuffle
+    # count tree nodes ("Scan parquet  (n)"), not the formatted dump's
+    # repeated per-node details
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 4, plan
+    assert plan.count("REPARTITION_BY_NUM") >= 2
+    # the registered fn checkpoints only the O(B)-row medians table:
+    # its returned plan starts at the materialized 33 rows
+    fplan = _plan(spark, "q_quantile_bootstrap_ci", sf_dir)
+    assert "ExistingRDD" in fplan
+    assert fplan.count("InMemoryFileIndex") == 0
