@@ -3109,21 +3109,51 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     centv = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cv")
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster_id")
     cent = None
     for _r in range(_KM_ROUNDS):
-        asg = (
+        # E-step as ONE map-side-combined argmax aggregate (r12
+        # optimization round 1; the LPA/k-center convention): the
+        # earlier row_number window sorted the xK scored stream on
+        # vec_id every round — a corpus-scale sort-window per round at
+        # 100 TB — and the M-step then re-joined the winner back to
+        # the embeddings table, a second corpus-scale exchange per
+        # round. max(struct(sim, -cluster_id, embedding)) selects the
+        # same (max sim, min cluster_id) winner the window's
+        # (desc sim, cluster_id) ordering picked — cluster_id is
+        # unique within a vec_id group, so the trailing embedding
+        # field never participates in the comparison and simply rides
+        # the argmax, eliminating the re-join (bit-equality verified
+        # over the full 3-round trajectory). Like the LPA argmax, the
+        # struct buffer plans as a partial+final SortAggregate — still
+        # map-side-combined (one winner row per vector crosses the
+        # exchange, vs K scored rows into the window sort plus the
+        # whole embeddings table into the M-step join), and the
+        # partial's sort key is the grouping key over the crossJoin's
+        # already vec_id-contiguous output.
+        asgv = (
             e.crossJoin(F.broadcast(centv))
             .select(
                 "vec_id",
                 "cluster_id",
                 cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+                "embedding",
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster_id")
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim"),
+                        (-F.col("cluster_id")).alias("negcid"),
+                        F.col("embedding").alias("v"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                (-F.col("m.negcid")).alias("cluster_id"),
+                F.col("m.v").alias("embedding"),
+            )
         )
-        comp = asg.join(e, "vec_id").select(
+        comp = asgv.select(
             "cluster_id", F.posexplode("embedding").alias("pos0", "x")
         )
         cent = (

@@ -751,28 +751,50 @@ def test_kmeans_lineage_is_checkpoint_bounded(spark, sf_dir):
 
 
 def test_kmeans_round_assignment_broadcasts_centroids(spark, sf_dir):
-    # one Lloyd assignment round, built from the same pieces the loop
-    # uses: the 8-row centroid side must broadcast, the corpus must not
-    # shuffle for the assignment
+    # one Lloyd E-step round, built from the same pieces the loop
+    # uses (r12 optimization: argmax aggregate with the embedding
+    # riding the struct — no per-vector sort window, no M-step
+    # re-join): the 8-row centroid side must broadcast, the corpus
+    # must not shuffle for the scoring, and the only exchange carries
+    # one winner row per vector
     from azurestorage_blueprints_spark.functions.vectors import cosine
     from azurestorage_blueprints_spark.tables import table as _t
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centv = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cv")
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster_id")
-    asg = (
+    asgv = (
         e.crossJoin(F.broadcast(centv))
-        .select("vec_id", "cluster_id", cosine(F.col("embedding"), F.col("cv")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cluster_id",
+            cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+            "embedding",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cluster_id")).alias("negcid"),
+                    F.col("embedding").alias("v"),
+                )
+            ).alias("m")
+        )
+        .select(
+            (-F.col("m.negcid")).alias("cluster_id"),
+            F.col("m.v").alias("embedding"),
+        )
     )
-    plan = _plan_of(spark, asg)
+    plan = _plan_of(spark, asgv)
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+    # the retired shapes must not come back: no per-vector sort window,
+    # no corpus-scale join to re-attach the embedding
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_triplet_mining_joins_are_keyed(spark, sf_dir):
