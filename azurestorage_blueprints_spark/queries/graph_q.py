@@ -1264,15 +1264,19 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_expr = F.expr(
         f"cast((cast(raw as decimal(38,0)) * {_HITS_ONE}) div mx as bigint)"
     )
-    # intermediate half-rounds are NOT checkpointed (r12, guide §1.2):
-    # each localCheckpoint pays a full physical planning (toRdd) of its
-    # subtree on the driver — 4 per iteration here — while the 2-round
-    # chain is shallow, each intermediate is single-referenced by the
-    # next half-round, and the double-referenced score/max pairs dedupe
-    # at their reused exchange. Only the FINAL vectors checkpoint:
-    # each feeds both its last update and its top-10 output.
+    # every half-round IS checkpointed (r12 final): the checkpoint-diet
+    # variant (final-only) was re-measured in a 4-variant interleaved
+    # same-session A/B on a quiet box and LOST — med 3.41 s vs 2.88 s,
+    # min 3.05 vs 2.62 — because each half-round's contribution table
+    # `ar`/`hr` is DOUBLE-referenced (its max-agg broadcast + the
+    # normalize), so without materialization both the broadcast subtree
+    # and the main plan re-run the aggregation, and the re-expansion
+    # compounds across the unrolled rounds. Per-half-round
+    # materialization (the pre-r12 shape) keeps every subtree
+    # single-executed; the ~1 s/call planning tax localCheckpoint pays
+    # is smaller than the duplicated work here, unlike LPA whose
+    # per-round tables are single-referenced.
     for r in range(_HITS_ROUNDS):
-        last = r == _HITS_ROUNDS - 1
         ar = (
             e0.join(h, e0.c == h.node)
             .groupBy(F.col("s").alias("node2"))
@@ -1280,9 +1284,9 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node2").alias("node"), "raw")
         )
         am = ar.agg(F.max("raw").cast("bigint").alias("mx"))
-        a = ar.crossJoin(F.broadcast(am)).select("node", norm_expr.alias("score"))
-        if last:
-            a = _ckpt(a)
+        a = _ckpt(
+            ar.crossJoin(F.broadcast(am)).select("node", norm_expr.alias("score"))
+        )
         hr = (
             e0.join(a, e0.s == a.node)
             .groupBy(F.col("c").alias("node2"))
@@ -1290,9 +1294,9 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node2").alias("node"), "raw")
         )
         hm = hr.agg(F.max("raw").cast("bigint").alias("mx"))
-        h = hr.crossJoin(F.broadcast(hm)).select("node", norm_expr.alias("score"))
-        if last:
-            h = _ckpt(h)
+        h = _ckpt(
+            hr.crossJoin(F.broadcast(hm)).select("node", norm_expr.alias("score"))
+        )
     hubs = (
         h.select(
             F.lit("hub").alias("role"),
