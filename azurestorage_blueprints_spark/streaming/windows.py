@@ -99,13 +99,19 @@ LAST_PROGRESS: list[dict] = []
 #: so state partitions sized to the batch session's scan parallelism
 #: (cores locally, hundreds on a cluster) multiply pure per-batch
 #: overhead: at 32 partitions a 4-batch replay commits 128 state files
-#: to move ~40 state rows. 8 partitions is sized to the state
+#: to move ~40 state rows. 4 partitions is sized to the state
 #: cardinality and stays fixed as cores scale — production ingest with
 #: high-cardinality keyed state (e.g. the dedup gate's event_id space)
 #: would raise it via the env knob to match throughput, which is why
-#: it is parameterised rather than derived from cores.
+#: it is parameterised rather than derived from cores. The default was
+#: re-measured on a quiet box across 6 gates (3 light, 3 with real
+#: per-batch shuffle work) at 8/4/2/1: monotone ~0.3-0.6 s/gate better
+#: from 8 to 4 on EVERY gate, while 2 inverts on the gates whose
+#: batches do real shuffle work (ann_serving 3.78 vs 3.55 med) — 4 is
+#: the knee, keeping a little intra-batch parallelism headroom above
+#: the O(10-100)-row state.
 STREAM_SHUFFLE_PARTITIONS = int(
-    __import__("os").environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+    __import__("os").environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "4")
 )
 
 #: base directory for the replay harness's EPHEMERAL checkpoints
