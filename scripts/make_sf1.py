@@ -58,8 +58,16 @@ def main() -> None:
                     t = t.set_column(idx, t.schema.field(col), shifted.cast(t.schema.field(col).type))
                 parts.append(t)
             out = pa.concat_tables(parts)
-        pq.write_table(out, os.path.join(DST, f"{name}.parquet"))
-        print(f"{name}: {src.num_rows} -> {out.num_rows}")
+        # one row group per tiled copy: a single-row-group file scans as
+        # ONE task regardless of cores (the r12 scaling block's finding
+        # at sf0.1), which hides every data-path cost behind a serial
+        # scan stage; per-copy groups give the scan the same parallelism
+        # a real multi-file corpus would have without touching values.
+        rg = src.num_rows
+        pq.write_table(out, os.path.join(DST, f"{name}.parquet"),
+                       row_group_size=rg)
+        print(f"{name}: {src.num_rows} -> {out.num_rows} "
+              f"({-(-out.num_rows // rg)} row groups)")
 
 
 if __name__ == "__main__":
